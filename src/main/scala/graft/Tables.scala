@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated TPC-H-ish testdata (TESTDATA.md).
+  *
+  * One parquet file per table. All reads go through here so every query
+  * benefits from the same scan path (parquet footer pruning, pushed
+  * filters, vectorized reader). At cluster scale these would be catalog
+  * tables; the `dir` indirection keeps the code location-agnostic.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  /** The events table stores `ts` as parquet INT64 TIMESTAMP(NANOS),
+    * which Spark's TimestampType (µs) cannot represent directly — the
+    * vanilla scan fails with PARQUET_TYPE_ILLEGAL. Read nanos as long
+    * (legacy conf, runtime-settable) and truncate to micros, matching
+    * DuckDB's own ns→µs truncation so oracle comparisons agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
+
+/** A named query with an optional DuckDB oracle (driver contract).
+  *
+  * `run` must produce a deterministic result: explicit ORDER BY on a
+  * unique key set, doubles rounded, timestamps rendered as strings —
+  * so the driver's hash compare against the DuckDB oracle is stable.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

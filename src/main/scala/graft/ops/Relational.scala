@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators the reference implements imperatively.
+  *
+  * Each is a pure DataFrame → DataFrame function so Catalyst sees the
+  * whole plan (column pruning / predicate pushdown reach the scan, and
+  * small sides are broadcast automatically under AQE).
+  */
+object Relational {
+
+  /** Most-frequent value per group (reference: pandas
+    * `value_counts().index[0]`, etl_ods_loader.py:263-270). Tie-break is
+    * pinned: higher count wins, then lexicographically smaller value —
+    * the reference's pandas tie order is insertion-dependent and
+    * non-deterministic, so we declare this ordering.
+    *
+    * Two-phase: a partial-aggregated groupBy count (map-side combine)
+    * then a per-group row_number — both shuffle on the group key only,
+    * so this scales linearly with distinct groups, not rows.
+    */
+  def modePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      outName: String, countName: String = "cnt"): DataFrame = {
+    val counts = df
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as(countName))
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(countName).desc, col(valueCol).asc)
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumnRenamed(valueCol, outName)
+  }
+
+  /** Keep the single latest row per key (reference: the ROW_NUMBER()=1
+    * dedup before every MERGE, etl_target_loader.py:118-124 et al.).
+    * `order` must be a total order within each key for determinism.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** SCD Type-1 MERGE rewrite (reference: MERGE INTO ... WHEN MATCHED
+    * UPDATE / WHEN NOT MATCHED INSERT, etl_target_loader.py:86-151).
+    * No Delta/Iceberg offline, so: rows of `target` whose key has a
+    * match in `source` are replaced by the source row; unmatched target
+    * rows survive; new source keys are inserted. Caller overwrites the
+    * table with the result. Anti-join + union = one shuffle on the key;
+    * the join side carrying only keys is small and broadcastable.
+    */
+  def mergeType1(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val srcKeys = source.select(keys.map(col): _*)
+    target.join(srcKeys, keys, "left_anti").unionByName(source)
+  }
+
+  /** Referential-integrity orphan count: rows of `fact` with no match in
+    * `dim` (reference: the 8 LEFT JOIN ... IS NULL audits,
+    * etl_ods_loader.py:905-982). Anti-join keeps only the probe-side
+    * columns, so Catalyst prunes the dim scan to the key column.
+    */
+  def orphanCount(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String): DataFrame =
+    fact.join(dim, fact(factKey) === dim(dimKey), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+}
