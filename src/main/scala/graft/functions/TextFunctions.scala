@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  * All pure Catalyst built-in expressions (codegen'd, no UDFs) so they
+  * stay inside whole-stage codegen and scale to arbitrary input sizes.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. The corpus guarantees single-space
+    * separation; for messier text swap the delimiter for "\\s+". */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Type-token ratio: distinct tokens / tokens (vocabulary richness). */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / tokenCount(text)
+
+  /** Ratio of characters outside [a-z0-9 ] — punctuation/noise share. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Composite quality score in [0,1]: length credit + vocabulary
+    * richness + cleanliness. Weights are declared constants (the
+    * reference has no analog; this is the training-data extension). */
+  def qualityScore(text: Column): Column =
+    round(
+      least(tokenCount(text).cast("double") / 60.0, lit(1.0)) * 0.4 +
+        typeTokenRatio(text) * 0.3 +
+        (lit(1.0) - punctRatio(text)) * 0.3,
+      6)
+
+  /** Stopword-frequency language scores for the n-gram-heuristic
+    * language ID. Each score = number of matches of that language's
+    * high-frequency function words. RE2/Java-regex-compatible patterns
+    * so the DuckDB oracle can mirror them verbatim. */
+  val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|and|of|to)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "es" -> "\\b(el|la|los|y|es)\\b",
+    "fr" -> "\\b(le|la|les|et|est)\\b")
+
+  def langScore(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Predicted language: argmax score, ties broken by langPatterns
+    * order (en first), all-zero scores → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scored = langPatterns.map { case (l, p) => (l, langScore(text, p)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: 16-hex-char prefix of md5 over the
+    * whitespace-normalized lowercase text (document identity for
+    * exact-dedup; SURVEY F1's scheme generalized). */
+  def fingerprint(text: Column): Column =
+    substring(md5(lower(trim(text))), 1, 16)
+
+  /** 60-bit numeric hash of a string: first 15 hex chars of md5,
+    * base-16 → base-10. Deterministic across engines (DuckDB:
+    * CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)), unlike JVM
+    * hashCode or xxhash64 which DuckDB cannot reproduce. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of a document, as an array column.
+    * transform over a 0..len-n index range; stays codegen'd. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + 1, n), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+}
