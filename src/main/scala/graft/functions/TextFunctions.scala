@@ -77,7 +77,7 @@ object TextFunctions {
     array_distinct(
       when(size(ws) >= n,
         transform(sequence(lit(0), size(ws) - n),
-          i => array_join(slice(ws, i + 1, n), " ")))
+          i => array_join(slice(ws, i + 1, lit(n)), " ")))
         .otherwise(array().cast("array<string>")))
   }
 }

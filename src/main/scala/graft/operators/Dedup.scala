@@ -62,7 +62,7 @@ object Dedup {
     val buckets = sigs.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, rows)))))
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
