@@ -25,12 +25,15 @@ object Dedup {
   }
 
   /** MinHash signature column: array of `numHashes` minima over the
-    * document's shingle set. Hash family: xxhash64(seed=i, shingle) —
-    * codegen'd, 64-bit, independent per index. Returns null signature
-    * for shingle-less docs. */
+    * document's shingle set. Hash family: md5Long(seed || "|" || shingle)
+    * — seeded by index, 60-bit, and (unlike xxhash64 or murmur)
+    * reproducible in any engine with md5, so the DuckDB oracle can
+    * verify the full LSH pipeline value-for-value. Returns null
+    * signature for shingle-less docs. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
+      i => array_min(transform(shingles,
+        s => md5Long(concat(i.cast("string"), lit("|"), s)))))
 
   /** MinHash + LSH near-duplicate candidate pairs, verified with exact
     * Jaccard. Standard banding: `numHashes` minhashes split into
@@ -58,11 +61,12 @@ object Dedup {
     val sigs = shingled
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    // explode into (band index, hash of the band's signature slice)
+    // explode into (band index, the band's signature slice as a string
+    // bucket key — engine-portable, unlike murmur hash())
     val buckets = sigs.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+        b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
@@ -90,6 +94,31 @@ object Dedup {
         round(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select("doc_id_1", "doc_id_2", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle
+    * index: candidate pairs share at least one shingle whose document
+    * frequency is ≤ `dfCap`, then exact Jaccard verifies. The df cap
+    * is the scale guard — "stopword shingles" appearing in thousands
+    * of docs generate quadratic candidate blowup and carry no dedup
+    * signal, so they are excluded from candidate generation (but NOT
+    * from the Jaccard itself). Shuffles: shingle explode (keyed on
+    * shingle, capped fan-out) + candidate distinct + verify join.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5, dfCap: Long = 100): DataFrame = {
+    val shingled = docs
+      .select(col(idCol), wordShingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val inv = shingled.select(col(idCol), explode(col("sh")).as("s"))
+    val rare = inv.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+    val postings = inv.join(rare.select("s"), Seq("s"), "left_semi")
+    val candidates = postings.as("a")
+      .join(postings.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
+      .distinct()
+    verifyJaccard(candidates, shingled, idCol, threshold)
   }
 
   /** SimHash signature: `bits`-bit fingerprint where bit j is the

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Baseline: brute-force cosine top-k (exact, O(Q·N) — the right
   * answer when Q is small and broadcastable). Scale path: IVF-style
-  * coarse quantization — assign every vector to its nearest centroid
-  * once, then probe only the nProbe cells closest to each query,
-  * cutting the scan to nProbe/nCells of the corpus per query.
+  * coarse quantization, split into a *build* step (assign every corpus
+  * vector to its nearest centroid cell once — persist/partition by
+  * cell) and a *probe* step (each query scans only its nProbe nearest
+  * cells). Near-dup pair mining reuses the same cells as LSH-style
+  * buckets, so no operator here ever forms the corpus×corpus product.
   */
 object Similarity {
 
@@ -30,36 +32,42 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cosine"))
   }
 
-  /** IVF-style ANN: `centroids` define coarse cells; every corpus
-    * vector is assigned to its argmax-cosine centroid (one broadcast
-    * pass), each query probes its `nProbe` nearest cells, and exact
-    * top-k runs inside the probed cells only.
-    *
-    * Deterministic by construction (ties: centroid id asc), so the
-    * whole operator is reproducible in a SQL oracle. Recall depends on
-    * nProbe/nCells; at scale the cell assignment is written once
-    * (partitionBy(cell)) and amortized across queries.
+  /** Deterministic centroid sample: every `step`-th vector by id.
+    * The trivial-but-reproducible builder (an oracle can mirror it);
+    * [[kMeans]] below is the quality path when reproducibility in SQL
+    * is not required. */
+  def sampleCentroids(corpus: DataFrame, step: Long): DataFrame =
+    corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
+
+  /** BUILD step: assign each vector its `topN` nearest centroid cells
+    * (argmax cosine, ties → centroid id asc). One broadcast pass over
+    * the input; at scale write the result `partitionBy("cell")` once
+    * and amortize across all probes — this method is the only place
+    * corpus×centroid scoring happens.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+  def assignCells(vectors: DataFrame, centroids: DataFrame,
+      idOut: String, vecOut: String, cellOut: String, topN: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col("vec_id").as("__cid"), toDouble(col("embedding")).as("__ce")))
+    val scored = vectors
+      .select(col("vec_id").as(idOut), toDouble(col("embedding")).as(vecOut))
+      .join(cent)
+      .withColumn("__cs", cosine(col(vecOut), col("__ce")))
+    val w = Window.partitionBy(col(idOut)).orderBy(col("__cs").desc, col("__cid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topN)
+      .select(col(idOut), col(vecOut), col("__cid").as(cellOut))
+  }
+
+  /** PROBE step: queries probe their `nProbe` nearest cells and run
+    * exact top-k inside those cells only — the scan shrinks to
+    * ~nProbe/nCells of the corpus per query. `assignedCorpus` is the
+    * [[assignCells]] output (nid, ne, cell), computed once.
+    */
+  def ivfTopK(assignedCorpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    val cent = broadcast(centroids.select(col("vec_id").as("cid"), toDouble(col("embedding")).as("ce")))
-
-    def assign(df: DataFrame, idOut: String, vecOut: String, cellOut: String,
-        topN: Int): DataFrame = {
-      val scored = df
-        .select(col("vec_id").as(idOut), toDouble(col("embedding")).as(vecOut))
-        .join(cent)
-        .withColumn("__cs", cosine(col(vecOut), col("ce")))
-      val w = Window.partitionBy(col(idOut)).orderBy(col("__cs").desc, col("cid").asc)
-      scored.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= topN)
-        .select(col(idOut), col(vecOut), col("cid").as(cellOut))
-    }
-
-    val assigned = assign(corpus, "nid", "ne", "cell", 1)
-    val probes   = assign(queries, "qid", "qe", "probe_cell", nProbe)
-
-    val scored = probes.join(assigned, col("probe_cell") === col("cell") && col("qid") =!= col("nid"))
+    val probes = assignCells(queries, centroids, "qid", "qe", "probe_cell", nProbe)
+    val scored = probes.join(assignedCorpus,
+        col("probe_cell") === col("cell") && col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("qe"), col("ne")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -67,15 +75,57 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cosine"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, id1 < id2.
-    * Brute-force all-pairs here; the LSH/IVF bucketing above is the
-    * scale path (bucket first, pair within buckets). */
-  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("vec_id_1"), toDouble(col("embedding")).as("e1"))
-    val b = corpus.select(col("vec_id").as("vec_id_2"), toDouble(col("embedding")).as("e2"))
-    a.join(b, col("vec_id_1") < col("vec_id_2"))
+  /** Convenience: build + probe in one call (when the assignment is
+    * not reused). Prefer persisting [[assignCells]] when probing more
+    * than once. */
+  def ivfTopKEndToEnd(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int): DataFrame =
+    ivfTopK(assignCells(corpus, centroids, "nid", "ne", "cell", 1), queries, centroids, k, nProbe)
+
+  /** Embedding near-duplicate pairs, cell-bucketed: every vector is
+    * multi-probe-assigned to its `nProbe` nearest cells, pairs form
+    * only *within* a shared cell (id1 < id2), then exact cosine is
+    * scored and thresholded. Multi-probe recovers most borderline
+    * pairs a single-cell split would cut; the corpus×corpus product is
+    * never formed — the join is equi on the cell key, so the blowup is
+    * bounded by the largest cell (≈ N/nCells·nProbe rows).
+    */
+  def nearDupPairs(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, nProbe: Int = 2): DataFrame = {
+    val assigned = assignCells(corpus, centroids, "vid", "ve", "cell", nProbe)
+    val a = assigned.select(col("vid").as("vec_id_1"), col("ve").as("e1"), col("cell"))
+    val b = assigned.select(col("vid").as("vec_id_2"), col("ve").as("e2"), col("cell"))
+    a.join(b, Seq("cell"))
+      .where(col("vec_id_1") < col("vec_id_2"))
+      .select("vec_id_1", "vec_id_2", "e1", "e2").distinct() // multi-probe → same pair in ≥1 cells
       .withColumn("cosine", round(cosine(col("e1"), col("e2")), 6))
       .where(col("cosine") >= threshold)
       .select("vec_id_1", "vec_id_2", "cosine")
+  }
+
+  /** Lloyd's k-means over the embedding column, fully distributed
+    * (no driver-side collect): seed = [[sampleCentroids]], then
+    * `iters` rounds of assign → element-wise mean per cell. Mean is
+    * computed by posexploding dimensions and re-assembling with a
+    * position-sorted collect — shuffle keyed on (cell, dim), uniform.
+    * Returns (vec_id = cell id, embedding = centroid) for direct use
+    * as the `centroids` input of the probe operators.
+    */
+  def kMeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val n = corpus.count()
+    val step = math.max(n / k, 1L)
+    var centroids = sampleCentroids(corpus, step).limit(k)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, centroids, "vid", "ve", "cell", 1)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("ve")))
+        .groupBy("cell", "pos")
+        .agg(avg("col").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("vec_id"),
+          transform(col("pm"), x => x.getField("m")).as("embedding"))
+    }
+    centroids
   }
 }

@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator coverage (dedup, similarity, text
+  * analysis, multimodal plumbing) declared over the `documents` /
+  * `embeddings` testdata, each with a full DuckDB oracle — every hash
+  * in these pipelines is md5-derived precisely so the oracle can
+  * reproduce LSH/minhash/simhash value-for-value (murmur/xxhash64
+  * would make the whole family uncheckable).
+  */
+object LlmQueries {
+
+  /** q25 — exact dedup (hash-groupBy, min-id survivor): duplicates are
+    * planted by re-keying every 7th doc, the survivor set must be
+    * exactly the originals. One uniform-hash shuffle; no driver state. */
+  private val q25 = Q("q25_exact_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val dups = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val all = docs.unionByName(dups).withColumn("fp", fingerprint(col("text")))
+      Dedup.exactByKey(all, col("fp"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_survivors"), sum("doc_id").as("sum_ids"),
+          countDistinct("fp").as("n_fp"))
+        .orderBy("source")
+    },
+    Some("""WITH all_docs AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, text, source FROM documents WHERE doc_id % 7 = 0),
+            keyed AS (SELECT doc_id, source, substr(md5(lower(trim(text))), 1, 16) AS fp
+                      FROM all_docs),
+            surv AS (SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY 1),
+            kept AS (SELECT k.* FROM keyed k
+                     JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id)
+            SELECT source, count(*) AS n_survivors, sum(doc_id) AS sum_ids,
+                   count(DISTINCT fp) AS n_fp
+            FROM kept GROUP BY 1 ORDER BY 1"""))
+
+  /** q26 — text analysis per document (token counts incl. BPE-ish
+    * regex, type-token ratio, punctuation share, composite quality,
+    * n-gram-heuristic language ID, content fingerprint). All pure
+    * codegen'd expressions — one map pass, no shuffle at any scale. */
+  private val q26 = Q("q26_text_quality",
+    (s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          tokenCount(t).cast("long").as("token_cnt"),
+          regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_cnt"),
+          round(typeTokenRatio(t), 6).as("ttr"),
+          round(punctRatio(t), 6).as("punct_ratio"),
+          round(qualityScore(t), 6).as("quality"),
+          langId(t).as("lang_pred"),
+          fingerprint(t).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+            CAST(len(str_split(text, ' ')) AS BIGINT) AS token_cnt,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_cnt,
+            round(len(list_distinct(str_split(text, ' '))) * 1.0 / len(str_split(text, ' ')), 6) AS ttr,
+            round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+            round(least(len(str_split(text, ' ')) / 60.0, 1.0) * 0.4
+                + (len(list_distinct(str_split(text, ' '))) * 1.0 / len(str_split(text, ' '))) * 0.3
+                + (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 0.3,
+                6) AS quality,
+            CASE WHEN s_en = best AND best > 0 THEN 'en'
+                 WHEN s_de = best AND best > 0 THEN 'de'
+                 WHEN s_es = best AND best > 0 THEN 'es'
+                 WHEN s_fr = best AND best > 0 THEN 'fr'
+                 ELSE 'und' END AS lang_pred,
+            substr(md5(lower(trim(text))), 1, 16) AS fp
+            FROM (SELECT *,
+                    len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS s_en,
+                    len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de,
+                    len(regexp_extract_all(text, '\b(el|la|los|y|es)\b')) AS s_es,
+                    len(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS s_fr,
+                    greatest(len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')),
+                             len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')),
+                             len(regexp_extract_all(text, '\b(el|la|los|y|es)\b')),
+                             len(regexp_extract_all(text, '\b(le|la|les|et|est)\b'))) AS best
+                  FROM documents WHERE doc_id < 60)
+            ORDER BY doc_id"""))
+
+  /** q27 — SimHash fingerprints (48-bit majority-vote signatures as 48
+    * conditional aggregates in one groupBy pass). Values checked
+    * bit-for-bit against the oracle's recomputation. */
+  private val q27 = Q("q27_simhash",
+    (s, d) => {
+      Dedup.simhash(Tables.documents(s, d).filter(col("doc_id") < 100),
+          "doc_id", "text", bits = 48)
+        .orderBy("doc_id")
+    },
+    Some("""WITH hv AS (
+              SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv
+              FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+                    FROM documents WHERE doc_id < 100)),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hv, (SELECT unnest(generate_series(0, 47)) AS j)
+              GROUP BY 1, 2),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+              FROM bits GROUP BY 1)
+            SELECT doc_id, simhash FROM sig ORDER BY doc_id"""))
+
+  /** q28 — MinHash + LSH near-duplicate pairs (shingle → 64 md5-seeded
+    * minhashes → 16 banded buckets → bucket-join candidates → exact
+    * Jaccard verify at 0.5). The oracle replays the identical pipeline,
+    * so both the recall of the banding AND the verify values must match. */
+  private val q28 = Q("q28_minhash_lsh",
+    (s, d) => {
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("doc_id_1", "doc_id_2")
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS sh
+              FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+              WHERE len(ws) >= 3),
+            sig AS (
+              SELECT doc_id, list_transform(generate_series(0, 63),
+                     i -> list_aggregate(list_transform(sh,
+                          s -> CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)),
+                          'min')) AS sig
+              FROM sh),
+            buckets AS (
+              SELECT doc_id, b,
+                     array_to_string(list_transform(list_slice(sig, b * 4 + 1, b * 4 + 4),
+                       x -> CAST(x AS VARCHAR)), ',') AS bucket
+              FROM sig, (SELECT unnest(generate_series(0, 15)) AS b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+              FROM buckets a JOIN buckets c
+                ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+            j AS (
+              SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+                     round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+              FROM cand JOIN sh x ON x.doc_id = d1 JOIN sh y ON y.doc_id = d2)
+            SELECT doc_id_1, doc_id_2, jaccard FROM j
+            WHERE jaccard >= 0.5 ORDER BY doc_id_1, doc_id_2"""))
+
+  /** q29 — exact brute-force cosine top-k (the ANN baseline): 10 query
+    * vectors broadcast against the corpus, per-query top-5 via a
+    * k-limiting window (no global sort). */
+  private val q29 = Q("q29_topk_cosine",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("qid", "rank")
+    },
+    Some("""SELECT qid, rank, nid, round(cos, 6) AS cosine FROM (
+              SELECT qid, nid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+              FROM (SELECT q.vec_id AS qid, n.vec_id AS nid,
+                           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(n.embedding AS DOUBLE[])) AS cos
+                    FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+                    WHERE q.vec_id < 10))
+            WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  /** q30 — IVF ANN top-k: build-once cell assignment (10 deterministic
+    * sample centroids) + nProbe=3 probing. At scale the assignment is
+    * persisted partitionBy(cell); here it feeds the probe directly. */
+  private val q30 = Q("q30_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.sampleCentroids(emb, 50)
+      val assigned = Similarity.assignCells(emb, centroids, "nid", "ne", "cell", 1)
+      Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 10), centroids,
+          k = 5, nProbe = 3)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                          FROM embeddings WHERE vec_id % 50 = 0),
+            corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+            acell AS (SELECT nid, ne, cell FROM (
+                        SELECT nid, ne, cid AS cell,
+                               row_number() OVER (PARTITION BY nid
+                                 ORDER BY list_cosine_similarity(ne, ce) DESC, cid ASC) AS rn
+                        FROM corpus CROSS JOIN cent) WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id < 10),
+            probes AS (SELECT qid, qe, probe_cell FROM (
+                         SELECT qid, qe, cid AS probe_cell,
+                                row_number() OVER (PARTITION BY qid
+                                  ORDER BY list_cosine_similarity(qe, ce) DESC, cid ASC) AS rn
+                         FROM q CROSS JOIN cent) WHERE rn <= 3),
+            scored AS (SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos
+                       FROM probes JOIN acell ON probe_cell = cell AND qid <> nid)
+            SELECT qid, rank, nid, round(cos, 6) AS cosine FROM (
+              SELECT qid, nid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  /** q31 — embedding-cosine near-dup pairs, cell-bucketed (multi-probe
+    * 2): pairs form only within shared IVF cells — never the N²
+    * product — then exact cosine thresholds at 0.25. */
+  private val q31 = Q("q31_embedding_near_dups",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.nearDupPairs(emb, Similarity.sampleCentroids(emb, 50),
+          threshold = 0.25, nProbe = 2)
+        .orderBy("vec_id_1", "vec_id_2")
+    },
+    Some("""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                          FROM embeddings WHERE vec_id % 50 = 0),
+            corpus AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+            acell AS (SELECT vid, ve, cell FROM (
+                        SELECT vid, ve, cid AS cell,
+                               row_number() OVER (PARTITION BY vid
+                                 ORDER BY list_cosine_similarity(ve, ce) DESC, cid ASC) AS rn
+                        FROM corpus CROSS JOIN cent) WHERE rn <= 2),
+            pairs AS (SELECT DISTINCT a.vid AS vec_id_1, b.vid AS vec_id_2
+                      FROM acell a JOIN acell b
+                        ON a.cell = b.cell AND a.vid < b.vid),
+            scored AS (SELECT vec_id_1, vec_id_2,
+                              round(list_cosine_similarity(x.ve, y.ve), 6) AS cosine
+                       FROM pairs
+                       JOIN corpus x ON x.vid = vec_id_1
+                       JOIN corpus y ON y.vid = vec_id_2)
+            SELECT vec_id_1, vec_id_2, cosine FROM scored
+            WHERE cosine >= 0.25 ORDER BY vec_id_1, vec_id_2"""))
+
+  /** q32 — multimodal plumbing: documents lifted to binary payload +
+    * typed metadata, batch-decoded in mapPartitions (stub decoder with
+    * per-partition init), rolled up per source. The oracle checks the
+    * full path — payload bytes, md5-derived fake dimensions, checksum,
+    * frame-sampler arithmetic — end to end. */
+  private val q32 = Q("q32_multimodal_decode",
+    (s, d) => {
+      val media = Multimodal.toMedia(Tables.documents(s, d))
+      Multimodal.decodeFeatures(media, frameStride = 64).toDF()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("byte_len").as("total_bytes"),
+          min("fake_w").as("min_w"), max("fake_h").as("max_h"),
+          countDistinct("checksum").as("n_checksums"),
+          sum("n_frames").as("n_frames"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n,
+            sum(octet_length(encode(text))) AS total_bytes,
+            min(1 + CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1920) AS min_w,
+            max(1 + CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1080) AS max_h,
+            count(DISTINCT substr(md5(text), 1, 16)) AS n_checksums,
+            sum((octet_length(encode(text)) + 63) // 64) AS n_frames
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** q33 — exact n-gram Jaccard near-dup pairs via inverted shingle
+    * index with a document-frequency cap on candidate shingles (the
+    * stopword-shingle scale guard), threshold 0.5. */
+  private val q33 = Q("q33_ngram_jaccard",
+    (s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleSize = 3, threshold = 0.5, dfCap = 100)
+        .orderBy("doc_id_1", "doc_id_2")
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS sh
+              FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+              WHERE len(ws) >= 3),
+            inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+            rare AS (SELECT s FROM (SELECT s, count(*) AS c FROM inv GROUP BY 1)
+                     WHERE c <= 100),
+            post AS (SELECT doc_id, s FROM inv WHERE s IN (SELECT s FROM rare)),
+            cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                     FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id),
+            j AS (SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+                         round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+                  FROM cand JOIN sh x ON x.doc_id = d1 JOIN sh y ON y.doc_id = d2)
+            SELECT doc_id_1, doc_id_2, jaccard FROM j
+            WHERE jaccard >= 0.5 ORDER BY doc_id_1, doc_id_2"""))
+
+  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33)
+}
