@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only plan/timing harness: `runMain graft.Scratch <queryName> [sfDir]`
+  * prints the formatted physical plan and per-run wall time for one
+  * declared query. Not part of the driver contract. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (name == "stages") { minhashStages(spark, sfDir); spark.stop(); return }
+    val fn = SparkEntry.queries(name)
+    val df = fn(spark, sfDir)
+    df.explain("formatted")
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(s"[scratch] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9} s")
+    }
+    spark.stop()
+  }
+
+  /** Re-derives minhashLsh's internal stages to localize cost. */
+  private def minhashStages(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    import graft.operators.Dedup
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(s"[scratch] $label: ${(System.nanoTime() - t0) / 1e9} s"); r
+    }
+    val docs = Tables.documents(spark, sfDir).repartition(col("doc_id"))
+    val shingled = docs
+      .select(col("doc_id"),
+        transform(wordShingles(col("text"), 3), s => md5Long(s)).as("sh"))
+      .where(size(col("sh")) > 0)
+    time("warmup")(shingled.count())
+    time("shingled.count")(shingled.count())
+    val hashes = shingled.select(col("doc_id"), explode(col("sh")).as("h"))
+    time("hashes.count")(hashes.count())
+    val minAggs = Dedup.minhashConstants(64).zipWithIndex.map {
+      case ((a0, a1), i) =>
+        val M30 = (1L << 30) - 1; val M60 = (1L << 60) - 1
+        val h0 = col("h").bitwiseAND(lit(M30)); val h1 = shiftright(col("h"), 30)
+        val cross = (lit(a0) * h1 + lit(a1) * h0).bitwiseAND(lit(M30))
+        min((lit(a0) * h0 + shiftleft(cross, 30)).bitwiseAND(lit(M60))).as(s"m$i")
+    }
+    val sigs = hashes.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    time("sigs agg 1st")(sigs.count())
+    time("sigs agg 2nd")(sigs.count())
+    val bucketCols = (0 until 16).map { b =>
+      concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
+    }
+    val buckets = sigs.select(col("doc_id"), posexplode(array(bucketCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    time("buckets.count")(buckets.count())
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2")).distinct()
+    time("candidates.count")(candidates.count())
+    time("full q28")(SparkEntry.queries("q28_minhash_lsh")(spark, sfDir).count())
+  }
+}

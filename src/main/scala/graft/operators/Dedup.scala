@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, ordered from
@@ -24,16 +25,42 @@ object Dedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature column: array of `numHashes` minima over the
-    * document's shingle set. Hash family: md5Long(seed || "|" || shingle)
-    * — seeded by index, 60-bit, and (unlike xxhash64 or murmur)
-    * reproducible in any engine with md5, so the DuckDB oracle can
-    * verify the full LSH pipeline value-for-value. Returns null
-    * signature for shingle-less docs. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles,
-        s => md5Long(concat(i.cast("string"), lit("|"), s)))))
+  private val M30 = (1L << 30) - 1
+  private val M60 = (1L << 60) - 1
+
+  /** The minhash family: h_i(x) = (A_i * md5Long(x)) mod 2^60, with
+    * A_i an odd 60-bit multiplier derived from md5("A|i") — so any
+    * engine with md5 (DuckDB included) can re-derive the exact family
+    * and verify signatures value-for-value. One md5 per shingle total;
+    * each of the `numHashes` functions is then 6 integer ops, not
+    * another digest. Returns (a0, a1) = (A_i low 30 bits, high 30). */
+  def minhashConstants(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"A|$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val a = (2 * java.lang.Long.parseLong(hex.take(15), 16) + 1) & M60
+      (a & M30, a >> 30)
+    }
+
+  /** (A * h) mod 2^60 via 30-bit limbs: every intermediate stays under
+    * 2^61, so the arithmetic is exact in plain 64-bit signed longs on
+    * both Spark (ANSI-safe, no overflow) and the oracle's BIGINT. */
+  private def mix(h: Column, a0: Long, a1: Long): Column = {
+    val h0 = h.bitwiseAND(lit(M30))
+    val h1 = shiftright(h, 30)
+    val cross = (lit(a0) * h1 + lit(a1) * h0).bitwiseAND(lit(M30))
+    (lit(a0) * h0 + shiftleft(cross, 30)).bitwiseAND(lit(M60))
+  }
+
+  /** Testdata ships as one tiny parquet split, which would serialize
+    * the per-document hashing into a single task; spread input across
+    * the session's parallelism only when the scan is narrower than the
+    * core count (at real scale the scan already is parallel and this
+    * is a no-op — no gratuitous shuffle of a 100 TB corpus). */
+  private def spread(df: DataFrame, idCol: String): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(col(idCol)) else df
+  }
 
   /** MinHash + LSH near-duplicate candidate pairs, verified with exact
     * Jaccard. Standard banding: `numHashes` minhashes split into
@@ -41,10 +68,17 @@ object Dedup {
     * candidate pair; candidates are then verified against the exact
     * shingle sets and filtered at `threshold`.
     *
-    * Scale analysis: shingling+signatures are one map pass; the only
-    * shuffles are (band, bandHash) bucket grouping and the candidate
-    * self-join — both keyed on uniform hashes. The O(n²) blowup is
-    * confined to within-bucket pairs, which banding keeps tiny.
+    * Execution shape: shingles explode to rows, one codegen'd md5 per
+    * shingle, and the `numHashes` signature slots are `min(...)`
+    * aggregates of [[mix]] arithmetic — all inside whole-stage codegen
+    * with map-side partial aggregation, one shuffle on the doc id.
+    * (The naive form — nested higher-order transforms computing
+    * numHashes md5s per shingle — runs interpreted and is ~50× the
+    * work; it is exactly the hot path a 100 TB corpus cannot afford.)
+    * The only other shuffles are the (band, bucket) candidate
+    * self-join and the verify join — keyed on uniform hashes. The
+    * O(n²) blowup is confined to within-bucket pairs, which banding
+    * keeps tiny.
     *
     * @return (doc_id_1, doc_id_2, jaccard) with id1 < id2, jaccard ≥ threshold
     */
@@ -54,19 +88,24 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    val shingled = docs
-      .select(col(idCol), wordShingles(col(textCol), shingleSize).as("sh"))
-      .where(size(col("sh")) > 0)
+    val shingled = hashedShingled(docs, idCol, textCol, shingleSize)
 
-    val sigs = shingled
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val hashes = shingled.select(col(idCol), explode(col("sh")).as("h"))
+    val minAggs = minhashConstants(numHashes).zipWithIndex.map {
+      case ((a0, a1), i) => min(mix(col("h"), a0, a1)).as(s"m$i")
+    }
+    // persisted: both sides of the bucket self-join consume it, and a
+    // broadcast build side would otherwise recompute the whole
+    // signature aggregation a second time
+    val sigs = hashes.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+      .persist()
 
-    // explode into (band index, the band's signature slice as a string
-    // bucket key — engine-portable, unlike murmur hash())
-    val buckets = sigs.select(
-      col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")))))
+    // band buckets as comma-joined value strings — engine-portable,
+    // unlike murmur hash()
+    val bucketCols = (0 until bands).map { b =>
+      concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+    }
+    val buckets = sigs.select(col(idCol), posexplode(array(bucketCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
@@ -81,9 +120,31 @@ object Dedup {
     verifyJaccard(candidates, shingled, idCol, threshold)
   }
 
-  /** Exact Jaccard over candidate pairs: join the shingle arrays back
-    * and compare via array_intersect. Candidate count is small by the
-    * time this runs, so per-pair set intersection is cheap. */
+  /** Documents → (id, sh: array<long>) of 60-bit-hashed distinct word
+    * shingles, persisted. Hashing shingles down to longs once per
+    * document is what makes every downstream step cheap: signature
+    * minima are integer ops, and the verify intersections compare
+    * 8-byte longs instead of ~20-byte strings (≈4× less shuffle +
+    * compare volume at any corpus size). 60-bit collisions are
+    * negligible (n²/2^61).
+    *
+    * Persisted because every LSH consumer branches at least three ways
+    * off this frame (index build, both self-join sides, verify) — and
+    * the shingling pass is the single most expensive map over the raw
+    * corpus. Recomputing a 100 TB text scan per branch is the cost
+    * model to avoid; the cached form is ~50× smaller than the text. */
+  private def hashedShingled(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    spread(docs, idCol)
+      .select(col(idCol),
+        transform(wordShingles(col(textCol), shingleSize), s => md5Long(s)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist()
+
+  /** Exact Jaccard over candidate pairs: join the hashed shingle
+    * arrays back and compare via array_intersect. The doc-side arrays
+    * are small relations (id + longs) that AQE broadcasts when they
+    * fit; the pair side streams. */
   private def verifyJaccard(pairs: DataFrame, shingled: DataFrame,
       idCol: String, threshold: Double): DataFrame = {
     val s1 = shingled.select(col(idCol).as("doc_id_1"), col("sh").as("sh1"))
@@ -96,25 +157,37 @@ object Dedup {
       .select("doc_id_1", "doc_id_2", "jaccard")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle
-    * index: candidate pairs share at least one shingle whose document
-    * frequency is ≤ `dfCap`, then exact Jaccard verifies. The df cap
-    * is the scale guard — "stopword shingles" appearing in thousands
-    * of docs generate quadratic candidate blowup and carry no dedup
-    * signal, so they are excluded from candidate generation (but NOT
-    * from the Jaccard itself). Shuffles: shingle explode (keyed on
-    * shingle, capped fan-out) + candidate distinct + verify join.
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index
+    * with PPJoin-style prefix filtering. Two candidate guards:
+    *
+    *  - df cap: shingles appearing in > `dfCap` docs ("stopword
+    *    shingles") are excluded from candidate generation — they carry
+    *    no dedup signal and cause quadratic blowup;
+    *  - prefix filter: per doc, shingles are ordered by (global df,
+    *    hash) and only the first `sz - ceil(t·sz) + 1` participate in
+    *    the index — any pair with Jaccard ≥ t must collide inside that
+    *    prefix (Bayardo et al., WWW'07), so recall is unchanged while
+    *    the self-join fans out on the rarest shingles only.
+    *
+    * Exact Jaccard then verifies every candidate against the full
+    * shingle sets. Shuffles: df count, per-doc prefix window, candidate
+    * distinct, verify join — all keyed on uniform hashes or doc ids.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5, dfCap: Long = 100): DataFrame = {
-    val shingled = docs
-      .select(col(idCol), wordShingles(col(textCol), shingleSize).as("sh"))
-      .where(size(col("sh")) > 0)
-    val inv = shingled.select(col(idCol), explode(col("sh")).as("s"))
-    val rare = inv.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
-    val postings = inv.join(rare.select("s"), Seq("s"), "left_semi")
-    val candidates = postings.as("a")
-      .join(postings.as("b"),
+    val shingled = hashedShingled(docs, idCol, textCol, shingleSize)
+    val inv = shingled.select(col(idCol), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val dfCount = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+    // persisted: both sides of the candidate self-join consume it
+    val prefix = inv.join(dfCount, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))))
+      .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .persist()
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
       .distinct()
@@ -129,7 +202,8 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 48): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val toks = spread(docs, idCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .withColumn("hv", md5Long(col("w")))
     val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")

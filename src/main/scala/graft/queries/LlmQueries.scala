@@ -113,32 +113,45 @@ object LlmQueries {
               FROM bits GROUP BY 1)
             SELECT doc_id, simhash FROM sig ORDER BY doc_id"""))
 
-  /** q28 — MinHash + LSH near-duplicate pairs (shingle → 64 md5-seeded
-    * minhashes → 16 banded buckets → bucket-join candidates → exact
-    * Jaccard verify at 0.5). The oracle replays the identical pipeline,
-    * so both the recall of the banding AND the verify values must match. */
+  /** q28 — MinHash + LSH near-duplicate pairs (shingle → one md5 per
+    * shingle → 64 affine-multiplier minhashes as min() aggregates → 16
+    * banded buckets → bucket-join candidates → exact Jaccard verify at
+    * 0.5). The oracle re-derives the multiplier family from md5("A|i")
+    * and replays the identical pipeline, so both the recall of the
+    * banding AND the verify values must match. */
   private val q28 = Q("q28_minhash_lsh",
     (s, d) => {
       Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
           shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy("doc_id_1", "doc_id_2")
     },
-    Some("""WITH sh AS (
+    Some("""WITH shs AS (
               SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
-                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS sh
+                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS shs
               FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
               WHERE len(ws) >= 3),
-            sig AS (
-              SELECT doc_id, list_transform(generate_series(0, 63),
-                     i -> list_aggregate(list_transform(sh,
-                          s -> CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)),
-                          'min')) AS sig
-              FROM sh),
+            sh AS (
+              SELECT doc_id, list_transform(shs,
+                     s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+              FROM shs),
+            consts AS (
+              SELECT i,
+                     (2 * CAST(('0x' || substr(md5('A|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                       & ((CAST(1 AS BIGINT) << 60) - 1) AS a
+              FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+            hv AS (
+              SELECT doc_id, unnest(sh) AS h FROM sh),
+            mins AS (
+              SELECT doc_id, i,
+                     min(((a & 1073741823) * (h & 1073741823)
+                          + (((a & 1073741823) * (h >> 30) + (a >> 30) * (h & 1073741823))
+                             & 1073741823) * (CAST(1 AS BIGINT) << 30))
+                         & ((CAST(1 AS BIGINT) << 60) - 1)) AS m
+              FROM hv CROSS JOIN consts GROUP BY 1, 2),
             buckets AS (
-              SELECT doc_id, b,
-                     array_to_string(list_transform(list_slice(sig, b * 4 + 1, b * 4 + 4),
-                       x -> CAST(x AS VARCHAR)), ',') AS bucket
-              FROM sig, (SELECT unnest(generate_series(0, 15)) AS b)),
+              SELECT doc_id, i // 4 AS b,
+                     string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+              FROM mins GROUP BY 1, 2),
             cand AS (
               SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
               FROM buckets a JOIN buckets c
@@ -260,24 +273,32 @@ object LlmQueries {
 
   /** q33 — exact n-gram Jaccard near-dup pairs via inverted shingle
     * index with a document-frequency cap on candidate shingles (the
-    * stopword-shingle scale guard), threshold 0.5. */
+    * stopword-shingle scale guard) plus PPJoin prefix filtering,
+    * threshold 0.5. */
   private val q33 = Q("q33_ngram_jaccard",
     (s, d) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           shingleSize = 3, threshold = 0.5, dfCap = 100)
         .orderBy("doc_id_1", "doc_id_2")
     },
-    Some("""WITH sh AS (
+    Some("""WITH shs AS (
               SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
-                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS sh
+                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS shs
               FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
               WHERE len(ws) >= 3),
-            inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-            rare AS (SELECT s FROM (SELECT s, count(*) AS c FROM inv GROUP BY 1)
-                     WHERE c <= 100),
-            post AS (SELECT doc_id, s FROM inv WHERE s IN (SELECT s FROM rare)),
+            sh AS (
+              SELECT doc_id, list_transform(shs,
+                     s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+              FROM shs),
+            inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+            dfc AS (SELECT s, count(*) AS df FROM inv GROUP BY 1 HAVING count(*) <= 100),
+            pref AS (SELECT doc_id, s FROM (
+                       SELECT i.doc_id, i.sz, i.s,
+                              row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rn
+                       FROM inv i JOIN dfc d USING (s))
+                     WHERE rn <= sz - ceil(0.5 * sz) + 1),
             cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                     FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id),
+                     FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
             j AS (SELECT d1 AS doc_id_1, d2 AS doc_id_2,
                          round(len(list_intersect(x.sh, y.sh)) * 1.0 /
                                (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
