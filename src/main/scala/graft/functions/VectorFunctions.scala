@@ -2,10 +2,16 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
-/** Dense-vector primitives over ArrayType(Float/Double) columns, built
-  * from higher-order functions (zip_with / aggregate) so they run inside
-  * codegen with no UDF boundary.
+/** Dense-vector primitives over ArrayType(Float/Double) columns.
+  *
+  * The hot-path [[cosine]] is a native Catalyst expression
+  * ([[CosineSimExpr]], fused single loop, whole-stage codegen); the
+  * rarely-hot [[dot]]/[[norm]]/[[l2sq]] stay as higher-order-function
+  * compositions (note: HOFs evaluate interpreted — fine off the hot
+  * path, promote to native expressions like cosine if a consumer ever
+  * scores them per-pair at scale).
   *
   * Numeric contract: all folds accumulate left-to-right in double,
   * which is bit-identical to DuckDB's list_dot_product /
@@ -25,7 +31,8 @@ object VectorFunctions {
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    ColumnBridge.column(CosineSimExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** L2 distance (squared), same fold discipline. */
   def l2sq(a: Column, b: Column): Column =
