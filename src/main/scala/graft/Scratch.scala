@@ -18,6 +18,15 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (name == "stages") { minhashStages(spark, sfDir); spark.stop(); return }
+    if (name == "pipeline") {
+      val t0 = System.nanoTime()
+      val counts = graft.etl.Pipeline.run(spark,
+        "/root/reference/data/walmart_data.csv", "/tmp/graft_wh",
+        graft.etl.RunContext("2026-08-12"))
+      counts.toSeq.sorted.foreach { case (t, n) => println(s"[scratch] $t: $n") }
+      println(s"[scratch] pipeline done in ${(System.nanoTime() - t0) / 1e9} s")
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     val df = fn(spark, sfDir)
     df.explain("formatted")
