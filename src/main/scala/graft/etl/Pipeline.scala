@@ -22,10 +22,13 @@ object Pipeline {
   def run(spark: SparkSession, csvPath: String, warehouseDir: String,
       ctx: RunContext, clearStaging: Boolean = false): Map[String, Long] = {
     val wh = new Warehouse(spark, warehouseDir)
+    // batch boundary: cached plans from a previous run key on the same
+    // parquet paths and would serve the pre-swap file contents
+    spark.catalog.clearCache()
 
     val csv = CsvSource.read(spark, csvPath)
     val ods = OdsLayer.build(csv, ctx)
-    ods.all.foreach { case (name, df) => wh.write(name, df) }
+    wh.writeAll(ods.all)
 
     val odsR = OdsLayer.Tables(
       date = wh.read("ods_date"), customer = wh.read("ods_customer"),
@@ -34,7 +37,7 @@ object Pipeline {
       sales = wh.read("ods_sales"), returns = wh.read("ods_returns"),
       inventory = wh.read("ods_inventory"))
     val stg = StagingLayer.build(odsR, ctx)
-    stg.all.foreach { case (name, df) => wh.write(name, df) }
+    wh.writeAll(stg.all)
 
     val stgR = StagingLayer.Tables(
       date = wh.read("stg_date"), customer = wh.read("stg_customer"),
@@ -44,7 +47,7 @@ object Pipeline {
       sales = wh.read("stg_sales"), returns = wh.read("stg_returns"),
       inventory = wh.read("stg_inventory"))
     val tgt = TargetLayer.build(stgR, wh.readIfExists, ctx)
-    tgt.all.foreach { case (name, df) => wh.write(name, df) }
+    wh.writeAll(tgt.all)
 
     if (clearStaging) stgR.all.map(_._1).foreach(wh.truncate)
 

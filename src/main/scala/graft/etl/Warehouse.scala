@@ -28,20 +28,39 @@ final class Warehouse(spark: SparkSession, baseDir: String) {
 
   def exists(table: String): Boolean = fs.exists(path(table))
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table).toString)
+  def read(table: String): DataFrame = {
+    // a prior batch may have swapped this path; drop any stale file
+    // listing Spark has memoized for it
+    spark.catalog.refreshByPath(path(table).toString)
+    spark.read.parquet(path(table).toString)
+  }
 
   def readIfExists(table: String): Option[DataFrame] =
     if (exists(table)) Some(read(table)) else None
 
   /** Overwrite-swap write: materialize to a tmp dir, then rename over
     * the old state. The df may read from the table being replaced. */
-  def write(table: String, df: DataFrame): Unit = {
-    val tmp = new Path(baseDir, table + ".__tmp")
-    fs.delete(tmp, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path(table), true)
-    if (!fs.rename(tmp, path(table)))
-      throw new IllegalStateException(s"warehouse swap failed for $table")
+  def write(table: String, df: DataFrame): Unit = writeAll(Seq(table -> df))
+
+  /** Two-phase group commit: materialize EVERY frame to its tmp dir
+    * while all prior table states are still on disk, then swap them
+    * in. Required whenever later frames in the group lazily read
+    * tables earlier frames replace — e.g. target facts join the target
+    * dimensions whose prior files an eager per-table swap would have
+    * already deleted (the SCD frames read their own prior state). */
+  def writeAll(tables: Seq[(String, DataFrame)]): Unit = {
+    val staged = tables.map { case (table, df) =>
+      val tmp = new Path(baseDir, table + ".__tmp")
+      fs.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      table -> tmp
+    }
+    staged.foreach { case (table, tmp) =>
+      fs.delete(path(table), true)
+      if (!fs.rename(tmp, path(table)))
+        throw new IllegalStateException(s"warehouse swap failed for $table")
+      spark.catalog.refreshByPath(path(table).toString)
+    }
   }
 
   def drop(table: String): Unit = fs.delete(path(table), true)

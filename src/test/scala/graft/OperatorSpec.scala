@@ -1,0 +1,105 @@
+package graft
+
+import graft.etl.Ids
+import graft.functions.{Md5ModExpr, TextFunctions, VectorFunctions}
+import graft.operators.Dedup
+import graft.ops.{Relational, Scd}
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the reusable operator families (SURVEY §2): each
+  * pins a semantic the DuckDB oracle can't see in isolation. */
+class OperatorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("md5Mod matches the full 128-bit reference semantics") {
+    // int(hashlib.md5(b"hello").hexdigest(), 16) % 97 — computed with
+    // BigInteger here; a 64-bit truncation would disagree
+    val expected = new java.math.BigInteger(1,
+      java.security.MessageDigest.getInstance("MD5").digest("hello".getBytes))
+      .mod(java.math.BigInteger.valueOf(97)).longValue()
+    val got = Seq("hello").toDF("s")
+      .select(Ids.md5Mod(col("s"), 97).as("m")).first().getLong(0)
+    assert(got === expected)
+  }
+
+  test("businessKey format: PREFIX_ + 14 hex chars") {
+    val got = Seq("Jessica Myrick").toDF("n")
+      .select(Ids.businessKey("CUST", col("n"))).first().getString(0)
+    assert(got === "CUST_" + Md5ModExpr.md5Hex("Jessica Myrick").take(14))
+    assert(got.length === 19)
+  }
+
+  test("cosine expression matches a hand-computed value bit-for-bit") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b"))).first().getDouble(0)
+    val dot = 1.0 * 4 + 2.0 * 5 + 3.0 * 6
+    val expected = dot / (math.sqrt(1 + 4 + 9.0) * math.sqrt(16 + 25 + 36.0))
+    assert(got === expected)
+  }
+
+  test("exact dedup keeps the min-id survivor per content key") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactByKey(docs, TextFunctions.fingerprint(col("text")), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 3L))
+  }
+
+  test("simhash: identical docs share signatures, disjoint docs differ") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zig zag zone zero")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, "doc_id", "text", bits = 48)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(sigs(0)._2 === sigs(1)._2)
+    assert(sigs(0)._2 !== sigs(2)._2)
+  }
+
+  test("minhashLsh finds planted near-duplicates and only those") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"),  // near-dup pair
+      (3L, "completely different words with nothing shared at all here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("mergeType1: matched rows replaced, unmatched kept, new inserted") {
+    val tgt = Seq((1, "old"), (2, "keep")).toDF("k", "v")
+    val src = Seq((1, "new"), (3, "ins")).toDF("k", "v")
+    val out = Relational.mergeType1(tgt, src, Seq("k"))
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1, "new"), (2, "keep"), (3, "ins")))
+  }
+
+  test("Scd.applyChanges: change -> expire + version, same -> untouched") {
+    val dim = Scd.initial(Seq((1, "a"), (2, "b")).toDF("k", "attr"))
+    val updates = Seq((1, "a2"), (2, "b"), (3, "c")).toDF("k", "attr")
+    val out = Scd.applyChanges(dim, updates, Seq("k"), Seq("attr"), "2026-08-12")
+    assert(out.count() === 4) // k1 v1 expired + k1 v2 + k2 v1 + k3 v1
+    val k1 = out.where(col("k") === 1).orderBy("version")
+      .select("attr", "is_current", "version").as[(String, Boolean, Long)].collect()
+    assert(k1.toSeq === Seq(("a", false, 1L), ("a2", true, 2L)))
+    val k2 = out.where(col("k") === 2).first()
+    assert(k2.getAs[Boolean]("is_current") && k2.getAs[Long]("version") === 1L)
+    assert(out.where(col("k") === 3 && col("version") === 1 && col("is_current"))
+      .count() === 1)
+  }
+
+  test("mode per group pins the declared tie-break: count desc, value asc") {
+    val df = Seq((1, "b"), (1, "b"), (1, "a"), (1, "c"), (1, "c")).toDF("g", "v")
+    val m = Relational.modePerGroup(df, Seq("g"), "v", "mode")
+      .select("mode").first().getString(0)
+    assert(m === "b") // b and c tie at 2; value asc picks b
+  }
+
+  test("langId picks the max-scoring language, und when no signal") {
+    val df = Seq("the cat and the dog of the house", "xyzzy plugh")
+      .toDF("text")
+    val out = df.select(TextFunctions.langId(col("text"))).as[String].collect()
+    assert(out.toSeq === Seq("en", "und"))
+  }
+}
