@@ -9,7 +9,8 @@ object SparkEntry {
   /** Every declared query, in catalog order. */
   def allQueries: Seq[Q] =
     _root_.graft.queries.RelationalQueries.all ++
-      _root_.graft.queries.LlmQueries.all
+      _root_.graft.queries.LlmQueries.all ++
+      _root_.graft.queries.BusinessQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The multi-way star join + aggregation (SURVEY J4/A5). */

@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** The reference's business-question set (BUSINESS_REQUIREMENTS.md:10-46,
+  * SURVEY Appendix A) and the scalar-function families its staging layer
+  * derives (F3/F4/F8/F13/F14/F17/F18, P2/P7), re-expressed over the
+  * driver testdata so the DuckDB oracle can hash-check them. The
+  * walmart-pipeline itself exercises the same code paths over the
+  * reference CSV in ScalaTest (the oracle only mounts testdata tables).
+  */
+object BusinessQueries {
+
+  /** q34 — calendar scalars (F2 date_id, F3 M/d/yyyy parse roundtrip,
+    * F4 day/month names) under a null-drop filter (P2) and an injected
+    * "now" future-date cutoff (P7). n_roundtrip === n proves the
+    * M/d/yyyy parse inverts the format exactly. */
+  private val q34 = Q("q34_calendar_scalars",
+    (s, d) => {
+      val od = col("o_orderdate")
+      Tables.orders(s, d)
+        .filter(od.isNotNull && od <= lit("1997-06-30"))
+        .groupBy(date_format(od, "EEEE").as("day_name"),
+          date_format(od, "MMMM").as("month_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(to_date(date_format(od, "M/d/yyyy"), "M/d/yyyy") === to_date(od), 1)
+            .otherwise(0)).as("n_roundtrip"),
+          min(year(od) * 10000 + month(od) * 100 + dayofmonth(od))
+            .cast("long").as("min_date_id"))
+        .orderBy("day_name", "month_name")
+    },
+    Some("""SELECT dayname(o_orderdate) AS day_name,
+            monthname(o_orderdate) AS month_name,
+            count(*) AS n,
+            sum(CASE WHEN strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y')::DATE
+                       = o_orderdate::DATE THEN 1 ELSE 0 END) AS n_roundtrip,
+            CAST(min(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                 + dayofmonth(o_orderdate)) AS BIGINT) AS min_date_id
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_orderdate <= TIMESTAMP '1997-06-30'
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q35 — the reference's conditional-rule families over testdata:
+    * an order-sensitive isin-chain with a deliberately unreachable
+    * overlap (F13's `southwest` trap shape — 'small' is claimed by the
+    * Core branch before Value can see it), a contains-chain with a
+    * catch-all (F14 — TIN falls through to General), shipping-delay
+    * derivation (F17 datediff + within-30-days), and the stock-status
+    * ladder with its load-bearing branch order (F18 — `< 10` must be
+    * tested before `< 25`). */
+  private val q35 = Q("q35_rule_chains",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      val part = Tables.part(s, d).select("p_partkey", "p_type")
+      val t = lower(col("p_type"))
+      val firstWord = lower(split(col("p_type"), " ").getItem(0))
+      val category = when(firstWord.isin("standard", "small"), "Core")
+        .when(firstWord.isin("economy", "promo", "small"), "Value")
+        .when(firstWord.isin("medium", "large"), "Bulk")
+        .otherwise("Other")
+      val metal = when(t.contains("brass"), "Brass")
+        .when(t.contains("steel"), "Steel")
+        .when(t.contains("copper"), "Copper")
+        .when(t.contains("nickel"), "Nickel")
+        .otherwise("General")
+      val q = col("l_quantity")
+      val status = when(q <= 0, "Out of Stock")
+        .when(q < 10, "Low Stock")
+        .when(q < 25, "Below Minimum")
+        .when(q > 45, "Overstocked")
+        .otherwise("In Stock")
+      val days = datediff(col("l_shipdate"), col("o_orderdate"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(category.as("category"), metal.as("metal"), status.as("stock_status"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(days <= 30, 1).otherwise(0)).as("n_within_30"),
+          round(avg(days), 2).as("avg_days_to_ship"))
+        .orderBy("category", "metal", "stock_status")
+    },
+    Some("""SELECT
+              CASE WHEN lower(split_part(p_type, ' ', 1)) IN ('standard', 'small') THEN 'Core'
+                   WHEN lower(split_part(p_type, ' ', 1)) IN ('economy', 'promo', 'small') THEN 'Value'
+                   WHEN lower(split_part(p_type, ' ', 1)) IN ('medium', 'large') THEN 'Bulk'
+                   ELSE 'Other' END AS category,
+              CASE WHEN lower(p_type) LIKE '%brass%' THEN 'Brass'
+                   WHEN lower(p_type) LIKE '%steel%' THEN 'Steel'
+                   WHEN lower(p_type) LIKE '%copper%' THEN 'Copper'
+                   WHEN lower(p_type) LIKE '%nickel%' THEN 'Nickel'
+                   ELSE 'General' END AS metal,
+              CASE WHEN l_quantity <= 0 THEN 'Out of Stock'
+                   WHEN l_quantity < 10 THEN 'Low Stock'
+                   WHEN l_quantity < 25 THEN 'Below Minimum'
+                   WHEN l_quantity > 45 THEN 'Overstocked'
+                   ELSE 'In Stock' END AS stock_status,
+              count(*) AS n,
+              sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                       THEN 1 ELSE 0 END) AS n_within_30,
+              round(avg(datediff('day', o_orderdate, l_shipdate)), 2) AS avg_days_to_ship
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** q36 — business Q1+Q2: sales & max price by product category and
+    * year (fact ⋈ product-dim ⋈ date attrs; sum/max/count). */
+  private val q36 = Q("q36_sales_by_category_year",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      val part = Tables.part(s, d).select("p_partkey", "p_type")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(split(col("p_type"), " ").getItem(0).as("category"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          round(max("l_extendedprice"), 2).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy("category", "yr")
+    },
+    Some("""SELECT split_part(p_type, ' ', 1) AS category,
+            CAST(year(o_orderdate) AS BIGINT) AS yr,
+            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+            round(max(l_extendedprice), 2) AS max_price,
+            count(*) AS n
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q37 — business Q3/Q4/Q6/Q7: spend and average order value by
+    * customer segment (standardized via F8 initcap(trim)) and order
+    * priority. DuckDB 1.0 has no initcap, so the oracle emulates
+    * per-word capitalization. */
+  private val q37 = Q("q37_segment_priority",
+    (s, d) => {
+      val seg = initcap(trim(lower(col("c_mktsegment"))))
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(seg.as("segment"), col("o_orderpriority"))
+        .agg(round(sum("o_totalprice"), 2).as("total_spend"),
+          round(avg("o_totalprice"), 2).as("avg_order_value"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("segment", "o_orderpriority")
+    },
+    Some("""SELECT
+              array_to_string(list_transform(str_split(trim(lower(c_mktsegment)), ' '),
+                w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS segment,
+              o_orderpriority,
+              round(sum(o_totalprice), 2) AS total_spend,
+              round(avg(o_totalprice), 2) AS avg_order_value,
+              count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q38 — business Q5+Q8: returned amount by product category and
+    * order status (returns fact ⋈ product dim shape). */
+  private val q38 = Q("q38_returns_by_category",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+      val part = Tables.part(s, d).select("p_partkey", "p_type")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(split(col("p_type"), " ").getItem(0).as("category"),
+          col("o_orderstatus"))
+        .agg(round(sum("l_extendedprice"), 2).as("return_amount"),
+          round(sum("l_quantity"), 2).as("qty_returned"),
+          count(lit(1)).as("n_returns"))
+        .orderBy("category", "o_orderstatus")
+    },
+    Some("""SELECT split_part(p_type, ' ', 1) AS category, o_orderstatus,
+            round(sum(l_extendedprice), 2) AS return_amount,
+            round(sum(l_quantity), 2) AS qty_returned,
+            count(*) AS n_returns
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q39 — the four dashboard KPIs (BUSINESS_REQUIREMENTS.md:35-38):
+    * one global aggregate row, map-side combined — the shuffle carries
+    * exactly one row per partition at any scale. */
+  private val q39 = Q("q39_kpis",
+    (s, d) => {
+      Tables.lineitem(s, d).agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_net_revenue"),
+        round(sum("l_extendedprice"), 2).as("total_sales"),
+        round(avg("l_extendedprice"), 2).as("avg_unit_price"),
+        round(sum("l_quantity"), 2).as("total_quantity"))
+    },
+    Some("""SELECT
+            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_net_revenue,
+            round(sum(l_extendedprice), 2) AS total_sales,
+            round(avg(l_extendedprice), 2) AS avg_unit_price,
+            round(sum(l_quantity), 2) AS total_quantity
+            FROM lineitem"""))
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39)
+}
