@@ -25,6 +25,14 @@ object Tables {
     * vanilla scan fails with PARQUET_TYPE_ILLEGAL. Read nanos as long
     * (legacy conf, runtime-settable) and truncate to micros, matching
     * DuckDB's own ns→µs truncation so oracle comparisons agree.
+    *
+    * The conf intentionally stays set on the session rather than being
+    * restored after schema resolution: FileSourceScanExec re-reads the
+    * session conf when building each task's hadoop conf at EXECUTION
+    * time, so a scoped set-restore around this (lazy) read would make
+    * the returned frame fail later, far from the cause. The visible
+    * effect — other nanos-typed parquet columns read as long instead
+    * of erroring — is acceptable for this engine and documented here.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

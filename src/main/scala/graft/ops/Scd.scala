@@ -42,6 +42,16 @@ object Scd {
 
   /** Apply a batch of updates to an SCD2 dimension.
     *
+    * Precondition (matching the reference exactly): every key present
+    * in `dim` has exactly one current row. A key existing only as
+    * expired history would silently drop its update — in the reference
+    * too: the expire step matches `is_current = TRUE` rows only, and
+    * the insert step requires "completely new" (no versions at all) OR
+    * "just expired" (etl_target_loader.py:320-344, 383-389) — so a
+    * history-only key matches neither. This state is unreachable
+    * through [[applyChanges]]/[[initial]] themselves (every expire
+    * writes a successor version in the same batch).
+    *
     * @param dim      current dimension (all versions)
     * @param updates  latest attribute values keyed by `keys` (caller
     *                 dedups to one row per key, e.g. via

@@ -478,16 +478,39 @@ object RelationalQueries {
             FROM result GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** q23 — referential-integrity audit suite (SURVEY J3): orphan counts
-    * for every fact→dim edge, as one small report. */
+    * for every fact→dim edge, as one small report. The three lineitem
+    * edges share ONE scan: left joins mark key presence (dim key sets
+    * broadcast; the orders side shuffles once — it is not a dim), and a
+    * single aggregate folds the three orphan counts, unpivoted back to
+    * report rows. At 100 TB this is the difference between one pass
+    * over the fact table and three. */
   private val q23 = Q("q23_integrity_audit",
     (s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_suppkey")
+      val ordK = Tables.orders(s, d).select("o_orderkey").distinct()
+        .withColumn("__has_o", lit(1))
+      val partK = broadcast(Tables.part(s, d).select("p_partkey").distinct()
+        .withColumn("__has_p", lit(1)))
+      val suppK = broadcast(Tables.supplier(s, d).select("s_suppkey").distinct()
+        .withColumn("__has_s", lit(1)))
+      val liCounts = li
+        .join(ordK, col("l_orderkey") === col("o_orderkey"), "left")
+        .join(partK, col("l_partkey") === col("p_partkey"), "left")
+        .join(suppK, col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(
+          sum(when(col("__has_o").isNull, 1).otherwise(0)).as("lineitem_orders"),
+          sum(when(col("__has_p").isNull, 1).otherwise(0)).as("lineitem_part"),
+          sum(when(col("__has_s").isNull, 1).otherwise(0)).as("lineitem_supplier"))
+        .select(explode(array(
+          struct(lit("lineitem_orders").as("check_name"), col("lineitem_orders").as("orphans")),
+          struct(lit("lineitem_part").as("check_name"), col("lineitem_part").as("orphans")),
+          struct(lit("lineitem_supplier").as("check_name"), col("lineitem_supplier").as("orphans")))))
+        .select("col.*")
       def check(name: String, fact: org.apache.spark.sql.DataFrame,
           dim: org.apache.spark.sql.DataFrame, fk: String, dk: String) =
         Relational.orphanCount(fact, dim, fk, dk)
           .select(lit(name).as("check_name"), col("orphans"))
-      check("lineitem_orders", Tables.lineitem(s, d), Tables.orders(s, d), "l_orderkey", "o_orderkey")
-        .unionByName(check("lineitem_part", Tables.lineitem(s, d), Tables.part(s, d), "l_partkey", "p_partkey"))
-        .unionByName(check("lineitem_supplier", Tables.lineitem(s, d), Tables.supplier(s, d), "l_suppkey", "s_suppkey"))
+      liCounts
         .unionByName(check("orders_customer", Tables.orders(s, d), Tables.customer(s, d), "o_custkey", "c_custkey"))
         .unionByName(check("customer_nation", Tables.customer(s, d), Tables.nation(s, d), "c_nationkey", "n_nationkey"))
         .orderBy("check_name")
