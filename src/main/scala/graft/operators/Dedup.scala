@@ -215,9 +215,7 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Exact-simhash duplicate pairs (hamming distance 0). For hamming
-    * ≤ k, band the signature into k+1 chunks and bucket-join on each —
-    * same LSH shape as minhash, omitted until a consumer needs it. */
+  /** Exact-simhash duplicate pairs (hamming distance 0). */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 48): DataFrame = {
     val sigs = simhash(docs, idCol, textCol, bits)
@@ -226,5 +224,41 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"),
         col("a.simhash").as("simhash"))
+  }
+
+  /** Near-duplicate pairs at hamming distance ≤ `maxHamming`, via
+    * pigeonhole banding: split the `bits`-bit signature into
+    * `maxHamming + 1` chunks — any pair within the distance budget
+    * must agree exactly on at least one chunk, so candidates come from
+    * an equi bucket-join on (band, chunk) with FULL recall (this is a
+    * guarantee, not a probabilistic LSH). Exact hamming
+    * (bit_count(xor)) then verifies each candidate. Signatures ride
+    * along with the candidates, so verification needs no extra join;
+    * the signature frame is persisted across the self-join sides.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    val chunkBits = bits / bands
+    val mask = (1L << chunkBits) - 1
+    val sigs = simhash(docs, idCol, textCol, bits).persist()
+    val chunks = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * chunkBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "chunk")
+    val candidates = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_id_1"), col("a.simhash").as("__s1"),
+        col(s"b.$idCol").as("doc_id_2"), col("b.simhash").as("__s2"))
+      .distinct()
+    candidates
+      .withColumn("hamming",
+        bit_count(col("__s1").bitwiseXOR(col("__s2"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_id_1", "doc_id_2", "hamming")
   }
 }

@@ -306,5 +306,50 @@ object LlmQueries {
             SELECT doc_id_1, doc_id_2, jaccard FROM j
             WHERE jaccard >= 0.5 ORDER BY doc_id_1, doc_id_2"""))
 
-  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33)
+  /** q40 — simhash hamming-LSH near-dup pairs: pigeonhole banding
+    * (4 chunks of 12 bits ⇒ full recall at hamming ≤ 3) + exact
+    * bit_count(xor) verify. Duplicates planted by re-keying every 9th
+    * doc guarantee hamming-0 pairs; organic near-dups may add more.
+    * The oracle replays signature, banding, and verify end to end. */
+  private val q40 = Q("q40_simhash_near_dups",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+      Dedup.simhashNearDupPairs(docs.unionByName(dups), "doc_id", "text",
+          bits = 48, maxHamming = 3)
+        .orderBy("doc_id_1", "doc_id_2")
+    },
+    Some("""WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000, text FROM documents WHERE doc_id % 9 = 0),
+            hv AS (
+              SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv
+              FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM all_docs)),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hv, (SELECT unnest(generate_series(0, 47)) AS j)
+              GROUP BY 1, 2),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+              FROM bits GROUP BY 1),
+            chunks AS (
+              SELECT doc_id, simhash, b,
+                     (simhash >> (b * 12)) & 4095 AS chunk
+              FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_1, a.simhash AS s1,
+                              c.doc_id AS doc_id_2, c.simhash AS s2
+              FROM chunks a JOIN chunks c
+                ON a.b = c.b AND a.chunk = c.chunk AND a.doc_id < c.doc_id)
+            SELECT doc_id_1, doc_id_2,
+                   CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+            ORDER BY doc_id_1, doc_id_2"""))
+
+  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40)
 }

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events stream (SURVEY §2.9:
+  * the reference is batch-only; this is the engine's declared streaming
+  * extension, exercising the standard Spark streaming surface —
+  * watermarks, event-time windows, stateful sessionization).
+  *
+  * Every transform is written against an unbounded DataFrame, so the
+  * SAME code runs in three modes:
+  *  - true streaming (`readStream` + a continuous trigger),
+  *  - incremental batch (`Trigger.AvailableNow` — process everything
+  *    available, then stop; the cloud-ETL "catch-up" mode),
+  *  - plain batch (apply to a static frame) — which is how the tests
+  *    prove streaming/batch equivalence.
+  *
+  * Scale notes: windowed aggregation state is keyed by (window, key) —
+  * uniform shuffle; the watermark bounds state size (late data beyond
+  * it is dropped); sessionization state is per user_id with an
+  * inactivity timeout so the state store cannot grow without bound.
+  */
+object EventStream {
+
+  /** Event schema matching the driver testdata (ts arrives as long
+    * nanos through [[graft.Tables.events]]' µs truncation in batch; a
+    * real deployment would read typed timestamps directly). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded source over a directory of parquet event files. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling event-time window per event type: 1-hour buckets of
+    * count / sum / max, tolerating 10 minutes of event-time disorder. */
+  def tumblingCounts(events: DataFrame): DataFrame = events
+    .withWatermark("ts", "10 minutes")
+    .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+    .agg(count(lit(1)).as("n"),
+      round(sum("value"), 2).as("total_value"),
+      round(max("value"), 2).as("max_value"))
+    .select(col("w.start").as("window_start"), col("event_type"),
+      col("n"), col("total_value"), col("max_value"))
+
+  /** Sliding window (1 hour every 15 minutes) per-user activity rate —
+    * each event lands in 4 overlapping windows. */
+  def slidingUserActivity(events: DataFrame): DataFrame = events
+    .withWatermark("ts", "10 minutes")
+    .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("user_id"))
+    .agg(count(lit(1)).as("n_events"))
+    .select(col("w.start").as("window_start"), col("user_id"), col("n_events"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Stateful sessionization: events of a user belong to one session
+    * until a gap larger than `gapMinutes` appears. Implemented with
+    * flatMapGroupsWithState + event-time timeout — the standard Spark
+    * pattern for custom streaming state (KeyValueGroupedDataset). The
+    * timeout emits a session once the watermark passes its gap horizon,
+    * so state is bounded by the number of concurrently active users. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    def flush(userId: Long, s: SessionState): Session =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            // fold sorted events into sessions, emitting closed ones
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += flush(userId, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
+  }
+
+  /** Run any streaming transform over everything currently in `dir`,
+    * then stop — Trigger.AvailableNow. Results land in an in-memory
+    * table named `sink`. Complete mode suits the windowed aggregates
+    * (they re-emit full state; append would withhold windows the
+    * watermark has not closed). */
+  def runAvailableNow(spark: SparkSession, dir: String, sink: String,
+      transform: DataFrame => DataFrame,
+      mode: OutputMode = OutputMode.Complete()): Unit = {
+    val q = transform(readStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -96,6 +96,34 @@ class OperatorSpec extends SparkSpec {
     assert(m === "b") // b and c tie at 2; value asc picks b
   }
 
+  test("simhashNearDupPairs: full recall at hamming<=k via pigeonhole bands") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical → hamming 0
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .simhashNearDupPairs(docs, "doc_id", "text", bits = 48, maxHamming = 3)
+      .select("doc_id_1", "doc_id_2", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+  }
+
+  test("kMeans centroids separate two planted clusters") {
+    import graft.operators.Similarity
+    val vecs = ((0 until 20).map(i => (i.toLong, Array(1.0 + i * 0.001, 0.0))) ++
+      (20 until 40).map(i => (i.toLong, Array(0.0, 1.0 + i * 0.001))))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.kMeans(vecs, k = 2, iters = 3)
+    assert(centroids.count() === 2)
+    val assigned = Similarity.assignCells(vecs, centroids, "vid", "ve", "cell", 1)
+    // each planted cluster maps to exactly one cell
+    val cellsPerCluster = assigned
+      .withColumn("cluster", when(col("vid") < 20, 0).otherwise(1))
+      .groupBy("cluster").agg(countDistinct("cell").as("n_cells"))
+      .select("n_cells").as[Long].collect()
+    assert(cellsPerCluster.toSeq === Seq(1L, 1L))
+  }
+
   test("langId picks the max-scoring language, und when no signal") {
     val df = Seq("the cat and the dog of the house", "xyzzy plugh")
       .toDF("text")

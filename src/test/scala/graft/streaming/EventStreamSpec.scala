@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming/batch equivalence (SURVEY §2.9): the same declarative
+  * transform must produce identical results run as a Structured
+  * Streaming query (Trigger.AvailableNow over a file source) and as a
+  * plain batch query over the same files. Sessionization is asserted
+  * against a hand-computed session list on crafted events.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** The testdata events table carries nanos timestamps; stage a
+    * µs-typed copy that both the stream source and batch read share. */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_events_").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("tumbling window counts: streaming == batch") {
+    EventStream.runAvailableNow(spark, eventsDir, "tumbling_sink",
+      EventStream.tumblingCounts)
+    val streamed = spark.table("tumbling_sink")
+    val batch = EventStream.tumblingCounts(spark.read.parquet(eventsDir))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("sliding window activity: streaming == batch, 4x overlap") {
+    EventStream.runAvailableNow(spark, eventsDir, "sliding_sink",
+      EventStream.slidingUserActivity)
+    val streamed = spark.table("sliding_sink")
+    val batch = EventStream.slidingUserActivity(spark.read.parquet(eventsDir))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // every event lands in exactly 4 overlapping 1h/15min windows
+    val nEvents = spark.read.parquet(eventsDir).count()
+    val totalWindowed = streamed.agg(sum("n_events")).first().getLong(0)
+    assert(totalWindowed === nEvents * 4)
+  }
+
+  test("sessionization emits gap-closed sessions with correct bounds") {
+    def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000)
+    // user 1: two sessions (gap 45min > 30min), then a far-future event
+    // that closes the second; user 2: one session closed the same way
+    val events = Seq(
+      EventStream.Event(1, ts(0), 1L, "click", 1.0),
+      EventStream.Event(2, ts(10), 1L, "view", 2.0),
+      EventStream.Event(3, ts(55), 1L, "click", 4.0),   // 45min gap → new session
+      EventStream.Event(4, ts(60), 1L, "buy", 8.0),
+      EventStream.Event(5, ts(6000), 1L, "flush", 0.0), // closes session 2
+      EventStream.Event(6, ts(5), 2L, "view", 3.0),
+      EventStream.Event(7, ts(6000), 2L, "flush", 0.0))
+    val dir = Files.createTempDirectory("graft_sess_").toString
+    events.toDS().write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.sessionize(
+      spark.readStream.schema(EventStream.schema).parquet(dir)
+        .as[EventStream.Event], gapMinutes = 30)
+      .writeStream.format("memory").queryName("session_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val sessions = spark.table("session_sink")
+      .orderBy("user_id", "session_start")
+      .as[EventStream.Session].collect()
+    assert(sessions.length === 3)
+    val Array(s1a, s1b, s2) = sessions
+    assert(s1a.user_id === 1 && s1a.n_events === 2 && s1a.total_value === 3.0)
+    assert(s1a.session_start === ts(0) && s1a.session_end === ts(10))
+    assert(s1b.n_events === 2 && s1b.total_value === 12.0)
+    assert(s1b.session_start === ts(55) && s1b.session_end === ts(60))
+    assert(s2.user_id === 2 && s2.n_events === 1 && s2.total_value === 3.0)
+  }
+}
