@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // uncounted warmup: absorb session init, parquet footer reads and
+    // first-stage codegen/JIT so the first measured query isn't charged
+    // for one-time JVM costs (standard benching practice; each query
+    // still pays its own plan+codegen inside its measurement)
+    try SparkEntry.queries.get("q01_pricing_summary")
+      .foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => () }
     // a failed query must NOT fold its elapsed time into the total (a
     // broken query would silently "improve" the line) — record it in
     // an explicit errors list instead
