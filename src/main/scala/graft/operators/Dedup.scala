@@ -138,8 +138,12 @@ object Dedup {
     spread(docs, idCol)
       .select(col(idCol),
         transform(wordShingles(col(textCol), shingleSize), s => md5Long(s)).as("sh"))
-      .where(size(col("sh")) > 0)
+      // persist BEFORE the emptiness filter: a filter on a computed
+      // column is pushed into the projection and evaluates the whole
+      // (interpreted) shingling chain a second time per row; filtering
+      // the cached frame costs one size() probe instead
       .persist()
+      .where(size(col("sh")) > 0)
 
   /** Exact Jaccard over candidate pairs: join the hashed shingle
     * arrays back and compare via array_intersect. The doc-side arrays

@@ -124,6 +124,39 @@ class OperatorSpec extends SparkSpec {
     assert(cellsPerCluster.toSeq === Seq(1L, 1L))
   }
 
+  test("staging store: F13 branch order — southwest is West Coast, never South") {
+    val ods = Seq(("S1", "X Store", "c", "s", "z", "Southwest"),
+      ("S2", "Y Store", "c", "s", "z", "South"))
+      .toDF("store_id", "store_name", "city", "state", "zip_code", "region")
+      .withColumn("location", lit(null).cast("string"))
+    val out = graft.etl.StagingLayer.store(ods, graft.etl.RunContext("2026-08-12"))
+      .select("region", "market").as[(String, String)].collect().toMap
+    assert(out("Southwest") === "West Coast") // claimed before South can see it
+    assert(out("South") === "South")
+  }
+
+  test("staging inventory: F18 ladder order — Low Stock tested before Below Minimum") {
+    // stock=8 < reorder=9 AND < min=20: must be Low Stock, not Below Minimum
+    val date = graft.etl.StagingLayer.date(
+      Seq((20260801, java.sql.Date.valueOf("2026-08-01"), "Saturday", 1, 8,
+        "August", 3, 2026, false)).toDF("date_id", "full_date", "day_of_week",
+        "day_of_month", "month", "month_name", "quarter", "year", "is_holiday"),
+      graft.etl.RunContext("2026-08-12"))
+    val prod = Seq((1, "P1")).toDF("product_key", "product_id")
+    val store = Seq((1, "S1")).toDF("store_key", "store_id")
+    val inv = Seq(
+      ("I1", "P1", "S1", java.sql.Date.valueOf("2026-08-01"), 8, 20, 45, 9),
+      ("I2", "P1", "S1", java.sql.Date.valueOf("2026-08-01"), 8, 20, 45, 5))
+      .toDF("inventory_id", "product_id", "store_id", "inventory_date",
+        "stock_level", "min_stock_level", "max_stock_level", "reorder_point")
+      .withColumn("last_restock_date", col("inventory_date"))
+    val out = graft.etl.StagingLayer.inventory(inv, date, prod, store,
+      graft.etl.RunContext("2026-08-12"))
+      .select("inventory_id", "stock_status").as[(String, String)].collect().toMap
+    assert(out("I1") === "Low Stock")      // 8 < reorder 9 wins first
+    assert(out("I2") === "Below Minimum")  // 8 >= reorder 5, then 8 < min 20
+  }
+
   test("langId picks the max-scoring language, und when no signal") {
     val df = Seq("the cat and the dog of the house", "xyzzy plugh")
       .toDF("text")
