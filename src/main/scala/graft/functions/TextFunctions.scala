@@ -70,14 +70,17 @@ object TextFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles of a document, as an array column.
-    * transform over a 0..len-n index range; stays codegen'd. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Positional word n-gram shingles (duplicates kept, document
+    * order preserved — winnowing needs the sequence). */
+  def posWordShingles(text: Column, n: Int): Column = {
     val ws = tokens(text)
-    array_distinct(
-      when(size(ws) >= n,
-        transform(sequence(lit(0), size(ws) - n),
-          i => array_join(slice(ws, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>")))
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-gram shingles of a document, as an array column. */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(posWordShingles(text, n))
 }

@@ -198,6 +198,36 @@ object Dedup {
     verifyJaccard(candidates, shingled, idCol, threshold)
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS scheme): hash every positional k-shingle,
+    * slide a window of `w` consecutive hashes, keep each window's
+    * minimum; the distinct minima are the document's fingerprint set.
+    * Guarantees: any shared substring of length ≥ k + w − 1 words
+    * produces at least one shared fingerprint, and the set is ~1/w the
+    * shingle count — the sublinear sketch for plagiarism/overlap
+    * detection at corpus scale.
+    *
+    * Execution: one explode (position, hash) pass — the hash is one
+    * md5 per shingle — then a sliding row-frame min (the per-doc
+    * window shuffles on the doc id only) and a distinct. Returns
+    * (idCol, fp). */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val hs = spread(docs, idCol)
+      .select(col(idCol),
+        transform(posWordShingles(col(textCol), k), s => md5Long(s)).as("hs"))
+      .select(col(idCol), size(col("hs")).as("len"), posexplode(col("hs")))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "h")
+    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hs.withColumn("fp", min(col("h")).over(win))
+      .where(col("p") <= col("len") - w) // only full windows
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
   /** SimHash signature: `bits`-bit fingerprint where bit j is the
     * majority vote of token-hash bit j across all tokens (with
     * multiplicity). Implemented as `bits` conditional aggregates in a

@@ -351,5 +351,38 @@ object LlmQueries {
             FROM cand WHERE bit_count(xor(s1, s2)) <= 3
             ORDER BY doc_id_1, doc_id_2"""))
 
-  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40)
+  /** q41 — winnowing fingerprints (k=3, w=4) rolled up per document:
+    * fingerprint count, min, and a bounded checksum (sum of mod-1e6
+    * residues — a sum of raw 60-bit values would overflow BIGINT on
+    * both engines). The oracle replays shingle-hash → window-min →
+    * distinct exactly. */
+  private val q41 = Q("q41_winnowing",
+    (s, d) => {
+      Dedup.winnowingFingerprints(
+          Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text",
+          k = 3, w = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"),
+          min("fp").as("min_fp"),
+          sum(pmod(col("fp"), lit(1000003L))).as("fp_checksum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ws AS (
+              SELECT doc_id, str_split(text, ' ') AS ws
+              FROM documents WHERE doc_id < 200),
+            hs AS (
+              SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+                     i -> CAST(('0x' || substr(md5(array_to_string(
+                            list_slice(ws, i, i + 2), ' ')), 1, 15)) AS BIGINT)) AS hs
+              FROM ws WHERE len(ws) >= 3),
+            fps AS (
+              SELECT DISTINCT doc_id,
+                     list_aggregate(list_slice(hs, p, p + 3), 'min') AS fp
+              FROM hs, LATERAL (SELECT unnest(generate_series(1, len(hs) - 3)) AS p))
+            SELECT doc_id, count(*) AS n_fps,
+                   min(fp) AS min_fp,
+                   CAST(sum(fp % 1000003) AS BIGINT) AS fp_checksum
+            FROM fps GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41)
 }
