@@ -42,6 +42,20 @@ final class Warehouse(spark: SparkSession, baseDir: String) {
     * the old state. The df may read from the table being replaced. */
   def write(table: String, df: DataFrame): Unit = writeAll(Seq(table -> df))
 
+  /** Hive-style partitioned overwrite-swap: at scale, fact tables are
+    * written `partitionBy(dateCol)` so date-ranged queries prune whole
+    * directories at planning time (SURVEY §7.4: partition facts by the
+    * date key). Same two-phase swap discipline as [[write]]. */
+  def writePartitioned(table: String, df: DataFrame, partitionCols: Seq[String]): Unit = {
+    val tmp = new Path(baseDir, table + ".__tmp")
+    fs.delete(tmp, true)
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
+    fs.delete(path(table), true)
+    if (!fs.rename(tmp, path(table)))
+      throw new IllegalStateException(s"warehouse swap failed for $table")
+    spark.catalog.refreshByPath(path(table).toString)
+  }
+
   /** Two-phase group commit: materialize EVERY frame to its tmp dir
     * while all prior table states are still on disk, then swap them
     * in. Required whenever later frames in the group lazily read

@@ -34,6 +34,11 @@ object VectorFunctions {
     ColumnBridge.column(CosineSimExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Euclidean distance, native fused loop ([[L2DistExpr]]). */
+  def l2(a: Column, b: Column): Column =
+    ColumnBridge.column(L2DistExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** L2 distance (squared), same fold discipline. */
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)

@@ -32,6 +32,19 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Exact top-k by euclidean distance (ascending) — the L2 twin of
+    * [[bruteForceTopK]], same broadcast-Q / streaming-corpus shape. */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe")))
+    val c = corpus.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
+    val scored = c.join(q, col("qid") =!= col("nid"))
+      .withColumn("dist", l2(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("dist"), 6).as("distance"))
+  }
+
   /** Deterministic centroid sample: every `step`-th vector by id.
     * The trivial-but-reproducible builder (an oracle can mirror it);
     * [[kMeans]] below is the quality path when reproducibility in SQL

@@ -61,6 +61,29 @@ object Relational {
     target.join(srcKeys, keys, "left_anti").unionByName(source)
   }
 
+  /** Skew-mitigating equi join. A hot key concentrates all its rows in
+    * one shuffle partition and serializes the join; salting scatters
+    * the large side's rows across `salts` buckets (deterministic
+    * per-row hash of the full row, so re-runs are stable) and
+    * replicates the small side once per bucket — the hot key's work
+    * then spreads over `salts` tasks at the cost of a `salts`× blowup
+    * of the SMALL side only. Use when a broadcast join doesn't fit and
+    * AQE's skew splitting isn't available (e.g. non-shuffle-join
+    * strategies or pre-AQE pipelines); semantics identical to
+    * `large.join(small, keys, joinType)` for the supported types.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(joinType == "inner" || joinType == "left",
+      "salted join supports inner and left (right/outer would duplicate unmatched small-side rows)")
+    val salted = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col): _*), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Referential-integrity orphan count: rows of `fact` with no match in
     * `dim` (reference: the 8 LEFT JOIN ... IS NULL audits,
     * etl_ods_loader.py:905-982). Anti-join keeps only the probe-side

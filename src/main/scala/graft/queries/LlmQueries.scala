@@ -384,5 +384,24 @@ object LlmQueries {
                    CAST(sum(fp % 1000003) AS BIGINT) AS fp_checksum
             FROM fps GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41)
+  /** q42 — exact euclidean top-k (ascending): the L2 twin of q29,
+    * scored by the native fused-loop expression, verified against
+    * DuckDB's list_distance value-for-value. */
+  private val q42 = Q("q42_topk_l2",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopKL2(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("qid", "rank")
+    },
+    Some("""SELECT qid, rank, nid, round(dist, 6) AS distance FROM (
+              SELECT qid, nid, dist,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rank
+              FROM (SELECT q.vec_id AS qid, n.vec_id AS nid,
+                           list_distance(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(n.embedding AS DOUBLE[])) AS dist
+                    FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+                    WHERE q.vec_id < 10))
+            WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41, q42)
 }

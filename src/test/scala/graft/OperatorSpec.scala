@@ -157,6 +157,31 @@ class OperatorSpec extends SparkSpec {
     assert(out("I2") === "Below Minimum")  // 8 >= reorder 5, then 8 < min 20
   }
 
+  test("saltedJoin matches the plain join on skewed data, inner and left") {
+    // 90% of rows share one hot key
+    val large = (1 to 200).map(i => (if (i <= 180) 1 else i, s"v$i")).toDF("k", "v")
+    val small = Seq((1, "one"), (190, "one-ninety"), (999, "unmatched")).toDF("k", "w")
+    for (jt <- Seq("inner", "left")) {
+      val plain = large.join(small, Seq("k"), jt)
+      val salted = Relational.saltedJoin(large, small, Seq("k"), salts = 8, joinType = jt)
+      assert(salted.count() === plain.count(), jt)
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty, jt)
+    }
+  }
+
+  test("partitioned warehouse writes prune at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val wh = new graft.etl.Warehouse(spark, dir)
+    val facts = (1 to 1000).map(i => (i.toLong, 20260801 + i % 10, i * 1.5))
+      .toDF("id", "date_key", "amount")
+    wh.writePartitioned("fact_sales", facts, Seq("date_key"))
+    val filtered = wh.read("fact_sales").where(col("date_key") === 20260803)
+    assert(filtered.count() === 100)
+    // the date predicate must be a partition filter on the scan, not a data filter
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("date_key"), plan.take(500))
+  }
+
   test("langId picks the max-scoring language, und when no signal") {
     val df = Seq("the cat and the dog of the house", "xyzzy plugh")
       .toDF("text")
