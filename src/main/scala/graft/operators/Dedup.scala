@@ -136,14 +136,16 @@ object Dedup {
   private def hashedShingled(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     spread(docs, idCol)
-      .select(col(idCol),
-        transform(wordShingles(col(textCol), shingleSize), s => md5Long(s)).as("sh"))
-      // persist BEFORE the emptiness filter: a filter on a computed
-      // column is pushed into the projection and evaluates the whole
-      // (interpreted) shingling chain a second time per row; filtering
-      // the cached frame costs one size() probe instead
+      // explode the (string) shingles first so the md5 runs as a plain
+      // codegen'd projection — inside a higher-order transform it would
+      // evaluate interpreted, one digest per lambda dispatch, and a
+      // filter on the computed array would evaluate the chain twice.
+      // The rebuild groupBy introduces no shuffle: spread() already
+      // partitioned by the doc id. Shingle-less docs drop at explode.
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("s"))
+      .select(col(idCol), md5Long(col("s")).as("h"))
+      .groupBy(col(idCol)).agg(collect_list(col("h")).as("sh"))
       .persist()
-      .where(size(col("sh")) > 0)
 
   /** Exact Jaccard over candidate pairs: join the hashed shingle
     * arrays back and compare via array_intersect. The doc-side arrays
