@@ -403,5 +403,29 @@ object LlmQueries {
                     WHERE q.vec_id < 10))
             WHERE rank <= 5 ORDER BY qid, rank"""))
 
-  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41, q42)
+  /** q43 — tumbling event-time windows over the events stream shape
+    * (batch run of [[graft.streaming.EventStream.tumblingCounts]]'s
+    * aggregation; the streaming execution of the same code is proven
+    * equivalent in EventStreamSpec). Declared here so the windowed-agg
+    * operator itself sits under the driver's oracle gate. */
+  private val q43 = Q("q43_event_windows",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("total_value"),
+          round(max("value"), 2).as("max_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total_value"), col("max_value"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+            event_type, count(*) AS n,
+            round(sum(value), 2) AS total_value,
+            round(max(value), 2) AS max_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
+    q42, q43)
 }

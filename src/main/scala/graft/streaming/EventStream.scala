@@ -61,6 +61,20 @@ object EventStream {
     .agg(count(lit(1)).as("n_events"))
     .select(col("w.start").as("window_start"), col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: drop replays of the same event id, with
+    * the watermark bounding the id-set state — the streaming face of
+    * [[graft.operators.Dedup.exactByKey]] (at-least-once sources make
+    * this the first operator of every real event pipeline). */
+  def dedupEvents(events: DataFrame): DataFrame = events
+    .withWatermark("ts", "10 minutes")
+    .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: join each event to a static dimension
+    * (broadcast per micro-batch; the streaming analog of the pipeline's
+    * J2 lookup joins). */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)

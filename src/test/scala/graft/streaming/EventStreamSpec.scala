@@ -47,6 +47,30 @@ class EventStreamSpec extends SparkSpec {
     assert(totalWindowed === nEvents * 4)
   }
 
+  test("streaming dedup drops replayed event ids; enrichment joins a static dim") {
+    // duplicate every 5th event id, as an at-least-once source would
+    val base = spark.read.parquet(eventsDir)
+    val dupDir = Files.createTempDirectory("graft_dup_").toString
+    base.unionByName(base.where(col("event_id") % 5 === 0))
+      .write.mode("overwrite").parquet(dupDir)
+
+    val userDim = spark.range(0, 100)
+      .select(col("id").as("user_id"),
+        concat(lit("tier_"), (col("id") % 3).cast("string")).as("tier"))
+    // plain count: the upstream dedup guarantees distinct event ids
+    // (streaming forbids distinct aggregation anyway)
+    EventStream.runAvailableNow(spark, dupDir, "dedup_sink",
+      df => EventStream.enrich(EventStream.dedupEvents(df), userDim, "user_id")
+        .groupBy("tier").agg(count(lit(1)).as("n")),
+      mode = OutputMode.Complete())
+    val streamed = spark.table("dedup_sink")
+    val expected = EventStream.enrich(base, userDim, "user_id")
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+    // dedup must restore the original distinct-event count
+    assert(streamed.agg(sum("n")).first().getLong(0) === base.count())
+  }
+
   test("sessionization emits gap-closed sessions with correct bounds") {
     def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000)
     // user 1: two sessions (gap 45min > 30min), then a far-future event
