@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's business-question set (BUSINESS_REQUIREMENTS.md:10-46,
@@ -201,5 +202,86 @@ object BusinessQueries {
             round(sum(l_quantity), 2) AS total_quantity
             FROM lineitem"""))
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39)
+  /** q44 — ROLLUP hierarchy totals (beyond-reference OLAP surface:
+    * SURVEY §2.4 notes the reference has no grouping sets). Spark
+    * plans rollup as one Expand + single aggregation — no extra scans
+    * per grouping level. Null grouping levels are labelled so the
+    * hash compare is unambiguous. */
+  private val q44 = Q("q44_rollup_totals",
+    (s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("total"), col("n"))
+        .orderBy("status", "priority")
+    },
+    Some("""SELECT coalesce(o_orderstatus, '<all>') AS status,
+            coalesce(o_orderpriority, '<all>') AS priority,
+            round(sum(o_totalprice), 2) AS total, count(*) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY 1, 2"""))
+
+  /** q45 — set operations (INTERSECT / EXCEPT — SURVEY §2.7 notes the
+    * reference only ever unions): customers ordering in both 1995 and
+    * 1996, and in 1995 only. Both plan as left-semi/anti joins after
+    * de-dup — no sort-based set machinery needed. */
+  private val q45 = Q("q45_set_ops",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def buyers(yr: Int) = o.where(year(col("o_orderdate")) === yr)
+        .select("o_custkey").distinct()
+      val both = buyers(1995).intersect(buyers(1996))
+        .agg(count(lit(1)).as("n")).select(lit("both_years").as("set_name"), col("n"))
+      val only95 = buyers(1995).except(buyers(1996))
+        .agg(count(lit(1)).as("n")).select(lit("only_1995").as("set_name"), col("n"))
+      both.unionByName(only95).orderBy("set_name")
+    },
+    Some("""WITH b95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+                 b96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+            SELECT 'both_years' AS set_name,
+                   (SELECT count(*) FROM (SELECT * FROM b95 INTERSECT SELECT * FROM b96)) AS n
+            UNION ALL
+            SELECT 'only_1995',
+                   (SELECT count(*) FROM (SELECT * FROM b95 EXCEPT SELECT * FROM b96))
+            ORDER BY 1"""))
+
+  /** q46 — analytic windows beyond row_number (SURVEY §2.5 notes the
+    * reference never uses lag/lead or running frames): per-customer
+    * order timeline with days since the previous order, a running
+    * spend total, and the spend delta to the next order. One shuffle
+    * on the customer key serves all three window functions (same
+    * partition + order spec). */
+  private val q46 = Q("q46_order_timeline",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .as("days_since_prev"),
+          round(sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_spend"),
+          round(lead(col("o_totalprice"), 1).over(w) - col("o_totalprice"), 2)
+            .as("next_delta"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+            datediff('day',
+              lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS days_since_prev,
+            round(sum(o_totalprice) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+            round(lead(o_totalprice) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              - o_totalprice, 2) AS next_delta
+            FROM orders WHERE o_custkey < 200
+            ORDER BY o_custkey, o_orderkey"""))
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46)
 }
