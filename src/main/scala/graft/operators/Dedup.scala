@@ -44,10 +44,11 @@ object Dedup {
 
   /** (A * h) mod 2^60 via 30-bit limbs: every intermediate stays under
     * 2^61, so the arithmetic is exact in plain 64-bit signed longs on
-    * both Spark (ANSI-safe, no overflow) and the oracle's BIGINT. */
-  private def mix(h: Column, a0: Long, a1: Long): Column = {
-    val h0 = h.bitwiseAND(lit(M30))
-    val h1 = shiftright(h, 30)
+    * both Spark (ANSI-safe, no overflow) and the oracle's BIGINT.
+    * Takes the limbs pre-split so the 64 aggregate expressions share
+    * one split instead of re-deriving it 64× (smaller generated code,
+    * faster janino compile). */
+  private def mix(h0: Column, h1: Column, a0: Long, a1: Long): Column = {
     val cross = (lit(a0) * h1 + lit(a1) * h0).bitwiseAND(lit(M30))
     (lit(a0) * h0 + shiftleft(cross, 30)).bitwiseAND(lit(M60))
   }
@@ -91,8 +92,10 @@ object Dedup {
     val shingled = hashedShingled(docs, idCol, textCol, shingleSize)
 
     val hashes = shingled.select(col(idCol), explode(col("sh")).as("h"))
+      .select(col(idCol), col("h").bitwiseAND(lit(M30)).as("h0"),
+        shiftright(col("h"), 30).as("h1"))
     val minAggs = minhashConstants(numHashes).zipWithIndex.map {
-      case ((a0, a1), i) => min(mix(col("h"), a0, a1)).as(s"m$i")
+      case ((a0, a1), i) => min(mix(col("h0"), col("h1"), a0, a1)).as(s"m$i")
     }
     // persisted: both sides of the bucket self-join consume it, and a
     // broadcast build side would otherwise recompute the whole
