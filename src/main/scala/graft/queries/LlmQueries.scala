@@ -426,6 +426,39 @@ object LlmQueries {
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q47 — session windows (gap-based) over the events stream shape:
+    * Spark's session_window merges an event iff it lands strictly
+    * before the previous event's ts + gap, so the oracle's gap-island
+    * detection starts a new session on diff >= gap (a >-comparison
+    * would disagree on exact-boundary gaps). Same code shape as the
+    * streaming sessionizer, here under the batch oracle gate. */
+  private val q47 = Q("q47_session_windows",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("user_id"), col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM e)
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43)
+    q42, q43, q47)
 }

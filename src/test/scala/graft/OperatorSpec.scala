@@ -182,6 +182,23 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("date_key"), plan.take(500))
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    import graft.ops.Bucketing
+    val facts = (1 to 1000).map(i => (i.toLong % 97, s"f$i")).toDF("k", "fv")
+    val other = (1 to 500).map(i => (i.toLong % 97, i * 2.0)).toDF("k", "ov")
+    Bucketing.saveBucketed(facts, "bkt_facts", "k", 4)
+    Bucketing.saveBucketed(other, "bkt_other", "k", 4)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = Bucketing.bucketedJoin(spark, "bkt_facts", "bkt_other", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      // correctness: counts match the plain dataframe join
+      assert(joined.count() === facts.join(other, Seq("k")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("langId picks the max-scoring language, und when no signal") {
     val df = Seq("the cat and the dog of the house", "xyzzy plugh")
       .toDF("text")
