@@ -75,6 +75,28 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: match each `clicks` event to `views`
+    * events of the same user that happened up to `windowMinutes`
+    * earlier (the attribution-join shape). Both sides carry
+    * watermarks and the join condition time-bounds both event times,
+    * so each side's buffered state is evictable — the requirement for
+    * an unbounded stream-stream join to hold bounded state. */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      windowMinutes: Int): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value"))
+    c.join(v,
+      col("c_user_id") === col("user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"), col("value"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)

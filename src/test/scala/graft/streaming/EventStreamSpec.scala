@@ -71,6 +71,30 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.agg(sum("n")).first().getLong(0) === base.count())
   }
 
+  test("stream-stream attribution join == batch interval join") {
+    val base = spark.read.parquet(eventsDir)
+    val viewsDir = Files.createTempDirectory("graft_views_").toString
+    val clicksDir = Files.createTempDirectory("graft_clicks_").toString
+    base.where(col("event_type") === "view").write.mode("overwrite").parquet(viewsDir)
+    base.where(col("event_type") === "click").write.mode("overwrite").parquet(clicksDir)
+
+    val q = EventStream.attributionJoin(
+        EventStream.readStream(spark, viewsDir),
+        EventStream.readStream(spark, clicksDir), windowMinutes = 30)
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("attr_sink")
+
+    val batch = EventStream.attributionJoin(
+      spark.read.parquet(viewsDir), spark.read.parquet(clicksDir),
+      windowMinutes = 30)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sessionization emits gap-closed sessions with correct bounds") {
     def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000)
     // user 1: two sessions (gap 45min > 30min), then a far-future event
