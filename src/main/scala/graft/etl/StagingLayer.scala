@@ -1,8 +1,8 @@
 package graft.etl
 
 import graft.etl.Ids._
+import graft.ops.SurrogateKeys
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ODS → Staging: cleansing, derived columns, integer surrogate keys
@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * key-fetch queries (S10) disappear because surrogate keys are
   * generated in-frame.
   *
-  * Surrogate keys are `row_number()` over a pinned natural ordering —
-  * dense, deterministic, re-run-reproducible (the reference's DB
-  * autoincrement values depend on insert order; SURVEY §1.1 declares
-  * this divergence and notes downstream joins re-resolve by natural
-  * key, so the values never need to match).
+  * Surrogate keys are dense longs over a pinned natural ordering
+  * ([[graft.ops.SurrogateKeys.dense]] — range-repartitioned, never a
+  * single-partition window), deterministic and re-run-reproducible
+  * (the reference's DB autoincrement values depend on insert order;
+  * SURVEY §1.1 declares this divergence and notes downstream joins
+  * re-resolve by natural key, so the values never need to match).
   *
   * Fact loaders resolve dimension keys by joining the dimension frame
   * (J2's broadcast-map analog) and drop rows whose required keys are
@@ -36,7 +37,7 @@ object StagingLayer {
   }
 
   private def surrogate(name: String, order: Seq[Column])(df: DataFrame): DataFrame =
-    df.withColumn(name, row_number().over(Window.orderBy(order: _*)))
+    SurrogateKeys.dense(name, order)(df)
 
   private def audit(ctx: RunContext)(df: DataFrame): DataFrame = df
     .withColumn("etl_batch_id", lit(ctx.batchId))

@@ -1,8 +1,7 @@
 package graft.etl
 
-import graft.ops.{Relational, Scd}
+import graft.ops.{Relational, Scd, SurrogateKeys}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Staging → Target star schema (reference: etl_target_loader.py).
@@ -26,9 +25,10 @@ import org.apache.spark.sql.functions._
   * target surrogate, with the SCD2 legs as point-in-time range joins
   * (J5). Plain Spark joins; dimensions broadcast under AQE.
   *
-  * Surrogate keys here are per-run row_numbers over natural ordering;
-  * facts are rebuilt per batch, so keys never need to survive a run
-  * (declared divergence from warehouse autoincrement — SURVEY §1.1).
+  * Surrogate keys here are per-run dense longs over natural ordering
+  * ([[graft.ops.SurrogateKeys.dense]]); facts are rebuilt per batch,
+  * so keys never need to survive a run (declared divergence from
+  * warehouse autoincrement — SURVEY §1.1).
   */
 object TargetLayer {
 
@@ -68,8 +68,7 @@ object TargetLayer {
       case Some(p) => Relational.mergeType1(p.drop(surrogate), src, Seq(key))
       case None => src
     }
-    merged.withColumn(surrogate,
-      row_number().over(Window.orderBy(col(key).asc)))
+    SurrogateKeys.dense(surrogate, Seq(col(key).asc))(merged)
   }
 
   /** SCD2: latest-per-key snapshot of staging, then expire+version
@@ -88,8 +87,7 @@ object TargetLayer {
   /** Attach a per-run surrogate key to an SCD2 dimension for fact
     * joins (stable within the run; facts are rebuilt per batch). */
   private def withScdKey(dim: DataFrame, key: String, surrogate: String): DataFrame =
-    dim.withColumn(surrogate,
-      row_number().over(Window.orderBy(col(key).asc, col("version").asc)))
+    SurrogateKeys.dense(surrogate, Seq(col(key).asc, col("version").asc))(dim)
 
   /** The reference resolves staging→target through the natural key:
     * fact.stg_key → stg dim row → natural id → target dim row

@@ -34,8 +34,8 @@ object BusinessQueries {
     Some("""SELECT dayname(o_orderdate) AS day_name,
             monthname(o_orderdate) AS month_name,
             count(*) AS n,
-            sum(CASE WHEN strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y')::DATE
-                       = o_orderdate::DATE THEN 1 ELSE 0 END) AS n_roundtrip,
+            CAST(sum(CASE WHEN strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y')::DATE
+                       = o_orderdate::DATE THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
             CAST(min(year(o_orderdate) * 10000 + month(o_orderdate) * 100
                  + dayofmonth(o_orderdate)) AS BIGINT) AS min_date_id
             FROM orders
@@ -97,8 +97,8 @@ object BusinessQueries {
                    WHEN l_quantity > 45 THEN 'Overstocked'
                    ELSE 'In Stock' END AS stock_status,
               count(*) AS n,
-              sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
-                       THEN 1 ELSE 0 END) AS n_within_30,
+              CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30,
               round(avg(datediff('day', o_orderdate, l_shipdate)), 2) AS avg_days_to_ship
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

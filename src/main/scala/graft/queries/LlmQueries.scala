@@ -38,7 +38,8 @@ object LlmQueries {
             surv AS (SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY 1),
             kept AS (SELECT k.* FROM keyed k
                      JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id)
-            SELECT source, count(*) AS n_survivors, sum(doc_id) AS sum_ids,
+            SELECT source, count(*) AS n_survivors,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                    count(DISTINCT fp) AS n_fp
             FROM kept GROUP BY 1 ORDER BY 1"""))
 
@@ -264,11 +265,11 @@ object LlmQueries {
         .orderBy("source")
     },
     Some("""SELECT source, count(*) AS n,
-            sum(octet_length(encode(text))) AS total_bytes,
+            CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
             min(1 + CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1920) AS min_w,
             max(1 + CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1080) AS max_h,
             count(DISTINCT substr(md5(text), 1, 16)) AS n_checksums,
-            sum((octet_length(encode(text)) + 63) // 64) AS n_frames
+            CAST(sum((octet_length(encode(text)) + 63) // 64) AS BIGINT) AS n_frames
             FROM documents GROUP BY 1 ORDER BY 1"""))
 
   /** q33 — exact n-gram Jaccard near-dup pairs via inverted shingle

@@ -199,6 +199,38 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("surrogate keys are dense, sort-ordered, and never single-partition") {
+    import graft.ops.SurrogateKeys
+    val df = (1 to 10000).map(i => (s"id_${10000 - i}", i * 2.0)).toDF("nat_id", "v")
+      .repartition(8)
+    val keyed = SurrogateKeys.dense("sk", Seq(col("nat_id").asc))(df)
+    // dense 1..N
+    val agg = keyed.agg(count(lit(1)), countDistinct(col("sk")),
+      min(col("sk")), max(col("sk"))).first()
+    assert(agg.getLong(0) === 10000L && agg.getLong(1) === 10000L)
+    assert(agg.getLong(2) === 1L && agg.getLong(3) === 10000L)
+    // key order == natural order
+    val misordered = keyed.select(col("nat_id"), col("sk"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("nat_id").asc)))
+      .where(col("sk") =!= col("rk")).count()
+    assert(misordered === 0L)
+    // scale shape: no window operator, and the distributed sort feeding
+    // the ids is range-partitioned — never a single-partition funnel
+    // (AQE may still coalesce this tiny fixture down to one partition
+    // by size, which is exactly the adaptive behavior we want at 100x)
+    val plan = keyed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"), plan.take(500))
+    val sortedPlan = df.repartitionByRange(col("nat_id").asc)
+      .sortWithinPartitions(col("nat_id").asc)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(sortedPlan.contains("rangepartitioning")
+      && !sortedPlan.contains("singlepartition"), sortedPlan.take(500))
+    // re-run deterministic
+    val again = SurrogateKeys.dense("sk", Seq(col("nat_id").asc))(df)
+    assert(keyed.exceptAll(again).count() === 0L)
+  }
+
   test("langId picks the max-scoring language, und when no signal") {
     val df = Seq("the cat and the dog of the house", "xyzzy plugh")
       .toDF("text")
