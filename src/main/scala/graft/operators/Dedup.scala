@@ -79,13 +79,21 @@ object Dedup {
     * The only other shuffles are the (band, bucket) candidate
     * self-join and the verify join — keyed on uniform hashes. The
     * O(n²) blowup is confined to within-bucket pairs, which banding
-    * keeps tiny.
+    * keeps tiny for organic corpora — but a mass-duplicated corpus
+    * (thousands of byte-identical crawl pages) puts every copy in the
+    * same bucket and pairs it quadratically. `bucketCap` bounds that:
+    * buckets larger than the cap are dropped from candidate
+    * generation (a one-aggregation guard on the keys the self-join
+    * already shuffles on). Pairs inside a dropped bucket are exact or
+    * near-exact duplicates en masse — the signal [[exactByKey]]
+    * recovers in one linear hash pass, which is the intended pre-pass
+    * for such corpora; LSH is the *near*-dup stage.
     *
     * @return (doc_id_1, doc_id_2, jaccard) with id1 < id2, jaccard ≥ threshold
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 32,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, bucketCap: Long = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
@@ -108,9 +116,17 @@ object Dedup {
     val bucketCols = (0 until bands).map { b =>
       concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
     }
-    val buckets = sigs.select(col(idCol), posexplode(array(bucketCols: _*)))
+    val allBuckets = sigs.select(col(idCol), posexplode(array(bucketCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+
+    // degenerate-bucket guard: partial-aggregated count on the same
+    // keys the self-join shuffles on, so the only extra cost is the
+    // (tiny) per-bucket tallies
+    val buckets = allBuckets.join(
+      allBuckets.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= bucketCap).drop("__n"),
+      Seq("band", "bucket"), "left_semi")
 
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
@@ -171,12 +187,24 @@ object Dedup {
     *
     *  - df cap: shingles appearing in > `dfCap` docs ("stopword
     *    shingles") are excluded from candidate generation — they carry
-    *    no dedup signal and cause quadratic blowup;
+    *    little dedup signal and cause quadratic blowup;
     *  - prefix filter: per doc, shingles are ordered by (global df,
     *    hash) and only the first `sz - ceil(t·sz) + 1` participate in
     *    the index — any pair with Jaccard ≥ t must collide inside that
-    *    prefix (Bayardo et al., WWW'07), so recall is unchanged while
-    *    the self-join fans out on the rarest shingles only.
+    *    prefix (Bayardo et al., WWW'07), so the prefix itself loses no
+    *    recall; the self-join fans out on the rarest shingles only.
+    *
+    * A document whose *every* shingle exceeds the df cap (pure
+    * boilerplate) would otherwise get zero index entries and silently
+    * lose all its pairs — including exact duplicates, the
+    * highest-value targets. The `rn = 1` fallback guarantees each doc
+    * indexes at least its globally rarest shingle, so byte-identical
+    * docs always collide (identical sets order identically). The
+    * residual approximation: two *different* all-boilerplate docs may
+    * still be missed when their rarest shingles differ; corpora like
+    * that should run [[exactByKey]] first. The fallback is the only
+    * place candidate fan-out can exceed dfCap, and it is bounded by
+    * the number of all-boilerplate docs sharing one rarest shingle.
     *
     * Exact Jaccard then verifies every candidate against the full
     * shingle sets. Shuffles: df count, per-doc prefix window, candidate
@@ -188,12 +216,16 @@ object Dedup {
     val inv = shingled.select(col(idCol), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val dfCount = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap)
-    // persisted: both sides of the candidate self-join consume it
+    // persisted: both sides of the candidate self-join consume it.
+    // df-ascending ordering puts capped shingles first, so the capped
+    // prefix is unchanged for any doc that has one; rn = 1 is the
+    // rarest-shingle fallback for docs that don't (see scaladoc).
     val prefix = inv.join(dfCount, "s")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))))
-      .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .where((col("df") <= dfCap &&
+        col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1) ||
+        col("rn") === 1)
       .persist()
     val candidates = prefix.as("a")
       .join(prefix.as("b"),

@@ -117,19 +117,28 @@ object Similarity {
   }
 
   /** Lloyd's k-means over the embedding column, fully distributed
-    * (no driver-side collect): seed = [[sampleCentroids]], then
+    * (no driver-side collect and no driver-side count): seed = the k
+    * first vectors in md5-of-id order (deterministic, uniform-ish, a
+    * distributed top-k — no full sort, no size-of-corpus job), then
     * `iters` rounds of assign → element-wise mean per cell. Mean is
     * computed by posexploding dimensions and re-assembling with a
     * position-sorted collect — shuffle keyed on (cell, dim), uniform.
+    *
+    * Each iteration's centroids are `localCheckpoint`ed: k tiny rows
+    * materialize eagerly and the lineage truncates, so iteration i+1
+    * costs exactly one corpus pass instead of recomputing iterations
+    * 1..i off an ever-growing plan.
+    *
     * Returns (vec_id = cell id, embedding = centroid) for direct use
     * as the `centroids` input of the probe operators.
     */
   def kMeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    val n = corpus.count()
-    val step = math.max(n / k, 1L)
-    var centroids = sampleCentroids(corpus, step).limit(k)
+    var centroids = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = assignCells(corpus, centroids, "vid", "ve", "cell", 1)
+      val prev = centroids
       centroids = assigned
         .select(col("cell"), posexplode(col("ve")))
         .groupBy("cell", "pos")
@@ -138,6 +147,8 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("vec_id"),
           transform(col("pm"), x => x.getField("m")).as("embedding"))
+        .localCheckpoint()
+      prev.unpersist()
     }
     centroids
   }

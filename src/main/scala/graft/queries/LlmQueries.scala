@@ -118,12 +118,14 @@ object LlmQueries {
     * shingle → 64 affine-multiplier minhashes as min() aggregates → 16
     * banded buckets → bucket-join candidates → exact Jaccard verify at
     * 0.5). The oracle re-derives the multiplier family from md5("A|i")
-    * and replays the identical pipeline, so both the recall of the
-    * banding AND the verify values must match. */
+    * and replays the identical pipeline — including the degenerate-
+    * bucket cap — so both the recall of the banding AND the verify
+    * values must match. */
   private val q28 = Q("q28_minhash_lsh",
     (s, d) => {
       Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
+          bucketCap = 10000)
         .orderBy("doc_id_1", "doc_id_2")
     },
     Some("""WITH shs AS (
@@ -153,9 +155,14 @@ object LlmQueries {
               SELECT doc_id, i // 4 AS b,
                      string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
               FROM mins GROUP BY 1, 2),
+            bsz AS (
+              SELECT b, bucket FROM buckets
+              GROUP BY 1, 2 HAVING count(*) <= 10000),
             cand AS (
               SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-              FROM buckets a JOIN buckets c
+              FROM buckets a
+              JOIN bsz USING (b, bucket)
+              JOIN buckets c
                 ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
             j AS (
               SELECT d1 AS doc_id_1, d2 AS doc_id_2,
@@ -274,8 +281,9 @@ object LlmQueries {
 
   /** q33 — exact n-gram Jaccard near-dup pairs via inverted shingle
     * index with a document-frequency cap on candidate shingles (the
-    * stopword-shingle scale guard) plus PPJoin prefix filtering,
-    * threshold 0.5. */
+    * stopword-shingle scale guard, with the rarest-shingle fallback
+    * guaranteeing every doc one index entry) plus PPJoin prefix
+    * filtering, threshold 0.5. */
   private val q33 = Q("q33_ngram_jaccard",
     (s, d) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -292,12 +300,12 @@ object LlmQueries {
                      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
               FROM shs),
             inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
-            dfc AS (SELECT s, count(*) AS df FROM inv GROUP BY 1 HAVING count(*) <= 100),
+            dfc AS (SELECT s, count(*) AS df FROM inv GROUP BY 1),
             pref AS (SELECT doc_id, s FROM (
-                       SELECT i.doc_id, i.sz, i.s,
+                       SELECT i.doc_id, i.sz, i.s, d.df,
                               row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rn
                        FROM inv i JOIN dfc d USING (s))
-                     WHERE rn <= sz - ceil(0.5 * sz) + 1),
+                     WHERE (df <= 100 AND rn <= sz - ceil(0.5 * sz) + 1) OR rn = 1),
             cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                      FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
             j AS (SELECT d1 AS doc_id_1, d2 AS doc_id_2,

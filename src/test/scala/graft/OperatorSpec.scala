@@ -67,6 +67,39 @@ class OperatorSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("minhashLsh bucketCap bounds a mass-duplicated corpus") {
+    // 1000 byte-identical docs: every band bucket holds all 1000, so
+    // uncapped candidate generation would be ~500k pairs x 16 bands.
+    // With the cap the degenerate buckets drop (their signal belongs
+    // to exactByKey) while an organic near-dup pair still surfaces.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = ((1L to 1000L).map(i => (i, boiler)) ++ Seq(
+      (2001L, "some organic text that is nearly unique in this corpus body"),
+      (2002L, "some organic text that is nearly unique in this corpus body too")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
+      bucketCap = 32)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((2001L, 2002L)))
+    // and the mass-dup group is exactly what the exact pre-pass collapses
+    val survivors = Dedup.exactByKey(docs,
+      TextFunctions.fingerprint(col("text")), "doc_id").count()
+    assert(survivors === 3L)
+  }
+
+  test("ngramJaccard indexes every doc: exact dups of boilerplate still pair") {
+    // 30 identical docs + dfCap 10: every shingle has df=30 > cap, so
+    // without the rarest-shingle fallback none of them would ever be
+    // candidates despite being byte-identical (jaccard 1.0).
+    val boiler = "standard header text repeated across every page of the site"
+    val docs = (1L to 30L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5, dfCap = 10)
+    assert(pairs.count() === (30L * 29L) / 2) // all true pairs found
+    assert(pairs.agg(min(col("jaccard"))).first().getDouble(0) === 1.0)
+  }
+
   test("mergeType1: matched rows replaced, unmatched kept, new inserted") {
     val tgt = Seq((1, "old"), (2, "keep")).toDF("k", "v")
     val src = Seq((1, "new"), (3, "ins")).toDF("k", "v")
