@@ -145,7 +145,15 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // flatMapGroupsWithState does NOT pre-filter sub-watermark
+              // rows, so a batch can deliver events older than
+              // watermark − gap; the natural timeout s.last + gapMs would
+              // then precede the watermark, which setTimeoutTimestamp
+              // rejects (killing the query). Clamp to just past the
+              // watermark: such a session is already gap-expired and
+              // flushes at the next watermark advance.
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs + 1, s.last + gapMs))
             }
             closed.result().iterator
           }

@@ -95,6 +95,69 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("sessionize survives a later batch of sub-watermark events (timeout clamp)") {
+    import java.nio.file.{Path, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000)
+
+    // Stage each micro-batch as ONE parquet file with an increasing
+    // mod-time so maxFilesPerTrigger=1 replays them in order.
+    val watched = Files.createTempDirectory("graft_sess_wm_")
+    def stage(name: String, modMinutes: Int, events: Seq[EventStream.Event]): Unit = {
+      val tmp = Files.createTempDirectory("graft_sess_stage_")
+      events.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = Paths.get(watched.toString, name)
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + modMinutes * 60000L))
+    }
+
+    // batch 1: user 1's session + a far-future flush event that pushes
+    // the watermark to ts(5990) once the batch completes
+    stage("b1.parquet", 1, Seq(
+      EventStream.Event(1, ts(0), 1L, "click", 1.0),
+      EventStream.Event(2, ts(10), 1L, "view", 2.0),
+      EventStream.Event(3, ts(6000), 99L, "flush", 0.0)))
+    // batch 2: user 2's events are FAR older than watermark − gap; the
+    // unclamped timeout (ts(130)) would precede the watermark and kill
+    // the query with IllegalArgumentException
+    stage("b2.parquet", 2, Seq(
+      EventStream.Event(4, ts(100), 2L, "click", 5.0),
+      EventStream.Event(5, ts(105), 2L, "view", 6.0)))
+    // batch 3: advance the watermark far enough to flush user 2's
+    // clamped session (and close user 99's first one)
+    stage("b3.parquet", 3, Seq(
+      EventStream.Event(6, ts(20000), 99L, "flush", 0.0)))
+
+    val q = EventStream.sessionize(
+      spark.readStream.schema(EventStream.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+        .as[EventStream.Event], gapMinutes = 30)
+      .writeStream.format("memory").queryName("session_wm_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // would throw here without the clamp
+
+    val sessions = spark.table("session_wm_sink")
+      .orderBy("user_id", "session_start")
+      .as[EventStream.Session].collect()
+    // user 1: flushed once the watermark passed its gap horizon
+    val s1 = sessions.filter(_.user_id == 1L)
+    assert(s1.length === 1)
+    assert(s1.head.session_start === ts(0) && s1.head.session_end === ts(10)
+      && s1.head.n_events === 2 && s1.head.total_value === 3.0)
+    // user 2: the late-arriving session is still counted and correct
+    val s2 = sessions.filter(_.user_id == 2L)
+    assert(s2.length === 1)
+    assert(s2.head.session_start === ts(100) && s2.head.session_end === ts(105)
+      && s2.head.n_events === 2 && s2.head.total_value === 11.0)
+    // user 99: first flush-session closed by the second flush event
+    val s99 = sessions.filter(_.user_id == 99L)
+    assert(s99.length === 1 && s99.head.session_start === ts(6000))
+  }
+
   test("sessionization emits gap-closed sessions with correct bounds") {
     def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000)
     // user 1: two sessions (gap 45min > 30min), then a far-future event
