@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Bounds intermediate-cache lifetime to the operator call: eagerly
+    * materializes the (pairs-sized, corpus-shrunk) result via
+    * localCheckpoint, then unpersists the intermediate frames — so a
+    * session running many dedup queries (Bench runs 47) does not
+    * accumulate shingle/signature caches, and re-invocations never hit
+    * "already cached" plan collisions. Tradeoff, stated: localCheckpoint
+    * blocks live only on executors, so losing an executor that holds
+    * result partitions fails the job instead of recomputing lineage;
+    * on a cluster with a configured checkpoint dir, reliable
+    * checkpoint() is the drop-in upgrade. */
+  private def finish(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Exact dedup: group on a content key (hash of the payload), keep
     * the row with the minimum id. One shuffle on the 128-bit content
     * hash — at 100 TB this is the cheapest possible exact pass, and
@@ -83,17 +99,21 @@ object Dedup {
     * (thousands of byte-identical crawl pages) puts every copy in the
     * same bucket and pairs it quadratically. `bucketCap` bounds that:
     * buckets larger than the cap are dropped from candidate
-    * generation (a one-aggregation guard on the keys the self-join
-    * already shuffles on). Pairs inside a dropped bucket are exact or
-    * near-exact duplicates en masse — the signal [[exactByKey]]
-    * recovers in one linear hash pass, which is the intended pre-pass
-    * for such corpora; LSH is the *near*-dup stage.
+    * generation (a window-count guard on the keys the self-join
+    * already shuffles on). Capping is OPT-IN (default = no cap) so the
+    * standard LSH recall contract holds unless the caller trades it
+    * away. The trade, stated precisely: a pair loses candidacy iff
+    * EVERY band bucket it shares is over the cap. Byte-identical mass
+    * duplicates are recoverable by an [[exactByKey]] pre-pass (the
+    * intended companion on crawl corpora), but *near*-exact duplicates
+    * whose only shared buckets are over-cap are silently lost — capped
+    * recall is not the full LSH guarantee.
     *
     * @return (doc_id_1, doc_id_2, jaccard) with id1 < id2, jaccard ≥ threshold
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 32,
-      threshold: Double = 0.7, bucketCap: Long = 10000): DataFrame = {
+      threshold: Double = 0.7, bucketCap: Long = Long.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
@@ -120,13 +140,15 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    // degenerate-bucket guard: partial-aggregated count on the same
-    // keys the self-join shuffles on, so the only extra cost is the
-    // (tiny) per-bucket tallies
-    val buckets = allBuckets.join(
-      allBuckets.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
-        .where(col("__n") <= bucketCap).drop("__n"),
-      Seq("band", "bucket"), "left_semi")
+    // degenerate-bucket guard as a window count over the SAME
+    // (band, bucket) shuffle+sort the candidate self-join needs anyway
+    // — one pass, no extra aggregate or semi-join (the r3 guard ran a
+    // separate count + left_semi, re-shuffling allBuckets twice)
+    val buckets = allBuckets
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("__n") <= bucketCap)
+      .drop("__n")
 
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
@@ -136,7 +158,7 @@ object Dedup {
       .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
       .distinct()
 
-    verifyJaccard(candidates, shingled, idCol, threshold)
+    finish(verifyJaccard(candidates, shingled, idCol, threshold), sigs, shingled)
   }
 
   /** Documents → (id, sh: array<long>) of 60-bit-hashed distinct word
@@ -216,23 +238,45 @@ object Dedup {
     val inv = shingled.select(col(idCol), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val dfCount = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    // persisted: both sides of the candidate self-join consume it.
-    // df-ascending ordering puts capped shingles first, so the capped
-    // prefix is unchanged for any doc that has one; rn = 1 is the
-    // rarest-shingle fallback for docs that don't (see scaladoc).
-    val prefix = inv.join(dfCount, "s")
+    // persisted: the prefix window and the fallback aggregate both
+    // consume the join, and exchange reuse alone would still run the
+    // join twice (shuffle-read + merge per consumer)
+    val withDf = inv.join(dfCount, "s").persist()
+
+    // The r3 shape ran one row_number window over EVERY shingle
+    // occurrence; in a boilerplate-heavy corpus the over-cap shingles
+    // carry most of the occurrence rows, so that window sorted mostly
+    // rows it was about to discard. Split instead:
+    //  - the prefix window runs over capped occurrences only. Because
+    //    df-ascending ordering puts capped shingles strictly before
+    //    over-cap ones, rn over the capped subset equals rn over all
+    //    rows for every capped row — same prefix, fraction of the sort;
+    //  - the rarest-shingle fallback (docs whose every shingle is over
+    //    the cap — see scaladoc) is a map-side-combined min(struct)
+    //    aggregate, not a window: the global (df, s) minimum is capped
+    //    whenever any capped row exists, so keeping only min-df > cap
+    //    rows reproduces the old `rn = 1` branch exactly and the two
+    //    legs stay disjoint.
+    val prefixCapped = withDf.where(col("df") <= dfCap)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))))
-      .where((col("df") <= dfCap &&
-        col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1) ||
-        col("rn") === 1)
-      .persist()
+      .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(idCol), col("s"))
+    val fallback = withDf
+      .groupBy(col(idCol))
+      .agg(min(struct(col("df"), col("s"))).as("m"))
+      .where(col("m.df") > dfCap)
+      .select(col(idCol), col("m.s").as("s"))
+    // persisted: both sides of the candidate self-join consume it
+    val prefix = prefixCapped.unionByName(fallback).persist()
+
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
       .distinct()
-    verifyJaccard(candidates, shingled, idCol, threshold)
+    finish(verifyJaccard(candidates, shingled, idCol, threshold),
+      prefix, withDf, shingled)
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
@@ -326,10 +370,12 @@ object Dedup {
       .select(col(s"a.$idCol").as("doc_id_1"), col("a.simhash").as("__s1"),
         col(s"b.$idCol").as("doc_id_2"), col("b.simhash").as("__s2"))
       .distinct()
-    candidates
-      .withColumn("hamming",
-        bit_count(col("__s1").bitwiseXOR(col("__s2"))).cast("long"))
-      .where(col("hamming") <= maxHamming)
-      .select("doc_id_1", "doc_id_2", "hamming")
+    finish(
+      candidates
+        .withColumn("hamming",
+          bit_count(col("__s1").bitwiseXOR(col("__s2"))).cast("long"))
+        .where(col("hamming") <= maxHamming)
+        .select("doc_id_1", "doc_id_2", "hamming"),
+      sigs)
   }
 }
