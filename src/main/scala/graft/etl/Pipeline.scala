@@ -18,6 +18,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Pipeline {
 
+  /** Facts lay out Hive-partitioned by their date key (SURVEY §7.4) so
+    * date-ranged reads prune whole directories at planning time — the
+    * Spark analog of the reference warehouse's micro-partition pruning.
+    * Dims stay unpartitioned (small, always read whole). */
+  val factPartitions: Map[String, Seq[String]] = Map(
+    "tgt_fact_sales" -> Seq("transaction_date_key"),
+    "tgt_fact_inventory" -> Seq("date_key"),
+    "tgt_fact_returns" -> Seq("return_date_key"))
+
   /** Run the full pipeline; returns per-table row counts. */
   def run(spark: SparkSession, csvPath: String, warehouseDir: String,
       ctx: RunContext, clearStaging: Boolean = false): Map[String, Long] = {
@@ -47,7 +56,7 @@ object Pipeline {
       sales = wh.read("stg_sales"), returns = wh.read("stg_returns"),
       inventory = wh.read("stg_inventory"))
     val tgt = TargetLayer.build(stgR, wh.readIfExists, ctx)
-    wh.writeAll(tgt.all)
+    wh.writeAll(tgt.all, factPartitions)
 
     if (clearStaging) stgR.all.map(_._1).foreach(wh.truncate)
 

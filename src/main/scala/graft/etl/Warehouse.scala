@@ -9,11 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * drop_all_tables.py:7-53).
   *
   * Writes go through an overwrite-swap: new data lands in
-  * `<table>.__tmp`, then swaps in atomically (rename) after the write
-  * succeeds. This is what makes read-modify-write legal — an SCD merge
-  * reads tgt_dim_product while computing its replacement, and a plain
-  * in-place overwrite would truncate the input mid-scan. It also means
-  * a failed write never corrupts the prior state.
+  * `<table>.__tmp`; once the write succeeds the prior state renames
+  * aside to `<table>.__old`, the tmp renames in, and `__old` is
+  * deleted last. This is what makes read-modify-write legal — an SCD
+  * merge reads tgt_dim_product while computing its replacement, and a
+  * plain in-place overwrite would truncate the input mid-scan. It is
+  * also crash-safe: at no instant is neither state on disk, a failed
+  * write never disturbs the prior state, and [[read]]/[[exists]]
+  * recover a stranded `__old` (crash between the two renames) by
+  * renaming it back.
   *
   * At scale each table is a directory of partition files — writes are
   * partition-parallel, no single-writer bottleneck; the reference's
@@ -25,10 +29,24 @@ final class Warehouse(spark: SparkSession, baseDir: String) {
   private val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def path(table: String) = new Path(baseDir, table)
+  private def oldPath(table: String) = new Path(baseDir, table + ".__old")
 
-  def exists(table: String): Boolean = fs.exists(path(table))
+  /** Crash recovery: a crash between swap renames leaves the prior
+    * state stranded at `<table>.__old` with the live path missing;
+    * rename it back so readers keep serving the last committed state.
+    * Never touches `__old` when the live path exists (that is the
+    * post-swap, pre-cleanup state — the NEW data is the truth). */
+  private def recover(table: String): Unit =
+    if (!fs.exists(path(table)) && fs.exists(oldPath(table)))
+      fs.rename(oldPath(table), path(table))
+
+  def exists(table: String): Boolean = {
+    recover(table)
+    fs.exists(path(table))
+  }
 
   def read(table: String): DataFrame = {
+    recover(table)
     // a prior batch may have swapped this path; drop any stale file
     // listing Spark has memoized for it
     spark.catalog.refreshByPath(path(table).toString)
@@ -38,21 +56,33 @@ final class Warehouse(spark: SparkSession, baseDir: String) {
   def readIfExists(table: String): Option[DataFrame] =
     if (exists(table)) Some(read(table)) else None
 
-  /** Overwrite-swap write: materialize to a tmp dir, then rename over
+  /** Overwrite-swap write: materialize to a tmp dir, then swap over
     * the old state. The df may read from the table being replaced. */
   def write(table: String, df: DataFrame): Unit = writeAll(Seq(table -> df))
 
   /** Hive-style partitioned overwrite-swap: at scale, fact tables are
     * written `partitionBy(dateCol)` so date-ranged queries prune whole
     * directories at planning time (SURVEY §7.4: partition facts by the
-    * date key). Same two-phase swap discipline as [[write]]. */
-  def writePartitioned(table: String, df: DataFrame, partitionCols: Seq[String]): Unit = {
-    val tmp = new Path(baseDir, table + ".__tmp")
-    fs.delete(tmp, true)
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
-    fs.delete(path(table), true)
+    * date key). Same swap discipline as [[write]]. Note partition
+    * columns round-trip through directory names: they move to the end
+    * of the read-back schema and integral key types re-infer as INT —
+    * joins against LongType dim keys coerce, but schema-sensitive
+    * consumers should select by name. */
+  def writePartitioned(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+    writeAll(Seq(table -> df), Map(table -> partitionCols))
+
+  /** Crash-safe swap: prior state aside → tmp in → cleanup last. A
+    * crash before the first rename leaves the prior state live; between
+    * the renames, [[recover]] serves the prior state from `__old`;
+    * after them, the new state is live and the stale `__old` is swept
+    * by the next swap or recover. */
+  private def swapIn(table: String, tmp: Path): Unit = {
+    fs.delete(oldPath(table), true)
+    if (fs.exists(path(table)) && !fs.rename(path(table), oldPath(table)))
+      throw new IllegalStateException(s"warehouse swap failed for $table (set-aside)")
     if (!fs.rename(tmp, path(table)))
       throw new IllegalStateException(s"warehouse swap failed for $table")
+    fs.delete(oldPath(table), true)
     spark.catalog.refreshByPath(path(table).toString)
   }
 
@@ -61,20 +91,21 @@ final class Warehouse(spark: SparkSession, baseDir: String) {
     * in. Required whenever later frames in the group lazily read
     * tables earlier frames replace — e.g. target facts join the target
     * dimensions whose prior files an eager per-table swap would have
-    * already deleted (the SCD frames read their own prior state). */
-  def writeAll(tables: Seq[(String, DataFrame)]): Unit = {
+    * already deleted (the SCD frames read their own prior state).
+    * `partitionCols` opts individual tables into Hive-style
+    * partitioned layout (see [[writePartitioned]]). */
+  def writeAll(tables: Seq[(String, DataFrame)],
+      partitionCols: Map[String, Seq[String]] = Map.empty): Unit = {
     val staged = tables.map { case (table, df) =>
       val tmp = new Path(baseDir, table + ".__tmp")
       fs.delete(tmp, true)
-      df.write.mode("overwrite").parquet(tmp.toString)
+      val w = df.write.mode("overwrite")
+      partitionCols.get(table).filter(_.nonEmpty)
+        .fold(w)(cs => w.partitionBy(cs: _*))
+        .parquet(tmp.toString)
       table -> tmp
     }
-    staged.foreach { case (table, tmp) =>
-      fs.delete(path(table), true)
-      if (!fs.rename(tmp, path(table)))
-        throw new IllegalStateException(s"warehouse swap failed for $table")
-      spark.catalog.refreshByPath(path(table).toString)
-    }
+    staged.foreach { case (table, tmp) => swapIn(table, tmp) }
   }
 
   def drop(table: String): Unit = fs.delete(path(table), true)
@@ -89,5 +120,6 @@ final class Warehouse(spark: SparkSession, baseDir: String) {
   def tables(): Seq[String] =
     if (!fs.exists(new Path(baseDir))) Seq.empty
     else fs.listStatus(new Path(baseDir)).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName).filterNot(_.endsWith(".__tmp")).sorted
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.endsWith(".__tmp") || n.endsWith(".__old")).sorted
 }

@@ -215,6 +215,26 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("date_key"), plan.take(500))
   }
 
+  test("warehouse swap is crash-safe: a stranded __old still serves reads") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_swap_").toString
+    val wh = new graft.etl.Warehouse(spark, dir)
+    wh.write("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // simulate a crash between the two swap renames: replacement parked
+    // at __tmp, live dir already moved aside to __old
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((3, "c")).toDF("id", "v").write.parquet(dir + "/t.__tmp")
+    assert(fs.rename(new Path(dir, "t"), new Path(dir, "t.__old")))
+    // reads recover and keep serving the last committed state
+    assert(wh.exists("t"))
+    assert(wh.read("t").count() === 2)
+    assert(wh.tables() === Seq("t"))
+    // the next write sweeps the stranded tmp/old and commits cleanly
+    wh.write("t", Seq((9, "z")).toDF("id", "v"))
+    assert(wh.read("t").as[(Int, String)].collect().toSeq === Seq((9, "z")))
+    assert(!fs.exists(new Path(dir, "t.__old")) && !fs.exists(new Path(dir, "t.__tmp")))
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import graft.ops.Bucketing
     val facts = (1 to 1000).map(i => (i.toLong % 97, s"f$i")).toDF("k", "fv")

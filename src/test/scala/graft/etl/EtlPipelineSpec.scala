@@ -77,6 +77,20 @@ class EtlPipelineSpec extends SparkSpec {
     assert(r("pct_returns_within_30_days") === 100.0)
   }
 
+  test("pipeline fact writes are date-partitioned and prune at planning time") {
+    counts // force the pipeline run
+    val anyKey = wh.read("tgt_fact_sales")
+      .agg(min("transaction_date_key")).first().get(0)
+    val filtered = wh.read("tgt_fact_sales")
+      .where(col("transaction_date_key") === lit(anyKey))
+    assert(filtered.count() > 0)
+    // the date predicate must prune directories at planning time, not
+    // filter rows post-scan
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("transaction_date_key"),
+      plan.take(500))
+  }
+
   test("re-running the same batch is idempotent for dims and facts") {
     counts // force first run
     val counts2 = Pipeline.run(spark, csv, whDir, RunContext("2026-08-13"))
