@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.etl.Ids
 import graft.ops.{Relational, Scd}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -575,6 +576,40 @@ object RelationalQueries {
              AND CAST(o_orderdate AS DATE) <= expiry_date
             GROUP BY 1 ORDER BY 1"""))
 
+  /** q48 — the F21/F22 md5-mod family under the oracle gate: exact
+    * `int(md5(x), 16) % n` over the FULL 128-bit digest
+    * ([[graft.functions.Md5ModExpr]], the reference's deterministic
+    * pseudo-random primitive), with both a literal modulus and the
+    * per-row-modulus form (the supplier-pick site's shape). The oracle
+    * Horner-folds four 32-bit digest chunks mod n in BIGINT — every
+    * intermediate < n·2^32 — so a 64-bit-truncating implementation
+    * (2^64 mod n ≠ 1) would hash-mismatch immediately. */
+  private val q48 = Q("q48_md5_mod_residues",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      c.select(Ids.md5Mod(col("c_name"), 97).as("residue"),
+          Ids.md5ModBy(col("c_name"), pmod(col("c_custkey"), lit(11)) + 2).as("r2"))
+        .groupBy("residue")
+        .agg(count(lit(1)).as("n"), sum("r2").as("sum_r2"))
+        .orderBy("residue")
+    },
+    Some("""WITH h AS (
+              SELECT CAST('0x' || substr(md5(c_name), 1, 8) AS BIGINT) AS h1,
+                     CAST('0x' || substr(md5(c_name), 9, 8) AS BIGINT) AS h2,
+                     CAST('0x' || substr(md5(c_name), 17, 8) AS BIGINT) AS h3,
+                     CAST('0x' || substr(md5(c_name), 25, 8) AS BIGINT) AS h4,
+                     2 + c_custkey % 11 AS m
+              FROM customer),
+            r AS (
+              SELECT ((((h1 % 97) * 4294967296 + h2) % 97 * 4294967296 + h3) % 97
+                      * 4294967296 + h4) % 97 AS residue,
+                     ((((h1 % m) * 4294967296 + h2) % m * 4294967296 + h3) % m
+                      * 4294967296 + h4) % m AS r2
+              FROM h)
+            SELECT residue, count(*) AS n, CAST(sum(r2) AS BIGINT) AS sum_r2
+            FROM r GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q48)
 }
