@@ -88,6 +88,23 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** PROBE from a persisted store: `store` is an [[assignCells]]
+    * output written `partitionBy("cell")` (e.g. via
+    * `Warehouse.writePartitioned`) and read back. The probed cell ids
+    * (≤ |queries|·nProbe values — queries are small by the probe
+    * contract) are collected and inlined as a literal IN-list, which
+    * is the point: the predicate reaches the scan as PartitionFilters,
+    * so only the probed cell directories are listed and read — the
+    * amortization the build/probe split exists for. A plain
+    * probe_cell = cell join would rely on runtime dynamic partition
+    * pruning instead of planning-time pruning. */
+  def ivfTopKFromStore(store: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val probedCells = assignCells(queries, centroids, "qid", "qe", "probe_cell", nProbe)
+      .select("probe_cell").distinct().collect().map(_.get(0))
+    ivfTopK(store.where(col("cell").isin(probedCells: _*)), queries, centroids, k, nProbe)
+  }
+
   /** Convenience: build + probe in one call (when the assignment is
     * not reused). Prefer persisting [[assignCells]] when probing more
     * than once. */

@@ -193,7 +193,10 @@ object LlmQueries {
 
   /** q30 — IVF ANN top-k: build-once cell assignment (10 deterministic
     * sample centroids) + nProbe=3 probing. At scale the assignment is
-    * persisted partitionBy(cell); here it feeds the probe directly. */
+    * persisted partitionBy(cell) and probed through
+    * [[graft.operators.Similarity.ivfTopKFromStore]] (planning-time
+    * cell pruning — OperatorSpec proves the PartitionFilters); here it
+    * feeds the probe directly so the oracle can replay it. */
   private val q30 = Q("q30_ivf_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)

@@ -215,6 +215,33 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("date_key"), plan.take(500))
   }
 
+  test("IVF store: probing a cell-partitioned store prunes to the probed cells") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    val wh = new graft.etl.Warehouse(spark, dir)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = Similarity.sampleCentroids(emb, 50)
+    val assigned = Similarity.assignCells(emb, centroids, "nid", "ne", "cell", 1)
+    wh.writePartitioned("ivf_cells", assigned, Seq("cell"))
+    val queries = emb.filter(col("vec_id") < 10)
+
+    val fromStore = Similarity.ivfTopKFromStore(wh.read("ivf_cells"),
+      queries, centroids, k = 5, nProbe = 3)
+    // same answer as probing the in-memory assignment
+    val direct = Similarity.ivfTopK(assigned, queries, centroids, k = 5, nProbe = 3)
+    assert(fromStore.count() === direct.count())
+    assert(fromStore.exceptAll(direct).isEmpty && direct.exceptAll(fromStore).isEmpty)
+    // the probed-cell IN-list must reach the store scan as a partition
+    // filter — planning-time directory pruning, not a post-scan filter
+    val plan = fromStore.queryExecution.executedPlan.toString
+    // several scans appear in the plan (queries/centroids have empty
+    // PartitionFilters); the STORE scan must carry the cell IN-list
+    val pf = plan.split("PartitionFilters: \\[").toSeq
+      .map(_.takeWhile(_ != ']')).filter(_.nonEmpty)
+    assert(pf.exists(f => f.contains("cell") && f.contains("IN (")),
+      s"no cell partition filter in: $pf")
+  }
+
   test("warehouse swap is crash-safe: a stranded __old still serves reads") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft_swap_").toString
