@@ -103,6 +103,15 @@ final class Warehouse(spark: SparkSession, baseDir: String) {
       partitionCols.get(table).filter(_.nonEmpty)
         .fold(w)(cs => w.partitionBy(cs: _*))
         .parquet(tmp.toString)
+      // a partitioned write of an EMPTY frame leaves no partition dirs
+      // and no data files — read-back could not even infer a schema.
+      // Park an empty unpartitioned file carrying the schema instead
+      // (detected by dir listing, no extra job against the frame).
+      if (partitionCols.get(table).exists(_.nonEmpty)
+          && !fs.listStatus(tmp).exists(_.isDirectory))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+          .write.mode("overwrite").parquet(tmp.toString)
       table -> tmp
     }
     staged.foreach { case (table, tmp) => swapIn(table, tmp) }

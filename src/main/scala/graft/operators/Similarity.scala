@@ -144,7 +144,12 @@ object Similarity {
     * Each iteration's centroids are `localCheckpoint`ed: k tiny rows
     * materialize eagerly and the lineage truncates, so iteration i+1
     * costs exactly one corpus pass instead of recomputing iterations
-    * 1..i off an ever-growing plan.
+    * 1..i off an ever-growing plan. Tradeoff, stated: localCheckpoint
+    * blocks live only on executors, so losing an executor that held
+    * them fails the job rather than recomputing lineage (k rows ×
+    * dims is tiny, so re-running is cheap); on a cluster with a
+    * configured checkpoint dir, reliable checkpoint() is the drop-in
+    * upgrade.
     *
     * Returns (vec_id = cell id, embedding = centroid) for direct use
     * as the `centroids` input of the probe operators.
