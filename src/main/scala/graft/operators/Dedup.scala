@@ -279,6 +279,58 @@ object Dedup {
       prefix, withDf, shingled)
   }
 
+  /** Connected components over a near-duplicate pair list: the step a
+    * real dedup pipeline runs AFTER pair mining — pairs chain (a~b,
+    * b~c ⇒ {a,b,c}) and the pipeline must keep one survivor per
+    * CLUSTER, not drop one side of each pair (which over-deletes on
+    * chains). Returns (id, cluster_id = min reachable id) for every id
+    * that appears in a pair.
+    *
+    * Execution: iterative min-label propagation over the symmetrized
+    * edge list — per round, each node takes the min of its own and its
+    * neighbors' labels; rounds bound by the cluster diameter, which
+    * for dup clusters is tiny (mass-dup corpora produce dense, shallow
+    * clusters). Every shuffle keys on node ids (uniform); labels are
+    * `localCheckpoint`ed per round so round i+1 reads k rows, not a
+    * depth-i plan. The published log-diameter variant (large-star /
+    * small-star, Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) is the upgrade path if diameters ever grow;
+    * the per-round shape here is identical, so it swaps in locally.
+    */
+  def connectedComponents(pairs: DataFrame, id1: String = "doc_id_1",
+      id2: String = "doc_id_2", maxIters: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(id1).as("a"), col(id2).as("b"))
+    val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges.join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, col("id") === col("a"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.as("u").join(labels.as("l"), "id")
+        .where(col("u.label") =!= col("l.label")).isEmpty
+      labels = updated
+      i += 1
+    }
+    finish(labels.select(col("id"), col("label").as("cluster_id")), edges)
+  }
+
+  /** Cluster-aware exact survivor selection: drop every doc that
+    * appears in a near-dup cluster except the min-id representative
+    * (docs in no pair survive untouched). The companion of
+    * [[connectedComponents]] — one broadcast-or-shuffle semi-join
+    * against the (tiny relative to corpus) cluster membership list. */
+  def dedupByClusters(docs: DataFrame, clusters: DataFrame, idCol: String): DataFrame =
+    docs.join(
+      clusters.where(col("id") =!= col("cluster_id")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD'03 — the MOSS scheme): hash every positional k-shingle,

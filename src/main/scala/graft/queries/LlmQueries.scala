@@ -363,6 +363,66 @@ object LlmQueries {
             FROM cand WHERE bit_count(xor(s1, s2)) <= 3
             ORDER BY doc_id_1, doc_id_2"""))
 
+  /** q49 — near-duplicate CLUSTERS: the q40 simhash pair list chained
+    * into connected components (min-label propagation; the oracle
+    * replays the closure with a recursive CTE) and rolled up per
+    * cluster. This is the step that makes pair mining actionable —
+    * survivor selection must keep one doc per CLUSTER, not per pair,
+    * or chains over-delete. Planted dups (every 9th doc re-keyed)
+    * guarantee 2-doc clusters; organic near-dup chains may merge
+    * larger ones. */
+  private val q49 = Q("q49_near_dup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+      val pairs = Dedup.simhashNearDupPairs(docs.unionByName(dups), "doc_id", "text",
+        bits = 48, maxHamming = 3)
+      Dedup.connectedComponents(pairs)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"), sum("id").as("sum_ids"))
+        .orderBy("cluster_id")
+    },
+    Some("""WITH RECURSIVE all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000, text FROM documents WHERE doc_id % 9 = 0),
+            hv AS (
+              SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv
+              FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM all_docs)),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hv, (SELECT unnest(generate_series(0, 47)) AS j)
+              GROUP BY 1, 2),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+              FROM bits GROUP BY 1),
+            chunks AS (
+              SELECT doc_id, simhash, b,
+                     (simhash >> (b * 12)) & 4095 AS chunk
+              FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
+                              c.doc_id AS d2, c.simhash AS s2
+              FROM chunks a JOIN chunks c
+                ON a.b = c.b AND a.chunk = c.chunk AND a.doc_id < c.doc_id),
+            pairs AS (
+              SELECT d1, d2 FROM cand WHERE bit_count(xor(s1, s2)) <= 3),
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+            lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+            SELECT label AS cluster_id, count(*) AS n_docs,
+                   CAST(sum(id) AS BIGINT) AS sum_ids
+            FROM lbl GROUP BY 1 ORDER BY 1"""))
+
   /** q41 — winnowing fingerprints (k=3, w=4) rolled up per document:
     * fingerprint count, min, and a bounded checksum (sum of mod-1e6
     * residues — a sum of raw 60-bit values would overflow BIGINT on
@@ -472,5 +532,5 @@ object LlmQueries {
             ORDER BY user_id, session_start"""))
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43, q47)
+    q42, q43, q47, q49)
 }

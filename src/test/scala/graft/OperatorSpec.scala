@@ -100,6 +100,24 @@ class OperatorSpec extends SparkSpec {
     assert(pairs.agg(min(col("jaccard"))).first().getDouble(0) === 1.0)
   }
 
+  test("connectedComponents chains pairs into clusters; survivor selection keeps one per cluster") {
+    // chain 1-2, 2-3, 3-4 must form ONE cluster (per-pair dedup would
+    // over-delete), plus a separate pair and a bridge-merged cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (11L, 21L))
+      .toDF("doc_id_1", "doc_id_2")
+    val cc = Dedup.connectedComponents(pairs)
+    val byCluster = cc.groupBy("cluster_id").agg(collect_set("id").as("ids"))
+      .as[(Long, Seq[Long])].collect().map { case (c, ids) => c -> ids.sorted }.toMap
+    assert(byCluster === Map(1L -> Seq(1L, 2L, 3L, 4L), 10L -> Seq(10L, 11L, 20L, 21L)))
+
+    // survivors: min id per cluster; docs in no pair pass through
+    val docs = (1L to 25L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val kept = Dedup.dedupByClusters(docs, cc, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    val expected = (1L to 25L).filterNot(Seq(2L, 3L, 4L, 11L, 20L, 21L).contains)
+    assert(kept.toSeq === expected)
+  }
+
   test("mergeType1: matched rows replaced, unmatched kept, new inserted") {
     val tgt = Seq((1, "old"), (2, "keep")).toDF("k", "v")
     val src = Seq((1, "new"), (3, "ins")).toDF("k", "v")
