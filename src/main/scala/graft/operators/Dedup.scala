@@ -300,8 +300,11 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, id1: String = "doc_id_1",
       id2: String = "doc_id_2", maxIters: Int = 25): DataFrame = {
     val fwd = pairs.select(col(id1).as("a"), col(id2).as("b"))
+    // pre-partitioned on the per-round join key so the cached edge
+    // blocks satisfy the join's distribution every round (the cache
+    // carries its partitioning; only the small labels side re-shuffles)
     val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
+      .distinct().repartition(col("b")).persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
@@ -309,13 +312,15 @@ object Dedup {
     while (!converged && i < maxIters) {
       val neighborMin = edges.join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min("label").as("nlabel"))
+      // the `changed` flag rides the same pass, so convergence is a
+      // filter over the checkpointed rows — no extra join per round
       val updated = labels.join(neighborMin, col("id") === col("a"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          coalesce(col("nlabel") < col("label"), lit(false)).as("changed"))
         .localCheckpoint()
-      converged = updated.as("u").join(labels.as("l"), "id")
-        .where(col("u.label") =!= col("l.label")).isEmpty
-      labels = updated
+      converged = updated.where(col("changed")).isEmpty
+      labels = updated.select("id", "label")
       i += 1
     }
     finish(labels.select(col("id"), col("label").as("cluster_id")), edges)
