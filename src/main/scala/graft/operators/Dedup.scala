@@ -131,10 +131,15 @@ object Dedup {
     val sigs = hashes.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
       .persist()
 
-    // band buckets as comma-joined value strings — engine-portable,
-    // unlike murmur hash()
+    // band buckets: the comma-joined signature-row string (engine-
+    // portable, unlike murmur hash()) collapsed to a 60-bit md5Long —
+    // the self-join then shuffles/sorts 8-byte longs instead of
+    // ~80-byte strings. A 60-bit collision can only ADD a candidate
+    // pair (recall is untouched: equal strings hash equal), and the
+    // exact-Jaccard verify filters any such false positive; the
+    // oracle replays the same hash.
     val bucketCols = (0 until bands).map { b =>
-      concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+      md5Long(concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
     }
     val allBuckets = sigs.select(col(idCol), posexplode(array(bucketCols: _*)))
       .withColumnRenamed("pos", "band")

@@ -153,7 +153,9 @@ object LlmQueries {
               FROM hv CROSS JOIN consts GROUP BY 1, 2),
             buckets AS (
               SELECT doc_id, i // 4 AS b,
-                     string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+                     CAST(('0x' || substr(md5(
+                       string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)), 1, 15))
+                       AS BIGINT) AS bucket
               FROM mins GROUP BY 1, 2),
             bsz AS (
               SELECT b, bucket FROM buckets
