@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator coverage (dedup, similarity, text
@@ -533,6 +533,45 @@ object LlmQueries {
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
+  /** q50 — exact stratified sample (5 docs per source, ranked by
+    * md5-of-key): deterministic, engine-replayable sampling. The
+    * rank ≤ n filter plans as WindowGroupLimit, so each map partition
+    * ships only its local top-n per stratum — skewed strata cost what
+    * balanced ones do (OperatorSpec asserts the plan shape). */
+  private val q50 = Q("q50_stratified_sample",
+    (s, d) => {
+      Sampling.stratifiedSample(Tables.documents(s, d),
+          col("source"), col("doc_id"), n = 5)
+        .select("source", "sample_rank", "doc_id")
+        .orderBy("source", "sample_rank")
+    },
+    Some("""SELECT source, sample_rank, doc_id FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                                doc_id) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 5 ORDER BY source, sample_rank"""))
+
+  /** q51 — deterministic hash sampling at rate 0.25 (keep iff the
+    * 60-bit md5 of the key < 0.25·2^60 = 2^58): a pure codegen'd
+    * filter — no shuffle, no RNG, identical membership on every run
+    * and engine, rolled up per segment to hash-check the exact
+    * member set. */
+  private val q51 = Q("q51_hash_sample",
+    (s, d) => {
+      Sampling.hashSample(Tables.customer(s, d), col("c_custkey"), 0.25)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+                   round(sum(c_acctbal), 2) AS sum_bal
+            FROM customer
+            WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                  < 288230376151711744
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43, q47, q49)
+    q42, q43, q47, q49, q50, q51)
 }

@@ -118,6 +118,34 @@ class OperatorSpec extends SparkSpec {
     assert(kept.toSeq === expected)
   }
 
+  test("sampling: hash split is disjoint+exhaustive+stable; stratified limit is map-side") {
+    import graft.operators.Sampling
+    val df = (1L to 10000L).map(i => (i, s"grp_${i % 7}", i * 0.5)).toDF("id", "grp", "v")
+
+    // split: every row on exactly one side, membership key-determined
+    val (train, hold) = Sampling.hashSplit(df, col("id"), 0.2)
+    val (nTrain, nHold) = (train.count(), hold.count())
+    assert(nTrain + nHold === 10000L)
+    assert(train.join(hold, "id").isEmpty)
+    // rate lands near the target (md5 is uniform)
+    assert(nHold > 1500 && nHold < 2500, s"holdout $nHold")
+    // stability: re-running selects the identical member set
+    val (train2, _) = Sampling.hashSplit(df, col("id"), 0.2)
+    assert(train.exceptAll(train2).isEmpty)
+    // growing the corpus never flips an existing row's side
+    val (bigTrain, _) = Sampling.hashSplit(
+      df.unionByName((10001L to 12000L).map(i => (i, "new", 0.0)).toDF("id", "grp", "v")),
+      col("id"), 0.2)
+    assert(train.join(bigTrain, Seq("id"), "left_anti").isEmpty)
+
+    // stratified: exact n per stratum, deterministic, map-side-limited
+    val strat = Sampling.stratifiedSample(df, col("grp"), col("id"), n = 3)
+    val perGroup = strat.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(perGroup.size === 7 && perGroup.values.forall(_ === 3L))
+    val plan = strat.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(500))
+  }
+
   test("mergeType1: matched rows replaced, unmatched kept, new inserted") {
     val tgt = Seq((1, "old"), (2, "keep")).toDF("k", "v")
     val src = Seq((1, "new"), (3, "ins")).toDF("k", "v")
