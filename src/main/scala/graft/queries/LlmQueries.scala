@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator coverage (dedup, similarity, text
@@ -572,6 +572,26 @@ object LlmQueries {
                   < 288230376151711744
             GROUP BY 1 ORDER BY 1"""))
 
+  /** q52 — token-budget sequence packing (greedy next-fit within
+    * range-partitioned hash order; [[graft.operators.Packing]]),
+    * reported as corpus-level pack stats. No oracle SQL: packing is a
+    * stateful partition-local fold no declarative engine replays —
+    * the driver records the weaker rows-only check; the packing
+    * invariants (exactly-once membership, budget ceiling, oversized
+    * singletons, determinism) are asserted in OperatorSpec. */
+  private val q52 = Q("q52_sequence_packing",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512)
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+        .agg(count(lit(1)).as("n_packs"), sum("n_docs").as("n_docs"),
+          max("pack_tokens").as("max_pack_tokens"),
+          sum(when(col("pack_tokens") <= 512, 1).otherwise(0)).as("n_within_budget"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43, q47, q49, q50, q51)
+    q42, q43, q47, q49, q50, q51, q52)
 }

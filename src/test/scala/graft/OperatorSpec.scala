@@ -146,6 +146,32 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(500))
   }
 
+  test("packing: exactly-once, budget-capped, oversized singletons, deterministic") {
+    import graft.operators.Packing
+    // sizes from 1..400 plus three oversized docs (budget 512)
+    val docs = ((1L to 300L).map(i => (i, (i % 400) + 1)) ++
+      Seq((900L, 5000L), (901L, 513L), (902L, 9999L))).toDF("doc_id", "n_tokens")
+    val packed = Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512)
+
+    // every doc lands in exactly one pack
+    assert(packed.count() === 303L)
+    assert(packed.select("doc_id").distinct().count() === 303L)
+
+    val packs = packed.groupBy("pack_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"),
+        max("n_tokens").as("biggest"))
+    // within budget unless the pack is a single oversized doc
+    assert(packs.where(col("tok") > 512 && col("n") > 1).isEmpty)
+    // oversized docs are alone in their packs
+    val over = packed.where(col("n_tokens") > 512).select("pack_id")
+    assert(packs.join(over, "pack_id").where(col("n") =!= 1).isEmpty)
+    // greedy fill actually packs (not one doc per pack)
+    assert(packs.where(col("n") > 1).count() > 0)
+    // deterministic re-run
+    val again = Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+  }
+
   test("mergeType1: matched rows replaced, unmatched kept, new inserted") {
     val tgt = Seq((1, "old"), (2, "keep")).toDF("k", "v")
     val src = Seq((1, "new"), (3, "ins")).toDF("k", "v")
