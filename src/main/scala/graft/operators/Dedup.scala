@@ -292,18 +292,19 @@ object Dedup {
     * that appears in a pair.
     *
     * Execution: iterative min-label propagation over the symmetrized
-    * edge list — per round, each node takes the min of its own and its
-    * neighbors' labels; rounds bound by the cluster diameter, which
-    * for dup clusters is tiny (mass-dup corpora produce dense, shallow
-    * clusters). Every shuffle keys on node ids (uniform); labels are
+    * edge list, with a pointer-jumping step per round (each node also
+    * adopts its label's label) — propagation alone needs O(diameter)
+    * rounds and a long chain would exhaust the budget; the jump
+    * halves paths, so rounds are O(log diameter) (the same round
+    * complexity class as large-star/small-star, Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Every
+    * shuffle keys on node or label ids (uniform); labels are
     * `localCheckpoint`ed per round so round i+1 reads k rows, not a
-    * depth-i plan. The published log-diameter variant (large-star /
-    * small-star, Kiveris et al., "Connected Components in MapReduce
-    * and Beyond", SoCC'14) is the upgrade path if diameters ever grow;
-    * the per-round shape here is identical, so it swaps in locally.
+    * depth-i plan. Throws if `maxIters` rounds do not converge —
+    * silently-partial clusters would over-keep duplicates downstream.
     */
   def connectedComponents(pairs: DataFrame, id1: String = "doc_id_1",
-      id2: String = "doc_id_2", maxIters: Int = 25): DataFrame = {
+      id2: String = "doc_id_2", maxIters: Int = 40): DataFrame = {
     val fwd = pairs.select(col(id1).as("a"), col(id2).as("b"))
     // pre-partitioned on the per-round join key so the cached edge
     // blocks satisfy the join's distribution every round (the cache
@@ -317,17 +318,28 @@ object Dedup {
     while (!converged && i < maxIters) {
       val neighborMin = edges.join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min("label").as("nlabel"))
-      // the `changed` flag rides the same pass, so convergence is a
-      // filter over the checkpointed rows — no extra join per round
-      val updated = labels.join(neighborMin, col("id") === col("a"), "left")
+      val propagated = labels.join(neighborMin, col("id") === col("a"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           coalesce(col("nlabel") < col("label"), lit(false)).as("changed"))
+      // pointer jump: adopt the label's own label (path halving) —
+      // without it a length-d chain needs d rounds; with it O(log d)
+      val jumpTargets = propagated.select(col("id").as("__lid"), col("label").as("__llabel"))
+      // the `changed` flag rides the same pass, so convergence is a
+      // filter over the checkpointed rows — no extra join per round
+      val updated = propagated.join(jumpTargets, col("label") === col("__lid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"),
+          (col("changed") || coalesce(col("__llabel") < col("label"), lit(false)))
+            .as("changed"))
         .localCheckpoint()
       converged = updated.where(col("changed")).isEmpty
       labels = updated.select("id", "label")
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "component diameter exceeds the budget; raise maxIters")
     finish(labels.select(col("id"), col("label").as("cluster_id")), edges)
   }
 

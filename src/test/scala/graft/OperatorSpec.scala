@@ -118,6 +118,42 @@ class OperatorSpec extends SparkSpec {
     assert(kept.toSeq === expected)
   }
 
+  test("connectedComponents equals union-find on random graphs; chains converge (pointer jump)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // only nodes that appear in an edge are labeled (CC's contract)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      touched.map(x => x -> find(x)).toMap
+    }
+
+    val graphGen = for {
+      n <- Gen.choose(4, 24)
+      m <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(1, n); b <- Gen.choose(1, n) if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield (n, edges.distinct)
+
+    val cases = (1 to 5).flatMap(i => graphGen(Gen.Parameters.default, Seed(i.toLong)))
+      // worst case for plain propagation: one long chain — needs
+      // pointer jumping to converge inside the round budget
+      .prepended((30, (1L until 30L).map(i => (i, i + 1))))
+    cases.foreach { case (n, edges) =>
+      val got = Dedup.connectedComponents(
+          edges.toDF("doc_id_1", "doc_id_2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === unionFind(n, edges), s"graph n=$n edges=$edges")
+    }
+  }
+
   test("sampling: hash split is disjoint+exhaustive+stable; stratified limit is map-side") {
     import graft.operators.Sampling
     val df = (1L to 10000L).map(i => (i, s"grp_${i % 7}", i * 0.5)).toDF("id", "grp", "v")
