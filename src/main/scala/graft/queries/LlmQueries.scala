@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Tfidf}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator coverage (dedup, similarity, text
@@ -592,6 +592,32 @@ object LlmQueries {
     },
     None)
 
+  /** q53 — TF-IDF top-3 terms per document (smoothed idf, scikit
+    * convention), the relevance-weighting member of the text-analysis
+    * family. Ranked by the raw score with term-ascending tie-break on
+    * BOTH engines so the window is deterministic; output rounded. */
+  private val q53 = Q("q53_tfidf_topterms",
+    (s, d) => {
+      Tfidf.topTerms(Tables.documents(s, d).filter(col("doc_id") < 50),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM documents WHERE doc_id < 50),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+            SELECT doc_id, rank, term,
+                   round(tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS tfidf
+            FROM (
+              SELECT doc_id, term, tf, df, n_docs,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf * (ln((n_docs + 1) / (df + 1)) + 1) DESC,
+                                term ASC) AS rank
+              FROM tf JOIN dfc USING (term) CROSS JOIN n)
+            WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43, q47, q49, q50, q51, q52)
+    q42, q43, q47, q49, q50, q51, q52, q53)
 }

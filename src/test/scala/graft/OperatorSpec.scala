@@ -154,6 +154,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("tfidf: corpus-wide terms rank below distinctive ones; values match by hand") {
+    import graft.operators.Tfidf
+    // "common" is in all 3 docs (df=3); each doc has one distinctive term
+    val docs = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val out = Tfidf.topTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").as[(Long, Int, String, Double)].collect()
+    // doc 1: alpha (tf=2, df=1) ranks above common (tf=1, df=3)
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq === Seq("alpha", "common"))
+    // hand-computed smoothed tf-idf: 2 * (ln(4/2) + 1), 1 * (ln(4/4) + 1)
+    val alpha = out.find(r => r._1 == 1L && r._3 == "alpha").get._4
+    assert(math.abs(alpha - 2 * (math.log(2.0) + 1)) < 1e-6)
+    val common = out.find(r => r._1 == 1L && r._3 == "common").get._4
+    assert(math.abs(common - 1.0) < 1e-6)
+  }
+
   test("sampling: hash split is disjoint+exhaustive+stable; stratified limit is map-side") {
     import graft.operators.Sampling
     val df = (1L to 10000L).map(i => (i, s"grp_${i % 7}", i * 0.5)).toDF("id", "grp", "v")
