@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column profiling at corpus scale.
+  *
+  * [[exactQuantiles]] is the oracle-checkable reference (continuous-
+  * interpolation percentiles, one grouped aggregate). At 100 TB exact
+  * percentiles hold per-group sorted buffers, so [[sketchProfile]] is
+  * the scale path: HyperLogLog++ distinct counts and mergeable
+  * t-digest-style percentile sketches — constant memory per group,
+  * one pass, no sort — with error bounds the spec pins against the
+  * exact answers. This is the profile a data pipeline runs on every
+  * ingest batch (row counts, key cardinality, value distribution)
+  * where exact computation would cost more than the load itself.
+  */
+object Stats {
+
+  /** Exact continuous-interpolation percentiles of `valueCol` per
+    * group — matches SQL `quantile_cont` semantics. */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+      ps: Seq[Double]): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        percentile(valueCol, typedLit(ps)).as("qs"))
+      .select((groupCols :+ col("n")) ++
+        ps.zipWithIndex.map { case (p, i) =>
+          round(element_at(col("qs"), i + 1), 4).as(s"p${(p * 100).toInt}")
+        }: _*)
+
+  /** Sketch-based profile: approximate distinct keys (HLL++, `rsd`
+    * relative error) and approximate percentiles (`acc` accuracy =
+    * 1/precision; error ≤ 1/acc of rank) per group. */
+  def sketchProfile(df: DataFrame, groupCols: Seq[Column], keyCol: Column,
+      valueCol: Column, ps: Seq[Double], rsd: Double = 0.02,
+      acc: Int = 10000): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(keyCol, rsd).as("approx_distinct"),
+        approx_percentile(valueCol, typedLit(ps), lit(acc)).as("approx_qs"))
+}

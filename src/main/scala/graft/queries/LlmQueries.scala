@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Tfidf}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Stats, Tfidf}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator coverage (dedup, similarity, text
@@ -618,6 +618,24 @@ object LlmQueries {
               FROM tf JOIN dfc USING (term) CROSS JOIN n)
             WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** q54 — exact grouped percentiles (continuous interpolation,
+    * quantile_cont semantics) — the oracle-checkable face of the
+    * [[graft.operators.Stats]] profiler; the sketch path (HLL++ +
+    * approx percentiles) is bound-checked against these exact answers
+    * in OperatorSpec. */
+  private val q54 = Q("q54_quantiles",
+    (s, d) => {
+      Stats.exactQuantiles(Tables.lineitem(s, d),
+          Seq(col("l_returnflag")), col("l_extendedprice"),
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43, q47, q49, q50, q51, q52, q53)
+    q42, q43, q47, q49, q50, q51, q52, q53, q54)
 }

@@ -154,6 +154,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("stats sketches stay inside their error bounds vs exact answers") {
+    import graft.operators.Stats
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val sketch = Stats.sketchProfile(li, Seq(col("l_returnflag")),
+        col("l_orderkey"), col("l_extendedprice"), Seq(0.5, 0.9), rsd = 0.02)
+      .as[(String, Long, Long, Seq[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("d"),
+        percentile(col("l_extendedprice"), typedLit(Seq(0.5, 0.9))).as("qs"))
+      .as[(String, Long, Seq[Double])].collect()
+    assert(exact.nonEmpty)
+    exact.foreach { case (flag, d, qs) =>
+      val (_, _, approxD, approxQs) = sketch(flag)
+      // HLL++ at rsd=0.02: allow 4 sigma
+      assert(math.abs(approxD - d).toDouble / d < 0.08, s"$flag distinct $approxD vs $d")
+      // approx_percentile returns a REAL element near the requested
+      // rank; with acc=10000 it lands within a tight value band here
+      qs.zip(approxQs).foreach { case (e, a) =>
+        assert(math.abs(a - e) / e < 0.05, s"$flag quantile $a vs $e") }
+    }
+  }
+
   test("tfidf: corpus-wide terms rank below distinctive ones; values match by hand") {
     import graft.operators.Tfidf
     // "common" is in all 3 docs (df=3); each doc has one distinctive term
