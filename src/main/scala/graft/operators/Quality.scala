@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch data-quality gates — the checks a pipeline runs on EVERY
+  * ingest before letting a batch through (the generalized form of the
+  * reference's post-load verification audits).
+  */
+object Quality {
+
+  /** One-pass completeness profile: row count + per-column null
+    * counts, computed as a single aggregate over one scan (a
+    * null-check per column per row — no shuffle beyond the 1-row
+    * combine) and melted to (col_name, n_rows, n_nulls, null_pct) for
+    * reporting. Column order follows the schema. */
+  def nullProfile(df: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      df.columns.toSeq.map(c =>
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"__nn_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(df.columns.map(c =>
+          struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+            col(s"__nn_$c").as("n_nulls"))): _*)))
+      .select("col.*")
+      .withColumn("null_pct", round(col("n_nulls") * 100.0 / col("n_rows"), 4))
+  }
+}

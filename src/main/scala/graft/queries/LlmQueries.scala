@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Stats, Tfidf}
+import graft.operators.{Dedup, Multimodal, Packing, Quality, Sampling, Similarity, Stats, Tfidf}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator coverage (dedup, similarity, text
@@ -636,6 +636,34 @@ object LlmQueries {
                    round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** q55 — one-pass completeness profile over orders (the per-batch
+    * data-quality gate, generalized from the reference's post-load
+    * audits): row count + per-column null counts in ONE aggregate over
+    * one scan, melted to report rows. */
+  private val q55 = Q("q55_null_profile",
+    (s, d) => {
+      Quality.nullProfile(Tables.orders(s, d)).orderBy("col_name")
+    },
+    Some("""WITH agg AS (
+              SELECT count(*) AS n,
+                     sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_o_orderkey,
+                     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_o_custkey,
+                     sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_o_orderstatus,
+                     sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_o_totalprice,
+                     sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_o_orderdate,
+                     sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_o_orderpriority
+              FROM orders)
+            SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+                   round(n_nulls * 100.0 / n_rows, 4) AS null_pct
+            FROM (
+              SELECT unnest(['o_orderkey', 'o_custkey', 'o_orderstatus',
+                             'o_totalprice', 'o_orderdate', 'o_orderpriority']) AS col_name,
+                     n AS n_rows,
+                     unnest([nn_o_orderkey, nn_o_custkey, nn_o_orderstatus,
+                             nn_o_totalprice, nn_o_orderdate, nn_o_orderpriority]) AS n_nulls
+              FROM agg)
+            ORDER BY col_name"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43, q47, q49, q50, q51, q52, q53, q54)
+    q42, q43, q47, q49, q50, q51, q52, q53, q54, q55)
 }
