@@ -664,6 +664,43 @@ object LlmQueries {
               FROM agg)
             ORDER BY col_name"""))
 
+  /** q56 — as-of join ([[graft.ops.AsOf]]): every click matched to the
+    * latest view at-or-before it per user, verified against DuckDB's
+    * native ASOF JOIN. Views are deduped to one per (user, ts) first
+    * so the boundary pick is well-defined on both engines. */
+  private val q56 = Q("q56_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id"))
+        .groupBy("user_id", "view_ts")
+        .agg(max("event_id").as("view_id"))
+      graft.ops.AsOf.asofJoin(clicks, views, Seq("user_id"),
+          col("click_ts"), col("view_ts"), Seq("view_id", "view_ts"))
+        .where(col("view_id").isNotNull)
+        .select(col("click_id"), col("user_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+          col("view_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_time"))
+        .orderBy("click_id")
+    },
+    Some("""WITH clicks AS (
+              SELECT event_id AS click_id, user_id, ts AS click_ts
+              FROM events WHERE event_type = 'click'),
+            views AS (
+              SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT click_id, c.user_id,
+                   strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+                   view_id,
+                   strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_time
+            FROM clicks c ASOF JOIN views v
+              ON c.user_id = v.user_id AND v.view_ts <= c.click_ts
+            ORDER BY click_id"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43, q47, q49, q50, q51, q52, q53, q54, q55)
+    q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56)
 }

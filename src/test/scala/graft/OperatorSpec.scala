@@ -154,6 +154,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: latest prior match per key, boundary-equal matches, no-prior is null") {
+    import graft.ops.AsOf
+    val trades = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 35L), (4L, "B", 5L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 10L, 1.0), ("A", 15L, 2.0), ("A", 30L, 3.0), ("B", 50L, 9.0))
+      .toDF("sym", "qt", "px")
+    val out = AsOf.asofJoin(trades, quotes, Seq("sym"), col("t"), col("qt"),
+        Seq("qt", "px"))
+      .orderBy("trade_id")
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1L, Some(1.0)),  // boundary-equal: quote at t=10 matches trade at t=10
+      (2L, Some(2.0)),  // latest prior (15), not first (10), not future (30)
+      (3L, Some(3.0)),
+      (4L, None)))      // B's only quote is in the future → no match
+  }
+
   test("stats sketches stay inside their error bounds vs exact answers") {
     import graft.operators.Stats
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
