@@ -283,5 +283,50 @@ object BusinessQueries {
             FROM orders WHERE o_custkey < 200
             ORDER BY o_custkey, o_orderkey"""))
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46)
+  /** q57 — CUBE + GROUPING() ids (the full grouping-sets lattice —
+    * q44 covers the ROLLUP subset): all four aggregation levels in one
+    * Expand + single aggregate, with the grouping bitmask distinguishing
+    * genuine NULL keys from subtotal rows — the unambiguous form the
+    * coalesce labelling in q44 cannot give when keys can be null. */
+  private val q57 = Q("q57_cube_grouping",
+    (s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"),
+          grouping_id(col("o_orderstatus"), col("o_orderpriority")).as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("gid"), col("total"), col("n"))
+        .orderBy("gid", "status", "priority")
+    },
+    Some("""SELECT coalesce(o_orderstatus, '<all>') AS status,
+            coalesce(o_orderpriority, '<all>') AS priority,
+            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+            round(sum(o_totalprice), 2) AS total, count(*) AS n
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY gid, status, priority"""))
+
+  /** q58 — PIVOT (long→wide conditional aggregation): per-user event
+    * counts by type as columns. The value list is pinned so the output
+    * schema is static — the scale-correct form (an unpinned pivot runs
+    * a distinct-scan first and breaks schema stability). */
+  private val q58 = Q("q58_pivot_events",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+            CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+            CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+            CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+            CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+            CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58)
 }
