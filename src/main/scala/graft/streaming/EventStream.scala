@@ -97,6 +97,29 @@ object EventStream {
         col("click_ts"), col("view_ts"), col("value"))
   }
 
+  /** LEFT OUTER stream-stream attribution: like [[attributionJoin]],
+    * but clicks with NO prior view in the window still emit (null
+    * view columns) — once the watermark passes the click's join
+    * window, so the "unmatched" verdict is final, never provisional.
+    * Same bounded-state argument: both sides are watermarked and the
+    * join condition time-bounds both event times. */
+  def attributionJoinLeftOuter(views: DataFrame, clicks: DataFrame,
+      windowMinutes: Int): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value"))
+    c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"), col("value"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)

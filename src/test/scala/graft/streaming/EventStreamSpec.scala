@@ -95,6 +95,51 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("left-outer stream-stream join: unmatched clicks emit once the watermark closes them") {
+    def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000)
+    val viewsDir = Files.createTempDirectory("graft_lov_").toString
+    val clicksDir = Files.createTempDirectory("graft_loc_").toString
+    // user 1: view then click inside the window → matched
+    // user 2: click with no view at all → must STILL emit (null view)
+    // user 3: view 90min before the click (outside 30min window) → unmatched
+    // user 999: far-future flush on BOTH streams pushes the global
+    // watermark so every unmatched verdict is final before shutdown
+    Seq(
+      EventStream.Event(10, ts(0), 1L, "view", 0.0),
+      EventStream.Event(11, ts(5), 3L, "view", 0.0),
+      EventStream.Event(12, ts(20000), 999L, "view", 0.0)
+    ).toDS().write.mode("overwrite").parquet(viewsDir)
+    Seq(
+      EventStream.Event(20, ts(10), 1L, "click", 1.5),
+      EventStream.Event(21, ts(15), 2L, "click", 2.5),
+      EventStream.Event(22, ts(95), 3L, "click", 3.5),
+      EventStream.Event(23, ts(20000), 999L, "click", 0.0)
+    ).toDS().write.mode("overwrite").parquet(clicksDir)
+
+    val q = EventStream.attributionJoinLeftOuter(
+        EventStream.readStream(spark, viewsDir),
+        EventStream.readStream(spark, clicksDir), windowMinutes = 30)
+      .writeStream.format("memory").queryName("lo_attr_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("lo_attr_sink").where(col("user_id") =!= 999L)
+    // matches the batch left join row-for-row
+    val batch = EventStream.attributionJoinLeftOuter(
+        spark.read.parquet(viewsDir), spark.read.parquet(clicksDir),
+        windowMinutes = 30)
+      .where(col("user_id") =!= 999L)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // and the unmatched verdicts are present and correct
+    val byUser = streamed.orderBy("user_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(byUser(1L).contains(10L)) // matched to the in-window view
+    assert(byUser(2L).isEmpty)       // no view ever
+    assert(byUser(3L).isEmpty)       // view outside the window
+  }
+
   test("sessionize survives a later batch of sub-watermark events (timeout clamp)") {
     import java.nio.file.{Path, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
