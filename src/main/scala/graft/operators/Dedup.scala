@@ -353,6 +353,36 @@ object Dedup {
       clusters.where(col("id") =!= col("cluster_id")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Train/test contamination check — the decontamination step of an
+    * evaluation pipeline: for each test document, how much of it
+    * already appears in the training corpus, measured as the fraction
+    * of its distinct shingles present anywhere in train. Execution:
+    * the train corpus reduces to a distinct shingle-hash set (one
+    * uniform-hash shuffle — at 100 TB this set is the vocabulary of
+    * shingles, far smaller than the corpus), test shingles left-join
+    * it as a presence marker, and one aggregate per test doc folds
+    * count + hit count. Docs with fewer words than `shingleSize`
+    * produce no shingles and drop out (nothing to contaminate).
+    * Returns (idCol, n_shingles, n_contaminated, contamination_pct).
+    */
+  def contamination(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val trainSh = spread(train, idCol)
+      .select(explode(wordShingles(col(textCol), shingleSize)).as("s"))
+      .select(md5Long(col("s")).as("h"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val testSh = spread(test, idCol)
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("s"))
+      .select(col(idCol), md5Long(col("s")).as("h"))
+    testSh.join(trainSh, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("__hit"), lit(0)).cast("long").as("n_contaminated"))
+      .withColumn("contamination_pct",
+        round(col("n_contaminated") * 100.0 / col("n_shingles"), 4))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD'03 — the MOSS scheme): hash every positional k-shingle,

@@ -37,6 +37,23 @@ object Sampling {
     (df.where(h >= cut), df.where(h < cut))
   }
 
+  /** Mixture (domain-mix) sampling: each stratum keeps its own rate —
+    * the corpus-mixing step of training-data builds ("50% of web, all
+    * of books, none of the rest"). Thresholds are fixed driver-side as
+    * long literals, so the per-row work is one md5 + one when-chain
+    * compare (pure filter, no shuffle) and an external replay cannot
+    * diverge on float rounding. Strata absent from `rates` use
+    * `defaultRate`. */
+  def mixtureSample(df: DataFrame, strata: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "all rates must be in [0,1]")
+    val cut = rates.foldLeft(lit((defaultRate * Scale).toLong)) {
+      case (acc, (s, r)) => when(strata === s, lit((r * Scale).toLong)).otherwise(acc)
+    }
+    df.where(md5Long(key.cast("string")) < cut)
+  }
+
   /** Exact `n`-per-stratum sample, ranked by md5-of-key (with the key
     * itself as tiebreak, so the ordering is total given unique keys).
     * Plans as row_number ≤ n over a per-stratum window: Spark inserts

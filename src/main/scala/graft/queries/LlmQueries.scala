@@ -701,6 +701,59 @@ object LlmQueries {
               ON c.user_id = v.user_id AND v.view_ts <= c.click_ts
             ORDER BY click_id"""))
 
+  /** q59 — mixture (domain-mix) sampling: per-source keep rates (all
+    * of src0, half of src1, a tenth of src2, none of the rest), as
+    * fixed md5 thresholds — the corpus-mixing step, rolled up per
+    * source to hash-check the exact member set. */
+  private val q59 = Q("q59_mixture_sample",
+    (s, d) => {
+      Sampling.mixtureSample(Tables.documents(s, d), col("source"), col("doc_id"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  < (CASE source WHEN 'src0' THEN 1152921504606846976
+                                 WHEN 'src1' THEN 576460752303423488
+                                 WHEN 'src2' THEN 115292150460684704
+                                 ELSE 0 END)
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** q60 — train/test contamination: fraction of each test doc's
+    * distinct shingles already present anywhere in the train corpus
+    * (sources src0/src1 held out as "test"; the rest is "train").
+    * The decontamination gate of an eval pipeline. */
+  private val q60 = Q("q60_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+          docs.where(!col("source").isin("src0", "src1")),
+          docs.where(col("source").isin("src0", "src1")),
+          "doc_id", "text", shingleSize = 3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                       i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS s
+              FROM (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents)
+              WHERE len(ws) >= 3),
+            hs AS (SELECT doc_id, source,
+                          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+                   FROM sh),
+            train AS (SELECT DISTINCT h FROM hs WHERE source NOT IN ('src0', 'src1')),
+            test AS (SELECT doc_id, h FROM hs WHERE source IN ('src0', 'src1'))
+            SELECT t.doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contaminated,
+                   round(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) * 100.0
+                         / count(*), 4) AS contamination_pct
+            FROM test t LEFT JOIN train tr ON t.h = tr.h
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56)
+    q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60)
 }

@@ -194,6 +194,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSample rates per stratum; contamination detects planted overlap") {
+    import graft.operators.Sampling
+    val df = (1L to 9000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val mixed = Sampling.mixtureSample(df, col("src"), col("id"),
+      Map("s0" -> 1.0, "s1" -> 0.3)) // s2 defaults to 0
+    val bySrc = mixed.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("s0") === 3000L)               // rate 1.0 keeps everything
+    assert(bySrc("s1") > 600 && bySrc("s1") < 1200) // ~0.3 of 3000
+    assert(!bySrc.contains("s2"))               // default rate 0 drops all
+    // membership is the hashSample of each stratum (same draws)
+    val s1Only = Sampling.hashSample(df.where(col("src") === "s1"), col("id"), 0.3)
+    assert(mixed.where(col("src") === "s1").exceptAll(s1Only).isEmpty)
+
+    // contamination: test doc 1 copies train text (100%), doc 2 is novel (0%)
+    val train = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val test = Seq((1L, "alpha beta gamma delta"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val cont = Dedup.contamination(train, test, "doc_id", "text", shingleSize = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(cont(0) === ((1L, 2L, 2L, 100.0)))
+    assert(cont(1) === ((2L, 3L, 0L, 0.0)))
+  }
+
   test("tfidf: corpus-wide terms rank below distinctive ones; values match by hand") {
     import graft.operators.Tfidf
     // "common" is in all 3 docs (df=3); each doc has one distinctive term
