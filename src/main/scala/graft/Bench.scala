@@ -19,12 +19,15 @@ object Bench {
     catch { case _: Throwable => () }
     // a failed query must NOT fold its elapsed time into the total (a
     // broken query would silently "improve" the line) — record it in
-    // an explicit errors list instead
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // an explicit errors list instead. Name-sorted so every run (and
+    // every round) executes in the same order: Map iteration order
+    // shifts as queries are added, which moves JIT/GC neighborhoods
+    // and makes per-query times incomparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
-    }.toSeq
+    }
     val good = results.filter(_._3)
     val errors = results.filterNot(_._3).map(_._1)
     val qs = good.map { case (k, v, _) => s"\"" + k + "\":" + v }
