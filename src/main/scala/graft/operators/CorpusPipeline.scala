@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The canonical training-corpus preparation flow, composed from this
+  * library's operators — what a 100 TB corpus build actually runs,
+  * end to end:
+  *
+  *   quality filter → exact dedup → near-dup cluster dedup →
+  *   decontaminate vs eval → mixture sample → train/holdout split →
+  *   token-budget packing
+  *
+  * Each stage is the already-tested operator; this type adds the
+  * composition, the stage-count report (the run's audit artifact —
+  * how much each gate removed), and the cache discipline: each stage
+  * frame is persisted so the NEXT stage and the count read one
+  * materialization, then everything is released once the final
+  * frames are checkpointed. All determinism guarantees compose: the
+  * same corpus in, the same packed training set out.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minQuality: Double = 0.3,
+      nearDupBits: Int = 48,
+      nearDupMaxHamming: Int = 3,
+      mixtureRates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      holdoutFrac: Double = 0.05,
+      packBudget: Long = 2048)
+
+  /** `train` is packed (pack_id/pack_fill appended); `holdout` is the
+    * leak-free eval slice, unpacked; `report` maps stage → rows out. */
+  final case class Result(train: DataFrame, holdout: DataFrame,
+      report: Seq[(String, Long)])
+
+  def prepare(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      evalDocs: Option[DataFrame] = None,
+      cfg: Config = Config()): Result = {
+    val staged = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val report = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val p = df.persist()
+      staged += p
+      report += name -> p.count()
+      p
+    }
+
+    val input = stage("input", docs)
+    val quality = stage("quality_filter",
+      input.where(qualityScore(col(textCol)) >= cfg.minQuality))
+    val exact = stage("exact_dedup",
+      Dedup.exactByKey(quality, fingerprint(col(textCol)), idCol))
+    val pairs = Dedup.simhashNearDupPairs(exact, idCol, textCol,
+      bits = cfg.nearDupBits, maxHamming = cfg.nearDupMaxHamming)
+    val nearDup = stage("near_dup_cluster_dedup",
+      Dedup.dedupByClusters(exact, Dedup.connectedComponents(pairs), idCol))
+    // decontaminate: drop training docs that overlap the eval corpus
+    val clean = evalDocs match {
+      case Some(ev) =>
+        val contaminated = Dedup.contamination(ev, nearDup, idCol, textCol)
+          .where(col("contamination_pct") > 0).select(idCol)
+        stage("decontaminate", nearDup.join(contaminated, Seq(idCol), "left_anti"))
+      case None => nearDup
+    }
+    val mixed = stage("mixture_sample",
+      Sampling.mixtureSample(clean, col(sourceCol), col(idCol),
+        cfg.mixtureRates, cfg.defaultRate))
+    val (trainDocs, holdout) =
+      Sampling.hashSplit(mixed, concat(col(idCol), lit("|holdout")), cfg.holdoutFrac)
+    val packed = Packing.packSequences(
+      stage("train", trainDocs.withColumn("n_tokens",
+        tokenCount(col(textCol)).cast("long"))),
+      idCol, "n_tokens", cfg.packBudget)
+
+    val train = packed.localCheckpoint()
+    val hold = holdout.localCheckpoint()
+    report += "holdout" -> hold.count()
+    staged.foreach(_.unpersist(blocking = false))
+    Result(train, hold, report.toList)
+  }
+}

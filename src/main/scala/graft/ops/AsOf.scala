@@ -26,6 +26,9 @@ object AsOf {
 
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: Column, rightTime: Column, rightCols: Seq[String]): DataFrame = {
+    val collisions = rightCols.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"rightCols collide with left columns: ${collisions.mkString(", ")} — alias them first")
     val keyed = keyCols.map(col)
     val lType = left.schema
     val rType = right.select(rightCols.map(col): _*).schema

@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Packing, Quality, Sampling, Similarity, Stats, Tfidf}
+import graft.operators.{CorpusPipeline, Dedup, Multimodal, Packing, Quality, Sampling,
+  Similarity, Stats, Tfidf}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator coverage (dedup, similarity, text
@@ -754,6 +755,26 @@ object LlmQueries {
             FROM test t LEFT JOIN train tr ON t.h = tr.h
             GROUP BY 1 ORDER BY 1"""))
 
+  /** q61 — the composed corpus-prep pipeline
+    * ([[graft.operators.CorpusPipeline]]): quality gate → exact dedup
+    * → near-dup cluster dedup → decontaminate → mixture → split →
+    * pack, reported as per-stage row counts. Every stage is
+    * individually oracle-gated above; the composition itself is
+    * rows-only (its packing tail is not SQL-expressible) with the
+    * invariants asserted in OperatorSpec. */
+  private val q61 = Q("q61_corpus_pipeline",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val res = CorpusPipeline.prepare(docs,
+        evalDocs = Some(docs.filter(col("doc_id") < 10)),
+        cfg = CorpusPipeline.Config(minQuality = 0.2,
+          mixtureRates = Map("src0" -> 0.5), defaultRate = 1.0,
+          holdoutFrac = 0.1, packBudget = 1024))
+      res.report.toDF("stage", "rows")
+    },
+    None)
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60)
+    q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61)
 }

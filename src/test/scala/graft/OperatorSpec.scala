@@ -289,6 +289,37 @@ class OperatorSpec extends SparkSpec {
     assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
   }
 
+  test("corpus pipeline composes: gates monotone, dups+contamination removed, packs capped") {
+    import graft.operators.CorpusPipeline
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dups = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 50000)
+    val res = CorpusPipeline.prepare(docs.unionByName(dups),
+      evalDocs = Some(docs.filter(col("doc_id") < 5)),
+      cfg = CorpusPipeline.Config(minQuality = 0.0, defaultRate = 1.0,
+        holdoutFrac = 0.2, packBudget = 512))
+
+    val counts = res.report.toMap
+    // every gate only removes rows
+    val order = Seq("input", "quality_filter", "exact_dedup",
+      "near_dup_cluster_dedup", "decontaminate", "mixture_sample")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(counts(b) <= counts(a), s"$b > $a in $counts") }
+    // split partitions the mixture exactly
+    assert(counts("train") + counts("holdout") === counts("mixture_sample"))
+
+    val kept = res.train.select("doc_id").as[Long].collect().toSet ++
+      res.holdout.select("doc_id").as[Long].collect().toSet
+    // planted exact dups lost to their lower-id originals
+    assert(!kept.exists(_ >= 50000L))
+    // eval-overlapping docs are decontaminated away
+    assert(!kept.exists(_ < 5L))
+    // packs respect the budget unless a single doc exceeds it
+    val packs = res.train.groupBy("pack_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
+    assert(packs.where(col("tok") > 512 && col("n") > 1).isEmpty)
+  }
+
   test("mergeType1: matched rows replaced, unmatched kept, new inserted") {
     val tgt = Seq((1, "old"), (2, "keep")).toDF("k", "v")
     val src = Seq((1, "new"), (3, "ins")).toDF("k", "v")
