@@ -133,6 +133,80 @@ object Similarity {
       .select("vec_id_1", "vec_id_2", "cosine")
   }
 
+  /** Product quantization (Jégou, Douze, Schmid: "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): vectors compress to
+    * `m` small codes — one per subspace — and queries score the whole
+    * corpus through per-subspace distance TABLES instead of raw
+    * vectors. At 100 TB this is the memory story IVF alone lacks: the
+    * scored representation is m bytes-ish per vector, not 4·dim, and
+    * the scoring pass is a broadcast-join + grouped sum over the
+    * encoded rows — no raw-vector shuffle ever.
+    *
+    * Codebooks here are the deterministic sampled kind (so a SQL
+    * oracle replays build→encode→score value-for-value, as with q30's
+    * IVF); [[kMeans]] per subspace is the quality upgrade when SQL
+    * reproducibility is not required.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, dim: Int, step: Long): DataFrame = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    sampleCentroids(corpus, step)
+      .select(col("vec_id").as("cid"), toDouble(col("embedding")).as("ce"))
+      .select(col("cid"), posexplode(array((0 until m).map(j =>
+        slice(col("ce"), j * sub + 1, sub)): _*)))
+      .withColumnRenamed("pos", "subspace")
+      .withColumnRenamed("col", "ce")
+  }
+
+  /** ENCODE: nearest codebook entry per (vector, subspace) — returns
+    * the exploded (nid, subspace, code) form the scorer consumes
+    * directly. One broadcast pass over the corpus; ties break to the
+    * lower centroid id (deterministic). */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    corpus.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("ne"))
+      .select(col("nid"), posexplode(array((0 until m).map(j =>
+        slice(col("ne"), j * sub + 1, sub)): _*)))
+      .withColumnRenamed("pos", "subspace")
+      .withColumnRenamed("col", "nv")
+      .join(broadcast(codebooks), Seq("subspace"))
+      .groupBy(col("nid"), col("subspace"))
+      .agg(min(struct(l2(col("nv"), col("ce")).as("d"), col("cid"))).as("best"))
+      .select(col("nid"), col("subspace"), col("best.cid").as("code"))
+  }
+
+  /** SCORE (asymmetric distance): each query builds a per-subspace
+    * distance table against the codebooks (tiny, broadcast), the
+    * encoded corpus joins it on (subspace, code), and per-subspace
+    * partial distances fold in a FIXED left-to-right order (floating
+    * addition is order-sensitive; a free-order sum could diverge from
+    * an external replay in the last ulp). */
+  def pqTopK(encoded: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      m: Int, dim: Int, k: Int): DataFrame = {
+    val sub = dim / m
+    val q = queries.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qe"))
+      .select(col("qid"), posexplode(array((0 until m).map(j =>
+        slice(col("qe"), j * sub + 1, sub)): _*)))
+      .withColumnRenamed("pos", "subspace")
+      .withColumnRenamed("col", "qv")
+    val table = broadcast(q.join(codebooks, Seq("subspace"))
+      .select(col("qid"), col("subspace"), col("cid").as("code"),
+        pow(l2(col("qv"), col("ce")), 2).as("dsq")))
+    val parts = (0 until m).map(j =>
+      sum(when(col("subspace") === j, col("dsq")).otherwise(lit(0.0))).as(s"__d$j"))
+    val total = (0 until m).map(j => col(s"__d$j")).reduce(_ + _)
+    encoded.join(table, Seq("subspace", "code"))
+      .where(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("__tot", total)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("__tot").asc, col("nid").asc)))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(sqrt(col("__tot")), 6).as("approx_dist"))
+  }
+
   /** Lloyd's k-means over the embedding column, fully distributed
     * (no driver-side collect and no driver-side count): seed = the k
     * first vectors in md5-of-id order (deterministic, uniform-ish, a

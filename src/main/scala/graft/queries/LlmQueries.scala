@@ -775,6 +775,50 @@ object LlmQueries {
     },
     None)
 
+  /** q62 — product-quantization ANN (build → encode → asymmetric-
+    * distance top-k): 4 subspaces × 16 dims, sampled codebooks so the
+    * oracle replays the whole scheme — encoding argmins, distance
+    * tables, and the order-pinned distance fold — value-for-value. */
+  private val q62 = Q("q62_pq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebooks(emb, m = 4, dim = 64, step = 50)
+      val enc = Similarity.pqEncode(emb, cb, m = 4, dim = 64)
+      Similarity.pqTopK(enc, cb, emb.filter(col("vec_id") < 10),
+          m = 4, dim = 64, k = 5)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            js AS (SELECT unnest(generate_series(0, 3)) AS j),
+            cb AS (SELECT cid, j, list_slice(ce, j * 16 + 1, j * 16 + 16) AS ce FROM
+                     (SELECT vec_id AS cid, e AS ce FROM corpus WHERE vec_id % 50 = 0), js),
+            slices AS (SELECT vec_id AS nid, j, list_slice(e, j * 16 + 1, j * 16 + 16) AS nv
+                       FROM corpus, js),
+            enc AS (SELECT nid, j, cid AS code FROM (
+                      SELECT nid, j, cid,
+                             row_number() OVER (PARTITION BY nid, j
+                               ORDER BY list_distance(nv, ce), cid) AS rn
+                      FROM slices JOIN cb USING (j)) WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, j, list_slice(e, j * 16 + 1, j * 16 + 16) AS qv
+                  FROM corpus, js WHERE vec_id < 10),
+            dt AS (SELECT qid, j, cid AS code, pow(list_distance(qv, ce), 2) AS dsq
+                   FROM q JOIN cb USING (j)),
+            scored AS (
+              SELECT qid, nid,
+                     sum(CASE WHEN j = 0 THEN dsq ELSE 0 END) AS d0,
+                     sum(CASE WHEN j = 1 THEN dsq ELSE 0 END) AS d1,
+                     sum(CASE WHEN j = 2 THEN dsq ELSE 0 END) AS d2,
+                     sum(CASE WHEN j = 3 THEN dsq ELSE 0 END) AS d3
+              FROM enc JOIN dt USING (j, code)
+              WHERE qid <> nid GROUP BY 1, 2)
+            SELECT qid, rank, nid, round(sqrt(d0 + d1 + d2 + d3), 6) AS approx_dist
+            FROM (
+              SELECT qid, nid, d0, d1, d2, d3,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY d0 + d1 + d2 + d3, nid) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61)
+    q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62)
 }

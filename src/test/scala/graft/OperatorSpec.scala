@@ -361,6 +361,50 @@ class OperatorSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 0L)))
   }
 
+  test("PQ encode is total and deterministic; planted clusters retrieved exactly") {
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val cb = Similarity.pqCodebooks(emb, m = 8, dim = 64, step = 3)
+    val enc = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+    // every vector gets exactly one code per subspace
+    assert(enc.count() === n * 8)
+    assert(enc.groupBy("nid").count().where(col("count") =!= 8).isEmpty)
+    // deterministic re-encode
+    val enc2 = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+    assert(enc.exceptAll(enc2).isEmpty)
+
+    val queries = emb.filter(col("vec_id") < 10)
+    val pq = Similarity.pqTopK(enc, cb, queries, m = 8, dim = 64, k = 5)
+    assert(pq.groupBy("qid").count().where(col("count") =!= 5).isEmpty)
+    // NOTE deliberately no recall floor against this corpus: the
+    // testdata embeddings are ~uniform random, where 64-d pairwise
+    // distances concentrate and NO quantized ranking beats chance —
+    // recall is asserted on planted structure below instead.
+
+    // planted-cluster recovery: 20 well-separated bases, each with two
+    // tight noisy copies; a further noisy query must retrieve exactly
+    // its own cluster — quantization error is tiny vs the separation
+    val rnd = new scala.util.Random(42)
+    def base(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 10 - 5).toFloat)
+    def near(v: Array[Float]): Array[Float] = v.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+    val bases = (0 until 20).map(i => i.toLong -> base()).toMap
+    val corpus = (bases.toSeq ++
+      bases.toSeq.map { case (i, v) => (100 + i) -> near(v) } ++
+      bases.toSeq.map { case (i, v) => (200 + i) -> near(v) })
+      .toDF("vec_id", "embedding")
+    val pcb = Similarity.pqCodebooks(corpus, m = 8, dim = 64, step = 3)
+    val penc = Similarity.pqEncode(corpus, pcb, m = 8, dim = 64)
+    val pqueries = Seq(900L -> near(bases(3L)), 901L -> near(bases(7L)),
+      902L -> near(bases(15L))).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(penc, pcb, pqueries, m = 8, dim = 64, k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(top(900L) === Set(3L, 103L, 203L))
+    assert(top(901L) === Set(7L, 107L, 207L))
+    assert(top(902L) === Set(15L, 115L, 215L))
+  }
+
   test("kMeans centroids separate two planted clusters") {
     import graft.operators.Similarity
     val vecs = ((0 until 20).map(i => (i.toLong, Array(1.0 + i * 0.001, 0.0))) ++
