@@ -526,6 +526,37 @@ class OperatorSpec extends SparkSpec {
     assert(!fs.exists(new Path(dir, "t.__old")) && !fs.exists(new Path(dir, "t.__tmp")))
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // at 100 TB a selective dim filter should reach the fact scan as a
+    // runtime bloom filter (probe rows drop BEFORE the shuffle); the
+    // default size thresholds are tuned for real tables, so pin them
+    // down to make the tiny fixture eligible and assert the plan shape
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val facts = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      val dim = graft.Tables.part(spark, "/root/testdata/sf0.01")
+        .where(col("p_size") === 1) // selective build side
+      val joined = facts.join(dim, col("l_partkey") === col("p_partkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), plan.take(800))
+      // and the filtered result matches the unfiltered-join truth
+      val expected = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+        .join(graft.Tables.part(spark, "/root/testdata/sf0.01"),
+          col("l_partkey") === col("p_partkey"))
+        .where(col("p_size") === 1)
+      assert(joined.count() === expected.count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import graft.ops.Bucketing
     val facts = (1 to 1000).map(i => (i.toLong % 97, s"f$i")).toDF("k", "fv")
