@@ -207,6 +207,66 @@ object Similarity {
         round(sqrt(col("__tot")), 6).as("approx_dist"))
   }
 
+  /** IVF-PQ — the two-level ANN layout (coarse inverted cells bound
+    * the SCAN, PQ codes on the residual v − centroid bound the
+    * MEMORY; the FAISS IVFPQ architecture): probe nProbe cells, score
+    * only their members, and score them through per-cell residual
+    * distance tables. Residuals are computed with one `zip_with` pass
+    * at BUILD time (interpreted higher-order fn — acceptable for the
+    * one-off corpus pass, never on the query path). Returns (encoded
+    * rows (nid, cell, subspace, code), shared residual codebooks).
+    */
+  def ivfPqBuild(corpus: DataFrame, centroids: DataFrame, m: Int, dim: Int,
+      pqStep: Long): (DataFrame, DataFrame) = {
+    val assigned = assignCells(corpus, centroids, "nid", "ne", "cell", 1)
+    val cent = broadcast(centroids.select(col("vec_id").as("cell"),
+      toDouble(col("embedding")).as("__ce")))
+    val residuals = assigned.join(cent, Seq("cell"))
+      .select(col("nid").as("vec_id"), col("cell"),
+        zip_with(col("ne"), col("__ce"), (a, b) => a - b).as("embedding"))
+    val codebooks = pqCodebooks(residuals, m, dim, pqStep)
+    val encoded = pqEncode(residuals, codebooks, m, dim)
+      .join(residuals.select(col("vec_id").as("nid"), col("cell")), Seq("nid"))
+    (encoded, codebooks)
+  }
+
+  /** IVF-PQ probe: nProbe coarse cells per query, a residual distance
+    * table per (query, probed cell), and the encoded members of the
+    * probed cells scored through it — corpus-side work is one
+    * broadcast join over m rows per member of the probed cells only.
+    * Distance parts fold in fixed order (see [[pqTopK]]). */
+  def ivfPqTopK(encoded: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, m: Int, dim: Int, k: Int, nProbe: Int): DataFrame = {
+    val sub = dim / m
+    val probes = assignCells(queries, centroids, "qid", "qe", "probe_cell", nProbe)
+    val cent = broadcast(centroids.select(col("vec_id").as("probe_cell"),
+      toDouble(col("embedding")).as("__ce")))
+    val qres = probes.join(cent, Seq("probe_cell"))
+      .select(col("qid"), col("probe_cell").as("cell"),
+        zip_with(col("qe"), col("__ce"), (a, b) => a - b).as("qr"))
+    val qslices = qres.select(col("qid"), col("cell"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("qr"), j * sub + 1, sub)): _*)))
+      .withColumnRenamed("pos", "subspace")
+      .withColumnRenamed("col", "qv")
+    val table = broadcast(qslices.join(codebooks, Seq("subspace"))
+      .select(col("qid"), col("cell"), col("subspace"), col("cid").as("code"),
+        pow(l2(col("qv"), col("ce")), 2).as("dsq")))
+    val parts = (0 until m).map(j =>
+      sum(when(col("subspace") === j, col("dsq")).otherwise(lit(0.0))).as(s"__d$j"))
+    val total = (0 until m).map(j => col(s"__d$j")).reduce(_ + _)
+    encoded.join(table, Seq("cell", "subspace", "code"))
+      .where(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("__tot", total)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("__tot").asc, col("nid").asc)))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(sqrt(col("__tot")), 6).as("approx_dist"))
+  }
+
   /** Lloyd's k-means over the embedding column, fully distributed
     * (no driver-side collect and no driver-side count): seed = the k
     * first vectors in md5-of-id order (deterministic, uniform-ish, a

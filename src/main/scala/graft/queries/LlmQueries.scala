@@ -819,6 +819,71 @@ object LlmQueries {
               FROM scored)
             WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** q63 — IVF-PQ top-k (coarse cells + PQ on residuals, the FAISS
+    * IVFPQ layout): the oracle replays BOTH levels — cosine cell
+    * argmax, residual subtraction, per-subspace encode argmins,
+    * probe-cell distance tables, order-pinned fold. */
+  private val q63 = Q("q63_ivfpq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.sampleCentroids(emb, 50)
+      val (enc, cb) = Similarity.ivfPqBuild(emb, centroids, m = 4, dim = 64,
+        pqStep = 25)
+      Similarity.ivfPqTopK(enc, centroids, cb, emb.filter(col("vec_id") < 10),
+          m = 4, dim = 64, k = 5, nProbe = 3)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            js AS (SELECT unnest(generate_series(0, 3)) AS j),
+            cent AS (SELECT vec_id AS cid, e AS ce FROM corpus WHERE vec_id % 50 = 0),
+            acell AS (SELECT nid, ne, cell FROM (
+                        SELECT vec_id AS nid, e AS ne, cid AS cell,
+                               row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY list_cosine_similarity(e, ce) DESC, cid ASC) AS rn
+                        FROM corpus CROSS JOIN cent) WHERE rn = 1),
+            res AS (SELECT nid, cell,
+                           list_transform(generate_series(1, 64), i -> ne[i] - ce2[i]) AS r
+                    FROM acell JOIN (SELECT cid AS cell, ce AS ce2 FROM cent) USING (cell)),
+            cb AS (SELECT cid, j, list_slice(ce, j * 16 + 1, j * 16 + 16) AS ce FROM
+                     (SELECT nid AS cid, r AS ce FROM res WHERE nid % 25 = 0), js),
+            rsl AS (SELECT nid, cell, j, list_slice(r, j * 16 + 1, j * 16 + 16) AS nv
+                    FROM res, js),
+            enc AS (SELECT nid, cell, j, cid AS code FROM (
+                      SELECT nid, cell, j, cid,
+                             row_number() OVER (PARTITION BY nid, j
+                               ORDER BY list_distance(nv, ce), cid) AS rn
+                      FROM rsl JOIN cb USING (j)) WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, e AS qe FROM corpus WHERE vec_id < 10),
+            probes AS (SELECT qid, qe, probe_cell FROM (
+                         SELECT qid, qe, cid AS probe_cell,
+                                row_number() OVER (PARTITION BY qid
+                                  ORDER BY list_cosine_similarity(qe, ce) DESC, cid ASC) AS rn
+                         FROM q CROSS JOIN cent) WHERE rn <= 3),
+            qres AS (SELECT qid, probe_cell AS cell,
+                            list_transform(generate_series(1, 64), i -> qe[i] - ce2[i]) AS qr
+                     FROM probes JOIN (SELECT cid AS probe_cell, ce AS ce2 FROM cent)
+                       USING (probe_cell)),
+            qsl AS (SELECT qid, cell, j, list_slice(qr, j * 16 + 1, j * 16 + 16) AS qv
+                    FROM qres, js),
+            dt AS (SELECT qid, cell, j, cid AS code, pow(list_distance(qv, ce), 2) AS dsq
+                   FROM qsl JOIN cb USING (j)),
+            scored AS (
+              SELECT qid, nid,
+                     sum(CASE WHEN j = 0 THEN dsq ELSE 0 END) AS d0,
+                     sum(CASE WHEN j = 1 THEN dsq ELSE 0 END) AS d1,
+                     sum(CASE WHEN j = 2 THEN dsq ELSE 0 END) AS d2,
+                     sum(CASE WHEN j = 3 THEN dsq ELSE 0 END) AS d3
+              FROM enc JOIN dt USING (cell, j, code)
+              WHERE qid <> nid GROUP BY 1, 2)
+            SELECT qid, rank, nid, round(sqrt(d0 + d1 + d2 + d3), 6) AS approx_dist
+            FROM (
+              SELECT qid, nid, d0, d1, d2, d3,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY d0 + d1 + d2 + d3, nid) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
-    q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62)
+    q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
+    q63)
 }
