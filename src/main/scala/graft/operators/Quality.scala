@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** Per-group z-score outlier flags: a value is anomalous when it
+    * sits more than `sigma` sample standard deviations from its
+    * group's mean. Two aggregates per group computed in ONE grouped
+    * pass, broadcast back onto the rows (group stats are tiny), so
+    * the corpus is scanned twice and shuffled never — the shape that
+    * survives a fact table with millions of rows per group. */
+  def zScoreOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      sigma: Double = 3.0): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(avg(valueCol).as("__mu"), stddev_samp(valueCol).as("__sd"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn("is_outlier",
+        col("__sd") > 0 && abs(col(valueCol) - col("__mu")) > col("__sd") * sigma)
+      .drop("__mu", "__sd")
+  }
+
   /** One-pass completeness profile: row count + per-column null
     * counts, computed as a single aggregate over one scan (a
     * null-check per column per row — no shuffle beyond the 1-row

@@ -93,4 +93,27 @@ object Relational {
       factKey: String, dimKey: String): DataFrame =
     fact.join(dim, fact(factKey) === dim(dimKey), "left_anti")
       .agg(count(lit(1)).as("orphans"))
+
+  /** Snapshot diff — the change-data-capture primitive an incremental
+    * pipeline runs between two states of a table: classify every key
+    * as I (inserted), D (deleted), or U (changed in any compared
+    * column); unchanged rows drop out. One full-outer join on the key
+    * plus a column-wise null-safe comparison (`<=>` so NULL→value and
+    * value→NULL count as changes) — one shuffle on the key, no
+    * row-by-row diffing. Returns (keys..., op). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ compareCols).map(col): _*).as("o")
+    val n = newDf.select((keys ++ compareCols).map(col): _*).as("n")
+    val changed = compareCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val oKey = col(s"o.${keys.head}")
+    val nKey = col(s"n.${keys.head}")
+    o.join(n, keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _), "full_outer")
+      .withColumn("op",
+        when(oKey.isNull, "I").when(nKey.isNull, "D").when(changed, "U"))
+      .where(col("op").isNotNull)
+      .select(keys.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) :+ col("op"): _*)
+  }
 }

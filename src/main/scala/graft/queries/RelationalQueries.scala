@@ -609,7 +609,69 @@ object RelationalQueries {
             SELECT residue, count(*) AS n, CAST(sum(r2) AS BIGINT) AS sum_r2
             FROM r GROUP BY 1 ORDER BY 1"""))
 
+  /** q64 — per-group z-score outlier flags
+    * ([[graft.operators.Quality.zScoreOutliers]]): group stats in one
+    * pass, broadcast back, flags rolled up — the anomaly gate a batch
+    * pipeline runs alongside its null profile. */
+  private val q64 = Q("q64_zscore_outliers",
+    (s, d) => {
+      graft.operators.Quality.zScoreOutliers(Tables.lineitem(s, d),
+          Seq("l_returnflag"), "l_extendedprice", sigma = 2.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1).otherwise(0)).as("n_outliers"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH stats AS (
+              SELECT l_returnflag, avg(l_extendedprice) AS mu,
+                     stddev_samp(l_extendedprice) AS sd
+              FROM lineitem GROUP BY 1)
+            SELECT l.l_returnflag, count(*) AS n,
+                   CAST(sum(CASE WHEN sd > 0 AND abs(l_extendedprice - mu) > sd * 2.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM lineitem l JOIN stats USING (l_returnflag)
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** q65 — snapshot diff ([[graft.ops.Relational.snapshotDiff]]): the
+    * CDC primitive between two table states — inserts/deletes planted
+    * by re-keying, updates by value mutation; null-safe column compare
+    * so NULL↔value transitions count as changes. */
+  private val q65 = Q("q65_snapshot_diff",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val newC = cust.where(col("c_custkey") % 10 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")))
+        .unionByName(cust.where(col("c_custkey") <= 50)
+          .withColumn("c_custkey", col("c_custkey") + 900000))
+      Relational.snapshotDiff(cust, newC, Seq("c_custkey"),
+          Seq("c_acctbal", "c_mktsegment"))
+        .groupBy("op")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_keys"))
+        .orderBy("op")
+    },
+    Some("""WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+            new AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                          ELSE c_acctbal END AS c_acctbal,
+                     c_mktsegment
+              FROM customer WHERE c_custkey % 10 <> 0
+              UNION ALL
+              SELECT c_custkey + 900000, c_acctbal, c_mktsegment
+              FROM customer WHERE c_custkey <= 50),
+            d AS (SELECT coalesce(n.c_custkey, o.c_custkey) AS k,
+                         CASE WHEN o.c_custkey IS NULL THEN 'I'
+                              WHEN n.c_custkey IS NULL THEN 'D'
+                              WHEN NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal)
+                                OR NOT (o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+                              THEN 'U' END AS op
+                  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey)
+            SELECT op, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_keys
+            FROM d WHERE op IS NOT NULL GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q48)
+    q48, q64, q65)
 }

@@ -320,6 +320,19 @@ class OperatorSpec extends SparkSpec {
     assert(packs.where(col("tok") > 512 && col("n") > 1).isEmpty)
   }
 
+  test("snapshotDiff classifies I/U/D with null-safe compares; unchanged rows drop") {
+    val oldDf = Seq((1, Some("a"), 1.0), (2, Some("b"), 2.0), (3, None, 3.0),
+      (4, Some("d"), 4.0)).toDF("k", "v", "x")
+    val newDf = Seq((1, Some("a"), 1.0),          // unchanged → absent
+      (2, Option.empty[String], 2.0),             // value→NULL is a change
+      (3, Some("c"), 3.0),                        // NULL→value is a change
+      (5, Some("e"), 5.0))                        // inserted; 4 deleted
+      .toDF("k", "v", "x")
+    val ops = Relational.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v", "x"))
+      .as[(Int, String)].collect().toMap
+    assert(ops === Map(2 -> "U", 3 -> "U", 4 -> "D", 5 -> "I"))
+  }
+
   test("mergeType1: matched rows replaced, unmatched kept, new inserted") {
     val tgt = Seq((1, "old"), (2, "keep")).toDF("k", "v")
     val src = Seq((1, "new"), (3, "ins")).toDF("k", "v")
