@@ -28,7 +28,9 @@ object EtlChecks {
     def keys(dim: DataFrame, key: String, as: String, flag: String): DataFrame =
       broadcast(dim.select(col(key).as(as)).distinct().withColumn(flag, lit(1)))
     def orphans(flag: String): Column =
-      sum(when(col(flag).isNull, 1).otherwise(0))
+      // coalesce: sum over an EMPTY fact is NULL, and the collect
+      // would NPE where the old anti-join count reported 0
+      coalesce(sum(when(col(flag).isNull, 1).otherwise(0)), lit(0L))
     def melt(agg: DataFrame, names: Seq[String]): DataFrame =
       agg.select(explode(array(names.map(n =>
           struct(lit(n).as("check_name"), col(n).as("orphans"))): _*)))

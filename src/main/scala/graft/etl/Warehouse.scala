@@ -126,9 +126,17 @@ final class Warehouse(spark: SparkSession, baseDir: String) {
     write(table, empty)
   }
 
-  def tables(): Seq[String] =
-    if (!fs.exists(new Path(baseDir))) Seq.empty
-    else fs.listStatus(new Path(baseDir)).toSeq
+  def tables(): Seq[String] = {
+    if (!fs.exists(new Path(baseDir))) return Seq.empty
+    val names = fs.listStatus(new Path(baseDir)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+    // a table stranded mid-swap exists only as <t>.__old — recover it
+    // here too, or enumeration would silently omit it until someone
+    // happened to read() it by name
+    names.filter(_.endsWith(".__old"))
+      .foreach(n => recover(n.stripSuffix(".__old")))
+    fs.listStatus(new Path(baseDir)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .filterNot(n => n.endsWith(".__tmp") || n.endsWith(".__old")).sorted
+  }
 }

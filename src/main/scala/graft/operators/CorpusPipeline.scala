@@ -28,6 +28,11 @@ object CorpusPipeline {
       nearDupMaxHamming: Int = 3,
       mixtureRates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
+      // drop a training doc when MORE than this share of its shingles
+      // appears in the eval corpus; 0.0 is maximally strict and WILL
+      // over-delete on natural language (common trigrams hit) — raise
+      // it for real corpora
+      maxContaminationPct: Double = 0.0,
       holdoutFrac: Double = 0.05,
       packBudget: Long = 2048)
 
@@ -62,7 +67,7 @@ object CorpusPipeline {
     val clean = evalDocs match {
       case Some(ev) =>
         val contaminated = Dedup.contamination(ev, nearDup, idCol, textCol)
-          .where(col("contamination_pct") > 0).select(idCol)
+          .where(col("contamination_pct") > cfg.maxContaminationPct).select(idCol)
         stage("decontaminate", nearDup.join(contaminated, Seq(idCol), "left_anti"))
       case None => nearDup
     }

@@ -28,9 +28,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * ≤ one underfilled pack per partition — negligible against
   * partition-sized corpora (and the price of having no sequential
   * bottleneck; an exact global first-fit is inherently serial).
-  * Output: input columns + (pack_id, pack_seq). Deterministic for a
-  * fixed partition count (the range boundaries move with parallelism,
-  * as with any partition-local fold).
+  * Output: input columns + (pack_id, pack_fill — the running token
+  * fill after the row). Reproducibility caveat, stated honestly:
+  * `repartitionByRange` draws its boundary sample with a per-run
+  * seed, so on inputs larger than the sampler fully covers, pack
+  * MEMBERSHIP can shift between runs even though every pack still
+  * respects the budget — pin boundaries externally (pre-bucketed
+  * input) where bit-identical packs across runs are required.
   */
 object Packing {
 

@@ -19,10 +19,16 @@ object Quality {
       sigma: Double = 3.0): DataFrame = {
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(avg(valueCol).as("__mu"), stddev_samp(valueCol).as("__sd"))
-    df.join(broadcast(stats), groupCols)
-      .withColumn("is_outlier",
-        col("__sd") > 0 && abs(col(valueCol) - col("__mu")) > col("__sd") * sigma)
-      .drop("__mu", "__sd")
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__mu") :+ col("__sd"): _*)
+    // null-SAFE group join (a NULL group key is a row, not a discard),
+    // and the flag coalesces to false for 1-row groups (stddev NULL)
+    // and NULL values — every input row comes back, flagged
+    df.join(broadcast(stats),
+        groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _), "left")
+      .withColumn("is_outlier", coalesce(
+        col("__sd") > 0 && abs(col(valueCol) - col("__mu")) > col("__sd") * sigma,
+        lit(false)))
+      .drop(groupCols.map(c => s"__g_$c") :+ "__mu" :+ "__sd": _*)
   }
 
   /** One-pass completeness profile: row count + per-column null

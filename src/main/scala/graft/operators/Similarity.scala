@@ -77,8 +77,12 @@ object Similarity {
     * [[assignCells]] output (nid, ne, cell), computed once.
     */
   def ivfTopK(assignedCorpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
-    val probes = assignCells(queries, centroids, "qid", "qe", "probe_cell", nProbe)
+      k: Int, nProbe: Int): DataFrame =
+    ivfTopKWithProbes(assignedCorpus,
+      assignCells(queries, centroids, "qid", "qe", "probe_cell", nProbe), k)
+
+  private def ivfTopKWithProbes(assignedCorpus: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val scored = probes.join(assignedCorpus,
         col("probe_cell") === col("cell") && col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("qe"), col("ne")))
@@ -100,9 +104,13 @@ object Similarity {
     * pruning instead of planning-time pruning. */
   def ivfTopKFromStore(store: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    val probedCells = assignCells(queries, centroids, "qid", "qe", "probe_cell", nProbe)
-      .select("probe_cell").distinct().collect().map(_.get(0))
-    ivfTopK(store.where(col("cell").isin(probedCells: _*)), queries, centroids, k, nProbe)
+    // materialize the (tiny) probe assignment once: the IN-list collect
+    // and the probe join below share it instead of re-running the
+    // centroid scoring twice
+    val probes = assignCells(queries, centroids, "qid", "qe", "probe_cell", nProbe)
+      .localCheckpoint()
+    val probedCells = probes.select("probe_cell").distinct().collect().map(_.get(0))
+    ivfTopKWithProbes(store.where(col("cell").isin(probedCells: _*)), probes, k)
   }
 
   /** Convenience: build + probe in one call (when the assignment is

@@ -20,14 +20,24 @@ object Stats {
   /** Exact continuous-interpolation percentiles of `valueCol` per
     * group — matches SQL `quantile_cont` semantics. */
   def exactQuantiles(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
-      ps: Seq[Double]): DataFrame =
+      ps: Seq[Double]): DataFrame = {
+    // decimal-exact labels: (0.29*100).toInt would truncate to p28,
+    // and 0.99 vs 0.999 would collide at p99 — label from the decimal
+    // form (p99, p99_9) and reject duplicates outright
+    def label(p: Double): String =
+      "p" + BigDecimal(p.toString).*(100).bigDecimal.stripTrailingZeros
+        .toPlainString.replace(".", "_").replace("-", "m")
+    val labels = ps.map(label)
+    require(labels.distinct.size == labels.size,
+      s"duplicate quantile labels: ${labels.mkString(", ")}")
     df.groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n"),
         percentile(valueCol, typedLit(ps)).as("qs"))
       .select((groupCols :+ col("n")) ++
         ps.zipWithIndex.map { case (p, i) =>
-          round(element_at(col("qs"), i + 1), 4).as(s"p${(p * 100).toInt}")
+          round(element_at(col("qs"), i + 1), 4).as(label(p))
         }: _*)
+  }
 
   /** Sketch-based profile: approximate distinct keys (HLL++, `rsd`
     * relative error) and approximate percentiles (`acc` accuracy =

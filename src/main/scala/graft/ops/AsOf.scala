@@ -40,8 +40,12 @@ object AsOf {
       keyed :+ rightTime.as("__t") :+ lit(0).as("__side")
         :+ lit(null).cast(lType).as("__l")
         :+ struct(rightCols.map(col): _*).as("__r"): _*)
+    // the trailing __r sort key pins ties: multiple right rows at the
+    // same (key, time) would otherwise resolve by shuffle-fetch order —
+    // the deterministic pick is the greatest right payload (callers
+    // wanting a specific survivor should pre-dedup per (key, time))
     val w = Window.partitionBy(keyed: _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

@@ -108,11 +108,13 @@ object Relational {
     val changed = compareCols
       .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val oKey = col(s"o.${keys.head}")
-    val nKey = col(s"n.${keys.head}")
-    o.join(n, keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _), "full_outer")
+    // presence markers, NOT key-null tests: a row whose key column is
+    // genuinely NULL must still classify by which side it came from
+    val ow = o.withColumn("__o", lit(1))
+    val nw = n.withColumn("__n", lit(1))
+    ow.join(nw, keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _), "full_outer")
       .withColumn("op",
-        when(oKey.isNull, "I").when(nKey.isNull, "D").when(changed, "U"))
+        when(col("__o").isNull, "I").when(col("__n").isNull, "D").when(changed, "U"))
       .where(col("op").isNotNull)
       .select(keys.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) :+ col("op"): _*)
   }

@@ -331,6 +331,29 @@ class OperatorSpec extends SparkSpec {
     val ops = Relational.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v", "x"))
       .as[(Int, String)].collect().toMap
     assert(ops === Map(2 -> "U", 3 -> "U", 4 -> "D", 5 -> "I"))
+
+    // a genuinely-NULL key classifies by PRESENCE, not key-null tests:
+    // a NULL-key row present only in old is a deletion, not an insert
+    val o2 = Seq((Option("a"), 1.0), (Option.empty[String], 2.0)).toDF("k", "x")
+    val n2 = Seq((Option("a"), 1.0)).toDF("k", "x")
+    val ops2 = Relational.snapshotDiff(o2, n2, Seq("k"), Seq("x"))
+      .as[(Option[String], String)].collect().toMap
+    assert(ops2 === Map(Option.empty[String] -> "D"))
+  }
+
+  test("zScoreOutliers keeps NULL-group rows and flags 1-row groups false") {
+    import graft.operators.Quality
+    val df = Seq((Option("g1"), 1.0), (Option("g1"), 1.1), (Option("g1"), 0.9),
+      (Option("g1"), 50.0),                      // the outlier
+      (Option("lone"), 7.0),                     // 1-row group: stddev NULL
+      (Option.empty[String], 3.0))               // NULL group key
+      .toDF("g", "v")
+    val out = Quality.zScoreOutliers(df, Seq("g"), "v", sigma = 1.1)
+    assert(out.count() === 6)                    // nothing dropped
+    val flagged = out.where(col("is_outlier")).select("v").as[Double].collect()
+    assert(flagged.toSeq === Seq(50.0))
+    // flag is never NULL (where(!is_outlier) must keep the rest)
+    assert(out.where(!col("is_outlier")).count() === 5)
   }
 
   test("mergeType1: matched rows replaced, unmatched kept, new inserted") {
