@@ -54,6 +54,24 @@ object Sampling {
     df.where(md5Long(key.cast("string")) < cut)
   }
 
+  /** Token-budget sampling: walk each stratum in md5-of-key order and
+    * keep documents while the running TOKEN total stays within
+    * `budget` — corpus mixing specified in token mass (how training
+    * mixtures are actually defined) rather than document count. A
+    * cumulative-sum window per stratum; deterministic and
+    * engine-replayable like every sampler here. The first doc of a
+    * stratum is kept even if it alone exceeds the budget iff its own
+    * size fits — i.e. strictly: rows where the running total ≤ budget. */
+  def tokenBudgetSample(df: DataFrame, strata: Column, key: Column,
+      tokenCol: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(strata)
+      .orderBy(md5Long(key.cast("string")), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokenCol).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Exact `n`-per-stratum sample, ranked by md5-of-key (with the key
     * itself as tiebreak, so the ordering is total given unique keys).
     * Plans as row_number ≤ n over a per-stratum window: Spark inserts

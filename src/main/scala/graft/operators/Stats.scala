@@ -39,6 +39,24 @@ object Stats {
         }: _*)
   }
 
+  /** Fixed-width histogram: `nBins` equal bins over [lo, hi), values
+    * at/above `hi` clamp into the last bin, below `lo` into the first
+    * — one grouped aggregate over a codegen'd bin expression, the
+    * distribution view a profile run pairs with [[exactQuantiles]].
+    * Returns (bin, bin_lo, n) with empty bins absent. */
+  def histogram(df: DataFrame, valueCol: Column, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need nBins>0 and hi>lo, got $nBins, [$lo,$hi)")
+    val width = (hi - lo) / nBins
+    val bin = greatest(lit(0), least(lit(nBins - 1),
+      floor((valueCol - lo) / width))).cast("long")
+    df.where(valueCol.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(lit(lo) + col("bin") * width, 6))
+      .select("bin", "bin_lo", "n")
+  }
+
   /** Sketch-based profile: approximate distinct keys (HLL++, `rsd`
     * relative error) and approximate percentiles (`acc` accuracy =
     * 1/precision; error ≤ 1/acc of rank) per group. */

@@ -883,7 +883,56 @@ object LlmQueries {
               FROM scored)
             WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** q66 — token-budget sampling: each source contributes documents in
+    * md5 order until 5000 tokens — mixture specified by token MASS
+    * (the way training mixes are defined), cumulative-sum window per
+    * stratum, rolled up per source. */
+  private val q66 = Q("q66_token_budget_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.tokenBudgetSample(docs, col("source"), col("doc_id"),
+          col("n_tokens"), budget = 5000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                                doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM c WHERE cum <= 5000
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** q67 — fixed-width histogram of lineitem prices (40 bins over
+    * [0, 80000)), the distribution view paired with q54's quantiles.
+    * Bin arithmetic is identical floor/clamp on both engines. */
+  private val q67 = Q("q67_price_histogram",
+    (s, d) => {
+      Stats.histogram(Tables.lineitem(s, d), col("l_extendedprice"),
+          lo = 0.0, hi = 80000.0, nBins = 40)
+        .orderBy("bin")
+    },
+    Some("""SELECT bin, round(bin * 2000.0, 6) AS bin_lo, count(*) AS n
+            FROM (
+              SELECT CAST(greatest(0, least(39,
+                       floor(l_extendedprice / 2000.0))) AS BIGINT) AS bin
+              FROM lineitem WHERE l_extendedprice IS NOT NULL)
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
-    q63)
+    q63, q66, q67)
 }
