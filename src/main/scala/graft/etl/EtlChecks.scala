@@ -83,7 +83,9 @@ object EtlChecks {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
-  /** Volume floors + span checks (etl_ods_loader.py:984-1018). */
+  /** Volume floors + span checks (etl_ods_loader.py:984-1018).
+    * Aggregates coalesce to 0 so an empty table reports zero instead
+    * of NPE-ing the audit (months_between over no rows is NULL). */
   def odsVolumes(t: OdsLayer.Tables): Map[String, Long] = Map(
     "sales_rows" -> t.sales.count(),
     "product_rows" -> t.product.count(),
@@ -91,13 +93,16 @@ object EtlChecks {
     "inventory_snapshot_days" -> t.inventory.select(countDistinct("inventory_date"))
       .first().getLong(0),
     "returns_month_span" -> t.returns
-      .agg(months_between(max("return_date"), min("return_date")).cast("long"))
+      .agg(coalesce(months_between(max("return_date"), min("return_date"))
+        .cast("long"), lit(0L)))
       .first().getLong(0))
 
-  /** Staging business ratios, in percent (etl_staging_loader.py:1352-1381). */
+  /** Staging business ratios, in percent (etl_staging_loader.py:1352-1381).
+    * An empty table reports 0.0 (the division is NULL over no rows). */
   def stagingRatios(t: StagingLayer.Tables): Map[String, Double] = {
     def pct(df: org.apache.spark.sql.DataFrame, flag: org.apache.spark.sql.Column) =
-      df.agg((sum(when(flag, 1).otherwise(0)) * 100.0 / count(lit(1))).as("pct"))
+      df.agg(coalesce(sum(when(flag, 1).otherwise(0)) * 100.0 / count(lit(1)),
+        lit(0.0)).as("pct"))
         .first().getDouble(0)
     Map(
       "pct_high_margin_products" -> pct(t.product, col("is_high_margin")),

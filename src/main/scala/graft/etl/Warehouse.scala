@@ -15,9 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * merge reads tgt_dim_product while computing its replacement, and a
   * plain in-place overwrite would truncate the input mid-scan. It is
   * also crash-safe: at no instant is neither state on disk, a failed
-  * write never disturbs the prior state, and [[read]]/[[exists]]
-  * recover a stranded `__old` (crash between the two renames) by
-  * renaming it back.
+  * write never disturbs the prior state, and [[read]]/[[exists]]/
+  * [[tables]] recover a stranded `__old` (crash between the two
+  * renames) by renaming it back. The warehouse is SINGLE-WRITER:
+  * recovery distinguishes a crashed swap from an in-flight one only
+  * because no second process can be mid-swap — enumerating or reading
+  * concurrently with another process's write is unsupported (as with
+  * any rename-based commit protocol without a lock service).
   *
   * At scale each table is a directory of partition files — writes are
   * partition-parallel, no single-writer bottleneck; the reference's

@@ -28,10 +28,11 @@ object CorpusPipeline {
       nearDupMaxHamming: Int = 3,
       mixtureRates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
-      // drop a training doc when MORE than this share of its shingles
-      // appears in the eval corpus; 0.0 is maximally strict and WILL
-      // over-delete on natural language (common trigrams hit) — raise
-      // it for real corpora
+      // drop a training doc when MORE than this PERCENT (0–100, the
+      // scale of Dedup.contamination's contamination_pct) of its
+      // shingles appears in the eval corpus; 0.0 is maximally strict
+      // and WILL over-delete on natural language (common trigrams
+      // hit) — raise it for real corpora
       maxContaminationPct: Double = 0.0,
       holdoutFrac: Double = 0.05,
       packBudget: Long = 2048)

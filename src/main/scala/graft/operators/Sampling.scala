@@ -59,15 +59,16 @@ object Sampling {
     * `budget` — corpus mixing specified in token mass (how training
     * mixtures are actually defined) rather than document count. A
     * cumulative-sum window per stratum; deterministic and
-    * engine-replayable like every sampler here. The first doc of a
-    * stratum is kept even if it alone exceeds the budget iff its own
-    * size fits — i.e. strictly: rows where the running total ≤ budget. */
+    * engine-replayable like every sampler here. Kept = rows whose
+    * running total ≤ budget; a NULL token count contributes 0 (so a
+    * NULL-token doc's fate never depends on its hash position — the
+    * window sum would otherwise be NULL until the first non-null). */
   def tokenBudgetSample(df: DataFrame, strata: Column, key: Column,
       tokenCol: Column, budget: Long): DataFrame = {
     val w = Window.partitionBy(strata)
       .orderBy(md5Long(key.cast("string")), key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(tokenCol).over(w))
+    df.withColumn("__cum", sum(coalesce(tokenCol, lit(0L))).over(w))
       .where(col("__cum") <= budget)
       .drop("__cum")
   }

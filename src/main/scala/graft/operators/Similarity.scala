@@ -104,12 +104,15 @@ object Similarity {
     * pruning instead of planning-time pruning. */
   def ivfTopKFromStore(store: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    // materialize the (tiny) probe assignment once: the IN-list collect
-    // and the probe join below share it instead of re-running the
-    // centroid scoring twice
-    val probes = assignCells(queries, centroids, "qid", "qe", "probe_cell", nProbe)
-      .localCheckpoint()
-    val probedCells = probes.select("probe_cell").distinct().collect().map(_.get(0))
+    // materialize the (tiny, by the probe contract) assignment ONCE as
+    // a local relation: the IN-list and the probe join both read the
+    // collected rows, no centroid scoring runs twice, and nothing is
+    // left pinned in executor storage after the call
+    val assigned = assignCells(queries, centroids, "qid", "qe", "probe_cell", nProbe)
+    val rows = assigned.collect()
+    val probes = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), assigned.schema)
+    val probedCells = rows.map(_.getAs[Any]("probe_cell")).distinct.toSeq
     ivfTopKWithProbes(store.where(col("cell").isin(probedCells: _*)), probes, k)
   }
 

@@ -50,7 +50,10 @@ object Stats {
     val width = (hi - lo) / nBins
     val bin = greatest(lit(0), least(lit(nBins - 1),
       floor((valueCol - lo) / width))).cast("long")
-    df.where(valueCol.isNotNull)
+    // NaN is dropped with NULL: Spark's floor(NaN) lands it in bin 0
+    // while SQL engines clamp it into the LAST bin — neither is a
+    // defensible count, so a non-finite value is simply not a sample
+    df.where(valueCol.isNotNull && !isnan(valueCol.cast("double")))
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", round(lit(lo) + col("bin") * width, 6))

@@ -42,10 +42,19 @@ object AsOf {
         :+ struct(rightCols.map(col): _*).as("__r"): _*)
     // the trailing __r sort key pins ties: multiple right rows at the
     // same (key, time) would otherwise resolve by shuffle-fetch order —
-    // the deterministic pick is the greatest right payload (callers
-    // wanting a specific survivor should pre-dedup per (key, time))
+    // the deterministic pick is the greatest right payload. Skipped
+    // when the payload struct is not orderable (e.g. carries a map):
+    // such callers must pre-dedup per (key, time) themselves.
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case _ => true
+    }
+    val tieKeys =
+      if (orderable(rType)) Seq(col("__r").asc_nulls_first) else Seq.empty
     val w = Window.partitionBy(keyed: _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc_nulls_first)
+      .orderBy(col("__t").asc +: col("__side").asc +: tieKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
