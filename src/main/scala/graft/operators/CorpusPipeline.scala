@@ -82,8 +82,8 @@ object CorpusPipeline {
         tokenCount(col(textCol)).cast("long"))),
       idCol, "n_tokens", cfg.packBudget)
 
-    val train = packed.localCheckpoint()
-    val hold = holdout.localCheckpoint()
+    val train = Checkpoints.stable(packed)
+    val hold = Checkpoints.stable(holdout)
     report += "holdout" -> hold.count()
     staged.foreach(_.unpersist(blocking = false))
     Result(train, hold, report.toList)

@@ -14,16 +14,14 @@ object Dedup {
 
   /** Bounds intermediate-cache lifetime to the operator call: eagerly
     * materializes the (pairs-sized, corpus-shrunk) result via
-    * localCheckpoint, then unpersists the intermediate frames — so a
-    * session running many dedup queries (Bench runs 47) does not
+    * [[Checkpoints.stable]] (localCheckpoint, or reliable checkpoint()
+    * when the session has a checkpoint dir — see Checkpoints for the
+    * executor-loss trade), then unpersists the intermediate frames —
+    * so a session running many dedup queries (Bench runs 60+) does not
     * accumulate shingle/signature caches, and re-invocations never hit
-    * "already cached" plan collisions. Tradeoff, stated: localCheckpoint
-    * blocks live only on executors, so losing an executor that holds
-    * result partitions fails the job instead of recomputing lineage;
-    * on a cluster with a configured checkpoint dir, reliable
-    * checkpoint() is the drop-in upgrade. */
+    * "already cached" plan collisions. */
   private def finish(result: DataFrame, intermediates: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint()
+    val out = Checkpoints.stable(result)
     intermediates.foreach(_.unpersist(blocking = false))
     out
   }
@@ -73,10 +71,16 @@ object Dedup {
     * the per-document hashing into a single task; spread input across
     * the session's parallelism only when the scan is narrower than the
     * core count (at real scale the scan already is parallel and this
-    * is a no-op — no gratuitous shuffle of a 100 TB corpus). */
+    * is a no-op — no gratuitous shuffle of a 100 TB corpus). The width
+    * check is a plan-side size estimate (a scan splits into
+    * ~sizeInBytes / maxPartitionBytes tasks), not `df.rdd` — the RDD
+    * conversion would re-plan the frame once per operator call. */
   private def spread(df: DataFrame, idCol: String): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(col(idCol)) else df
+    val sess = df.sparkSession
+    val want = sess.sparkContext.defaultParallelism
+    val maxBytes = sess.sessionState.conf.filesMaxPartitionBytes
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(want) * maxBytes) df.repartition(col(idCol)) else df
   }
 
   /** MinHash + LSH near-duplicate candidate pairs, verified with exact
@@ -291,52 +295,142 @@ object Dedup {
     * chains). Returns (id, cluster_id = min reachable id) for every id
     * that appears in a pair.
     *
-    * Execution: iterative min-label propagation over the symmetrized
-    * edge list, with a pointer-jumping step per round (each node also
-    * adopts its label's label) — propagation alone needs O(diameter)
-    * rounds and a long chain would exhaust the budget; the jump
-    * halves paths, so rounds are O(log diameter) (the same round
-    * complexity class as large-star/small-star, Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14). Every
-    * shuffle keys on node or label ids (uniform); labels are
-    * `localCheckpoint`ed per round so round i+1 reads k rows, not a
-    * depth-i plan. Throws if `maxIters` rounds do not converge —
-    * silently-partial clusters would over-keep duplicates downstream.
+    * Ids must be integral (they are cast to long): near-dup pair lists
+    * key on numeric document ids, and the long form is what lets the
+    * local-contraction phase run an in-memory union-find.
+    *
+    * Execution, two phases (the "filtering" scheme of the distributed
+    * CC literature — contract locally, iterate globally):
+    *
+    *  1. LOCAL CONTRACTION: each partition of the symmetrized edge
+    *     list runs an in-memory union-find (path-compressed, min-id
+    *     roots) over just its own edges — the sanctioned per-partition
+    *     imperative case — and emits the partition's spanning star
+    *     (node → local root). Unioning per-partition spanning forests
+    *     preserves global connectivity exactly, while collapsing every
+    *     within-partition chain to depth 1: the loop that follows sees
+    *     a graph whose diameter is bounded by the number of PARTITIONS
+    *     a component spans, not its node count. At fixture scale (one
+    *     partition) the whole graph resolves here and the loop merely
+    *     confirms; at 100 TB each partition folds `rowsPerPartition`
+    *     edges into ≤ nodes-per-partition star edges. Memory: the
+    *     union-find map is bounded by 2·rowsPerPartition entries.
+    *  2. GLOBAL LOOP: iterative min-label propagation over the star
+    *     edges, one pointer-jump per round (label := label of label —
+    *     path halving, O(log diameter) rounds; same round-complexity
+    *     class as large-star/small-star, Kiveris et al., "Connected
+    *     Components in MapReduce and Beyond", SoCC'14). The loop owns
+    *     its shuffle width (edges/rowsPerPartition, clamped to session
+    *     parallelism) — session-wide shuffle partitions would make
+    *     every tiny per-round exchange pay a full-width stage. Labels
+    *     are checkpointed per round ([[Checkpoints.stable]]) so round
+    *     i+1 reads k rows, not a depth-i plan, and convergence rides
+    *     that SAME materialization as an observed metric
+    *     (`Dataset.observe`): labels only decrease, so equal
+    *     consecutive label sums ⇔ fixed point — one action per round,
+    *     no separate isEmpty job.
+    *
+    * Throws if `maxIters` rounds do not converge — silently-partial
+    * clusters would over-keep duplicates downstream.
     */
   def connectedComponents(pairs: DataFrame, id1: String = "doc_id_1",
-      id2: String = "doc_id_2", maxIters: Int = 40): DataFrame = {
-    val fwd = pairs.select(col(id1).as("a"), col(id2).as("b"))
-    // pre-partitioned on the per-round join key so the cached edge
-    // blocks satisfy the join's distribution every round (the cache
-    // carries its partitioning; only the small labels side re-shuffles)
-    val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
-      .distinct().repartition(col("b")).persist()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      id2: String = "doc_id_2", maxIters: Int = 40,
+      rowsPerPartition: Long = 2000000L): DataFrame = {
+    val sess = pairs.sparkSession
+    import sess.implicits._
+    val fwd = pairs.select(col(id1).cast("long").as("a"),
+      col(id2).cast("long").as("b"))
+    val sym = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    // the count sizes the loop's shuffle width AND materializes the
+    // persisted symmetric edge set the contraction reads
+    val nParts = math.max(1L, math.min(
+      sess.sparkContext.defaultParallelism.toLong,
+      (sym.count() + rowsPerPartition - 1) / rowsPerPartition)).toInt
+    // phase 1: per-partition union-find → spanning star edges.
+    // Hash-partitioning on `a` co-locates each node's edge fan before
+    // contracting (better fold), but ANY partitioning is correct.
+    val star = sym.repartition(nParts, col("a")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (x, y) =>
+          if (!parent.containsKey(x)) parent.put(x, x)
+          if (!parent.containsKey(y)) parent.put(y, y)
+          val rx = find(x); val ry = find(y)
+          if (rx < ry) parent.put(ry, rx)
+          else if (ry < rx) parent.put(rx, ry)
+        }
+        val out = Iterator.newBuilder[(Long, Long)]
+        parent.keySet().forEach { k =>
+          val r = find(k)
+          if (r != k) out += ((k, r))
+        }
+        out.result()
+      }.toDF("a", "b")
+    // phase 2 edge set: the symmetrized stars. Duplicate star edges
+    // across partitions are possible and harmless under min-agg — no
+    // distinct pass. Pre-partitioned on the per-round join key so the
+    // cached blocks satisfy the join's distribution every round.
+    val edges = star.unionByName(star.select(col("b").as("a"), col("a").as("b")))
+      .repartition(nParts, col("b")).persist()
+    var labels = Checkpoints.stable(
+      edges.select(col("a")).repartition(nParts, col("a")).distinct()
+        .select(col("a").as("id"), col("a").as("label")))
+    // pointer jump: adopt the label's own label (path halving). Valid
+    // because labels only ever decrease and label(x) ≤ x, so the
+    // adopted label can only improve. The input is persisted by the
+    // caller so the self-join's two sides read one materialization.
+    def jump(l: DataFrame): DataFrame = {
+      val t = l.select(col("id").as("__lid"), col("label").as("__llabel"))
+      l.repartition(nParts, col("label"))
+        .join(t.repartition(nParts, col("__lid")),
+          col("label") === col("__lid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"))
+    }
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val neighborMin = edges.join(labels, col("b") === col("id"))
-        .groupBy(col("a")).agg(min("label").as("nlabel"))
-      val propagated = labels.join(neighborMin, col("id") === col("a"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          coalesce(col("nlabel") < col("label"), lit(false)).as("changed"))
-      // pointer jump: adopt the label's own label (path halving) —
-      // without it a length-d chain needs d rounds; with it O(log d)
-      val jumpTargets = propagated.select(col("id").as("__lid"), col("label").as("__llabel"))
-      // the `changed` flag rides the same pass, so convergence is a
-      // filter over the checkpointed rows — no extra join per round
-      val updated = propagated.join(jumpTargets, col("label") === col("__lid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"),
-          (col("changed") || coalesce(col("__llabel") < col("label"), lit(false)))
-            .as("changed"))
-        .localCheckpoint()
-      converged = updated.where(col("changed")).isEmpty
-      labels = updated.select("id", "label")
+      // propagate: min label over self ∪ neighbors, as ONE union +
+      // aggregate (a separate left join back onto labels would add a
+      // whole stage barrier per round). Partial aggregation is traded
+      // for the explicit width — acceptable because per-node degree in
+      // a near-dup pair graph is bounded by the candidate caps.
+      val cand = edges.join(labels.repartition(nParts, col("id")),
+          col("b") === col("id"))
+        .select(col("a"), col("label"))
+      val prop = cand.unionByName(labels.select(col("id").as("a"), col("label")))
+        .repartition(nParts, col("a"))
+        .groupBy(col("a")).agg(min("label").as("label"))
+        .select(col("a").as("id"), col("label"))
+        .persist()
+      // convergence rides the round's one materialization as an
+      // observed metric: labels only decrease, so the label sum is
+      // strictly decreasing until the fixed point — equal consecutive
+      // sums ⇔ no label changed. Decimal(38) keeps the sum exact for
+      // any realistic id range × corpus size (no ANSI overflow).
+      val obs = new org.apache.spark.sql.Observation()
+      val updated = Checkpoints.stable(jump(prop).observe(obs,
+        coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("label_sum")))
+      val sumNow = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
+      converged = prevSum != null && prevSum.compareTo(sumNow) == 0
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $i labelSum=$sumNow")
+      prevSum = sumNow
+      prop.unpersist(blocking = false)
+      labels = updated
       i += 1
     }
+    sym.unpersist(blocking = false)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters rounds — " +
         "component diameter exceeds the budget; raise maxIters")
@@ -393,22 +487,27 @@ object Dedup {
     * shingle count — the sublinear sketch for plagiarism/overlap
     * detection at corpus scale.
     *
-    * Execution: one explode (position, hash) pass — the hash is one
-    * md5 per shingle — then a sliding row-frame min (the per-doc
-    * window shuffles on the doc id only) and a distinct. Returns
-    * (idCol, fp). */
+    * Execution: one explode (position, hash) pass — the positional
+    * shingles explode FIRST and the md5 runs as a plain codegen'd
+    * projection over the exploded rows (inside a higher-order
+    * `transform` it would evaluate interpreted, one digest per lambda
+    * dispatch — the hot-path killer [[hashedShingled]]'s comment
+    * warns about) — then a sliding row-frame min (the per-doc window
+    * shuffles on the doc id only) and a distinct. The full-window
+    * filter uses max(position) over the same window partitioning, so
+    * the sliding min and the length bound share one WindowExec pass.
+    * Returns (idCol, fp). */
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     val hs = spread(docs, idCol)
-      .select(col(idCol),
-        transform(posWordShingles(col(textCol), k), s => md5Long(s)).as("hs"))
-      .select(col(idCol), size(col("hs")).as("len"), posexplode(col("hs")))
-      .withColumnRenamed("pos", "p")
-      .withColumnRenamed("col", "h")
-    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
-      .rowsBetween(Window.currentRow, w - 1)
-    hs.withColumn("fp", min(col("h")).over(win))
-      .where(col("p") <= col("len") - w) // only full windows
+      .select(col(idCol), posexplode(posWordShingles(col(textCol), k)))
+      .select(col(idCol), col("pos").as("p"), md5Long(col("col")).as("h"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val slide = byPos.rowsBetween(Window.currentRow, w - 1)
+    val whole = byPos.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hs.select(col(idCol), col("p"), min(col("h")).over(slide).as("fp"),
+        max(col("p")).over(whole).as("__maxp"))
+      .where(col("p") <= col("__maxp") - (w - 1)) // only full windows
       .select(col(idCol), col("fp"))
       .distinct()
   }

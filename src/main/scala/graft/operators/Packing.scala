@@ -13,42 +13,52 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Packing is inherently a stateful fold (each doc's pack depends on
   * the running total), so this is the sanctioned `mapPartitions` case:
   * genuine per-partition imperative logic Spark's declarative surface
-  * cannot express. The layout keeps it distributed and deterministic:
+  * cannot express. The layout keeps it distributed AND bit-stable:
   *
-  *  - docs are range-repartitioned on (md5-of-id, id) — a distributed
-  *    sort, every partition a contiguous hash range, so the greedy
-  *    fill order is data-determined, not shuffle-fetch-determined;
-  *  - each partition packs greedily next-fit (append while it fits,
-  *    else open a new pack; oversized docs become singleton packs);
-  *  - pack ids are (partitionId << 40) | localSeq — globally unique
-  *    with no driver-side coordination, same shape as the surrogate-
-  *    key offset trick.
+  *  - every doc is assigned a PINNED bucket, `md5Long(id) mod
+  *    nBuckets` — a fixed literal partition of md5 space, not a
+  *    sampled `repartitionByRange` boundary, so bucket membership is a
+  *    pure function of the id on every run, any cluster size, and any
+  *    input partitioning (and a SQL oracle can replay it);
+  *  - buckets shuffle to partitions by bucket id and sort by
+  *    (bucket, md5, id) — packs never span buckets, and the greedy
+  *    fold resets at each bucket boundary, so a partition holding
+  *    several buckets packs each independently;
+  *  - each bucket packs greedily next-fit in (md5, id) order (append
+  *    while it fits, else open a new pack; oversized docs become
+  *    singleton packs);
+  *  - pack ids are (bucket << 40) | seqInBucket — globally unique with
+  *    no driver-side coordination, and stable because both halves are.
   *
-  * Packs never span partitions, so the only cross-partition waste is
-  * ≤ one underfilled pack per partition — negligible against
-  * partition-sized corpora (and the price of having no sequential
-  * bottleneck; an exact global first-fit is inherently serial).
-  * Output: input columns + (pack_id, pack_fill — the running token
-  * fill after the row). Reproducibility caveat, stated honestly:
-  * `repartitionByRange` draws its boundary sample with a per-run
-  * seed, so on inputs larger than the sampler fully covers, pack
-  * MEMBERSHIP can shift between runs even though every pack still
-  * respects the budget — pin boundaries externally (pre-bucketed
-  * input) where bit-identical packs across runs are required.
+  * Packs never span buckets, so the only cross-bucket waste is ≤ one
+  * underfilled pack per bucket — negligible against bucket-sized
+  * corpora (and the price of having no sequential bottleneck; an exact
+  * global first-fit is inherently serial). Size `nBuckets` ≈ the
+  * target parallelism; it must stay FIXED across runs that must agree
+  * bit-for-bit. Output: input columns + (pack_id, pack_fill — the
+  * running token fill after the row).
   */
 object Packing {
 
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, nBuckets: Int = 64): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [1, 2^20], got $nBuckets")
     val ordered = docs
-      .repartitionByRange(md5Long(col(idCol).cast("string")), col(idCol))
-      .sortWithinPartitions(md5Long(col(idCol).cast("string")), col(idCol))
+      .withColumn("__h", md5Long(col(idCol).cast("string")))
+      .withColumn("__bucket", pmod(col("__h"), lit(nBuckets.toLong)))
+      .repartition(col("__bucket"))
+      .sortWithinPartitions(col("__bucket"), col("__h"), col(idCol))
     val tokIdx = ordered.schema.fieldIndex(tokenCol)
-    val packed = ordered.rdd.mapPartitionsWithIndex { (pid, rows) =>
+    val bIdx = ordered.schema.fieldIndex("__bucket")
+    val packed = ordered.rdd.mapPartitions { rows =>
+      var bucket = -1L
       var packSeq = -1L
       var fill = 0L
       rows.map { row =>
+        val b = row.getLong(bIdx)
+        if (b != bucket) { bucket = b; packSeq = -1L; fill = 0L }
         val t = row.get(tokIdx) match {
           case n: java.lang.Number => n.longValue()
           case other => throw new IllegalArgumentException(
@@ -56,12 +66,13 @@ object Packing {
         }
         if (packSeq < 0L || fill + t > budget) { packSeq += 1; fill = t }
         else fill += t
-        Row.fromSeq(row.toSeq :+ ((pid.toLong << 40) | packSeq) :+ fill)
+        Row.fromSeq(row.toSeq :+ ((bucket << 40) | packSeq) :+ fill)
       }
     }
     docs.sparkSession.createDataFrame(packed,
-      StructType(ordered.schema.fields
-        :+ StructField("pack_id", LongType, nullable = false)
-        :+ StructField("pack_fill", LongType, nullable = false)))
+        StructType(ordered.schema.fields
+          :+ StructField("pack_id", LongType, nullable = false)
+          :+ StructField("pack_fill", LongType, nullable = false)))
+      .drop("__h", "__bucket")
   }
 }

@@ -286,23 +286,20 @@ object Similarity {
     * computed by posexploding dimensions and re-assembling with a
     * position-sorted collect — shuffle keyed on (cell, dim), uniform.
     *
-    * Each iteration's centroids are `localCheckpoint`ed: k tiny rows
+    * Each iteration's centroids are checkpointed
+    * ([[Checkpoints.stable]] — localCheckpoint, or reliable
+    * checkpoint() when the session has a checkpoint dir): k tiny rows
     * materialize eagerly and the lineage truncates, so iteration i+1
     * costs exactly one corpus pass instead of recomputing iterations
-    * 1..i off an ever-growing plan. Tradeoff, stated: localCheckpoint
-    * blocks live only on executors, so losing an executor that held
-    * them fails the job rather than recomputing lineage (k rows ×
-    * dims is tiny, so re-running is cheap); on a cluster with a
-    * configured checkpoint dir, reliable checkpoint() is the drop-in
-    * upgrade.
+    * 1..i off an ever-growing plan.
     *
     * Returns (vec_id = cell id, embedding = centroid) for direct use
     * as the `centroids` input of the probe operators.
     */
   def kMeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = corpus.select(col("vec_id"), col("embedding"))
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
-      .localCheckpoint()
+    var centroids = Checkpoints.stable(
+      corpus.select(col("vec_id"), col("embedding"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k))
     for (_ <- 0 until iters) {
       val assigned = assignCells(corpus, centroids, "vid", "ve", "cell", 1)
       val prev = centroids
@@ -314,7 +311,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("vec_id"),
           transform(col("pm"), x => x.getField("m")).as("embedding"))
-        .localCheckpoint()
+      centroids = Checkpoints.stable(centroids)
       prev.unpersist()
     }
     centroids

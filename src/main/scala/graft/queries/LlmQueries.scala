@@ -574,24 +574,44 @@ object LlmQueries {
             GROUP BY 1 ORDER BY 1"""))
 
   /** q52 — token-budget sequence packing (greedy next-fit within
-    * range-partitioned hash order; [[graft.operators.Packing]]),
-    * reported as corpus-level pack stats. No oracle SQL: packing is a
-    * stateful partition-local fold no declarative engine replays —
-    * the driver records the weaker rows-only check; the packing
-    * invariants (exactly-once membership, budget ceiling, oversized
-    * singletons, determinism) are asserted in OperatorSpec. */
+    * PINNED md5-mod buckets; [[graft.operators.Packing]]), reported
+    * per pack. Bucket membership and in-bucket order are pure
+    * functions of md5(doc_id), so the oracle replays the whole fold:
+    * the same buckets, the same order, and the greedy next-fit walked
+    * row-by-row with a recursive CTE — pack ids, membership, and
+    * token fills are value-checked, not rows-only. */
   private val q52 = Q("q52_sequence_packing",
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
-      Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512)
+      Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512, nBuckets = 64)
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
-        .agg(count(lit(1)).as("n_packs"), sum("n_docs").as("n_docs"),
-          max("pack_tokens").as("max_pack_tokens"),
-          sum(when(col("pack_tokens") <= 512, 1).otherwise(0)).as("n_within_budget"))
+        .orderBy("pack_id")
     },
-    None)
+    Some("""WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM documents),
+            b AS (
+              SELECT doc_id, n_tokens, h % 64 AS bucket,
+                     row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS rn
+              FROM t),
+            walk(bucket, rn, n_tokens, pack_seq, fill) AS (
+              SELECT bucket, rn, n_tokens, CAST(0 AS BIGINT), n_tokens
+              FROM b WHERE rn = 1
+              UNION ALL
+              SELECT b.bucket, b.rn, b.n_tokens,
+                     CASE WHEN w.fill + b.n_tokens > 512
+                          THEN w.pack_seq + 1 ELSE w.pack_seq END,
+                     CASE WHEN w.fill + b.n_tokens > 512
+                          THEN b.n_tokens ELSE w.fill + b.n_tokens END
+              FROM walk w JOIN b ON b.bucket = w.bucket AND b.rn = w.rn + 1)
+            SELECT bucket * 1099511627776 + pack_seq AS pack_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+            FROM walk GROUP BY 1 ORDER BY 1"""))
 
   /** q53 — TF-IDF top-3 terms per document (smoothed idf, scikit
     * convention), the relevance-weighting member of the text-analysis

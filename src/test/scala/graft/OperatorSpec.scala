@@ -287,6 +287,12 @@ class OperatorSpec extends SparkSpec {
     // deterministic re-run
     val again = Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512)
     assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+    // ...and independent of the INPUT partitioning: pinned md5-mod
+    // buckets (not sampled range boundaries) decide membership, so a
+    // differently-sharded same corpus packs identically bit-for-bit
+    val resharded = Packing.packSequences(docs.repartition(7), "doc_id",
+      "n_tokens", budget = 512)
+    assert(packed.exceptAll(resharded).isEmpty && resharded.exceptAll(packed).isEmpty)
   }
 
   test("corpus pipeline composes: gates monotone, dups+contamination removed, packs capped") {
@@ -647,5 +653,47 @@ class OperatorSpec extends SparkSpec {
       .toDF("text")
     val out = df.select(TextFunctions.langId(col("text"))).as[String].collect()
     assert(out.toSeq === Seq("en", "und"))
+  }
+
+  test("winnowing: hand-checked fingerprints; md5 never runs inside a lambda") {
+    // hand replay of SIGMOD'03 winnowing: k-shingles, md5Long each,
+    // sliding window-of-w minima, distinct
+    val words = "w0 w1 w2 w3 w4 w5 w6 w7".split(" ").toSeq
+    val (k, w) = (3, 4)
+    def md5Long(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val hs = words.sliding(k).map(sh => md5Long(sh.mkString(" "))).toSeq
+    val expected = hs.sliding(w).map(_.min).toSeq.distinct.sorted
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.winnowingFingerprints(df, "doc_id", "text", k, w)
+    assert(out.select("fp").as[Long].collect().toSeq.sorted === expected)
+    // the digest must be a plain codegen'd projection: a hash inside a
+    // higher-order-function lambda evaluates interpreted per element
+    import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, Md5}
+    val lambdas = out.queryExecution.analyzed.flatMap(_.expressions)
+      .flatMap(_.collect { case l: LambdaFunction => l })
+    assert(lambdas.nonEmpty) // posWordShingles itself builds via transform
+    assert(!lambdas.exists(_.exists(_.isInstanceOf[Md5])))
+  }
+
+  test("reliable checkpoint engages when a checkpoint dir is configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_id_1", "doc_id_2")
+      val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the run must have written reliable checkpoint files
+      def files(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap(c => c +: files(c))
+      assert(files(new java.io.File(dir)).exists(_.isFile))
+    } finally {
+      // setCheckpointDir has no unset; pin the rest of the shared
+      // session back to the localCheckpoint path via the mode conf
+      spark.conf.set("spark.graft.checkpoint", "local")
+    }
   }
 }
