@@ -17,8 +17,18 @@ import java.time.LocalDate
   *                 future-date filters)
   * @param batchId  audit batch id (reference: BATCH_yyyyMMddHHmmss,
   *                 etl_staging_loader.py:47)
+  * @param decimalMeasures  DDL-type fidelity switch (SURVEY §1.2
+  *                 declared divergence): the reference DDL declares
+  *                 money measures Numeric(12,2)/(10,2)
+  *                 (etl_ods_tables.py:162-165) but its runtime computes
+  *                 them in float (etl_staging_loader.py:834-845). Off
+  *                 (default) stores doubles — float-faithful to the
+  *                 reference runtime; on, fact money columns are STORED
+  *                 as the DDL's DecimalType while the arithmetic stays
+  *                 the reference's own float.
   */
-final case class RunContext(runDate: LocalDate, batchId: String) {
+final case class RunContext(runDate: LocalDate, batchId: String,
+    decimalMeasures: Boolean = false) {
   def runDateStr: String = runDate.toString
   /** Audit timestamp: midnight of runDate — a constant, not a clock. */
   def tsStr: String = s"$runDateStr 00:00:00"

@@ -43,6 +43,16 @@ object StagingLayer {
     .withColumn("etl_batch_id", lit(ctx.batchId))
     .withColumn("etl_timestamp", to_timestamp(lit(ctx.tsStr)))
 
+  /** DDL-type fidelity for fact money columns (see
+    * [[RunContext.decimalMeasures]]): when the flag is on, cast each
+    * listed column to its reference-DDL decimal type AFTER the
+    * float-faithful derivation — exact storage semantics over the
+    * reference's own arithmetic. All stored values are already
+    * round(x, 2), so the cast is lossless. */
+  private def decimalize(ctx: RunContext, cols: (String, String)*)(df: DataFrame): DataFrame =
+    if (!ctx.decimalMeasures) df
+    else cols.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+
   /** F5/F6: is_weekend from the stored day name, fiscal = calendar
     * (etl_staging_loader.py:128-240). */
   def date(ods: DataFrame, ctx: RunContext): DataFrame =
@@ -206,7 +216,10 @@ object StagingLayer {
     val profit = coalesce(col("profit"), lit(0.0))
     val shipCost = coalesce(col("shipping_cost"), lit(0.0))
     val discountAmount = round(amount * disc, 2)
-    surrogate("sales_key", Seq(col("sale_id").asc))(audit(ctx)(resolved.select(
+    surrogate("sales_key", Seq(col("sale_id").asc))(audit(ctx)(decimalize(ctx,
+      "sales_amount" -> "decimal(12,2)", "discount_amount" -> "decimal(12,2)",
+      "shipping_cost" -> "decimal(10,2)", "gross_revenue" -> "decimal(12,2)",
+      "net_revenue" -> "decimal(12,2)", "profit" -> "decimal(12,2)")(resolved.select(
       col("sale_id"), col("order_id"), col("row_id"),
       col("transaction_date_key"), col("product_key"), col("store_key"),
       col("customer_key"),
@@ -222,7 +235,7 @@ object StagingLayer {
       when(amount > 0, round(profit / amount * 100, 2)).otherwise(0.0).as("profit_margin"),
       (profit > 0).as("is_profitable"),
       col("ship_date_key"),
-      coalesce(col("ship_mode"), lit("Standard")).as("ship_mode"))))
+      coalesce(col("ship_mode"), lit("Standard")).as("ship_mode")))))
   }
 
   /** Returns fact: F17 derived columns (datediff, within-30-days flag —
@@ -248,7 +261,9 @@ object StagingLayer {
     val amount = coalesce(col("return_amount"), lit(0.0))
     val qty = coalesce(col("quantity_returned"), lit(0))
     val days = datediff(col("return_date"), col("original_sale_date"))
-    surrogate("return_key", Seq(col("return_id").asc))(audit(ctx)(resolved.select(
+    surrogate("return_key", Seq(col("return_id").asc))(audit(ctx)(decimalize(ctx,
+      "return_amount" -> "decimal(12,2)",
+      "avg_return_price" -> "decimal(10,2)")(resolved.select(
       col("return_id"), col("return_date_key"), col("product_key"),
       col("store_key"), col("reason_key"),
       coalesce(col("reason_code"), lit("UNKNOWN")).as("reason_code"),
@@ -258,7 +273,7 @@ object StagingLayer {
       col("original_sale_id"), col("original_sale_date_key"),
       days.as("days_since_sale"),
       coalesce(days <= 30, lit(false)).as("is_within_30_days"),
-      coalesce(col("return_condition"), lit("Unknown")).as("return_condition"))))
+      coalesce(col("return_condition"), lit("Unknown")).as("return_condition")))))
   }
 
   /** Inventory fact: F18 (days of supply, the stock_status ladder —

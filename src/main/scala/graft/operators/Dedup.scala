@@ -26,6 +26,58 @@ object Dedup {
     out
   }
 
+  /** Caller-owned handle over the persisted hashed-shingle frame the
+    * dedup family computes from the raw corpus — the single most
+    * expensive map pass each operator would otherwise repeat. Operator
+    * cache lifetime is per-call by design (see [[finish]]); a session
+    * that runs SEVERAL shingle consumers over the same corpus (minhash
+    * LSH + n-gram Jaccard + contamination — a real dedup audit) opts
+    * into amortization by building one cache and passing it to each
+    * call. The caller releases it; `finish` never unpersists shared
+    * state. At 100 TB this is the difference between one corpus scan
+    * and one per operator. */
+  final class ShingleCache private[operators] (
+      private[operators] val frame: DataFrame,
+      private[operators] val idCol: String,
+      private[operators] val shingleSize: Int) {
+    /** Current cache status — NONE once released. */
+    def isCached: Boolean =
+      frame.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    def release(): Unit = frame.unpersist(blocking = false)
+  }
+
+  /** Build the shared shingle materialization for [[ShingleCache]]
+    * consumers: (idCol, sh: array<long>) of 60-bit-hashed distinct
+    * word shingles, persisted until `release()`. The frame carries a
+    * constant `__shared` marker column so its canonicalized plan can
+    * NEVER collide with an operator-scoped [[hashedShingled]] over the
+    * same corpus in Spark's plan-keyed CacheManager — without it, an
+    * unshared dedup call on the same docs would resolve to the same
+    * cache entry and its `finish()` would release the caller's handle. */
+  def shingleCache(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): ShingleCache =
+    new ShingleCache(
+      hashedShingledPlan(docs, idCol, textCol, shingleSize)
+        .withColumn("__shared", lit(1)).persist(),
+      idCol, shingleSize)
+
+  /** Resolve the shingle frame an operator should use: the caller's
+    * shared cache when provided (validated against the call's shape),
+    * a fresh operator-scoped materialization otherwise. The Boolean
+    * says whether the operator OWNS the frame (and must release it). */
+  private def resolveShingles(shared: Option[ShingleCache], docs: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int): (DataFrame, Boolean) =
+    shared match {
+      case Some(c) =>
+        require(c.idCol == idCol && c.shingleSize == shingleSize,
+          s"shared ShingleCache shape (${c.idCol}, n=${c.shingleSize}) does not " +
+            s"match the call ($idCol, n=$shingleSize)")
+        require(c.isCached, "shared ShingleCache was already released")
+        (c.frame, false)
+      case None =>
+        (hashedShingled(docs, idCol, textCol, shingleSize), true)
+    }
+
   /** Exact dedup: group on a content key (hash of the payload), keep
     * the row with the minimum id. One shuffle on the 128-bit content
     * hash — at 100 TB this is the cheapest possible exact pass, and
@@ -117,11 +169,13 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 32,
-      threshold: Double = 0.7, bucketCap: Long = Long.MaxValue): DataFrame = {
+      threshold: Double = 0.7, bucketCap: Long = Long.MaxValue,
+      shared: Option[ShingleCache] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    val shingled = hashedShingled(docs, idCol, textCol, shingleSize)
+    val (shingled, owned) =
+      resolveShingles(shared, docs, idCol, textCol, shingleSize)
 
     val hashes = shingled.select(col(idCol), explode(col("sh")).as("h"))
       .select(col(idCol), col("h").bitwiseAND(lit(M30)).as("h0"),
@@ -167,7 +221,8 @@ object Dedup {
       .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
       .distinct()
 
-    finish(verifyJaccard(candidates, shingled, idCol, threshold), sigs, shingled)
+    finish(verifyJaccard(candidates, shingled, idCol, threshold),
+      (if (owned) Seq(sigs, shingled) else Seq(sigs)): _*)
   }
 
   /** Documents → (id, sh: array<long>) of 60-bit-hashed distinct word
@@ -185,6 +240,10 @@ object Dedup {
     * model to avoid; the cached form is ~50× smaller than the text. */
   private def hashedShingled(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
+    hashedShingledPlan(docs, idCol, textCol, shingleSize).persist()
+
+  private def hashedShingledPlan(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
     spread(docs, idCol)
       // explode the (string) shingles first so the md5 runs as a plain
       // codegen'd projection — inside a higher-order transform it would
@@ -195,7 +254,6 @@ object Dedup {
       .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("s"))
       .select(col(idCol), md5Long(col("s")).as("h"))
       .groupBy(col(idCol)).agg(collect_list(col("h")).as("sh"))
-      .persist()
 
   /** Exact Jaccard over candidate pairs: join the hashed shingle
     * arrays back and compare via array_intersect. The doc-side arrays
@@ -242,8 +300,10 @@ object Dedup {
     * distinct, verify join — all keyed on uniform hashes or doc ids.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.5, dfCap: Long = 100): DataFrame = {
-    val shingled = hashedShingled(docs, idCol, textCol, shingleSize)
+      shingleSize: Int = 3, threshold: Double = 0.5, dfCap: Long = 100,
+      shared: Option[ShingleCache] = None): DataFrame = {
+    val (shingled, owned) =
+      resolveShingles(shared, docs, idCol, textCol, shingleSize)
     val inv = shingled.select(col(idCol), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val dfCount = inv.groupBy("s").agg(count(lit(1)).as("df"))
@@ -285,7 +345,7 @@ object Dedup {
       .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
       .distinct()
     finish(verifyJaccard(candidates, shingled, idCol, threshold),
-      prefix, withDf, shingled)
+      (if (owned) Seq(prefix, withDf, shingled) else Seq(prefix, withDf)): _*)
   }
 
   /** Connected components over a near-duplicate pair list: the step a
@@ -460,15 +520,27 @@ object Dedup {
     * Returns (idCol, n_shingles, n_contaminated, contamination_pct).
     */
   def contamination(train: DataFrame, test: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int = 3): DataFrame = {
+      textCol: String, shingleSize: Int = 3,
+      sharedTest: Option[ShingleCache] = None): DataFrame = {
     val trainSh = spread(train, idCol)
       .select(explode(wordShingles(col(textCol), shingleSize)).as("s"))
       .select(md5Long(col("s")).as("h"))
       .distinct()
       .withColumn("__hit", lit(1))
-    val testSh = spread(test, idCol)
-      .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("s"))
-      .select(col(idCol), md5Long(col("s")).as("h"))
+    // the test side may reuse a caller-owned [[ShingleCache]] over the
+    // test corpus (exploding the cached per-doc distinct-shingle arrays
+    // is value-identical to re-shingling the raw text)
+    val testSh = sharedTest match {
+      case Some(c) =>
+        require(c.idCol == idCol && c.shingleSize == shingleSize,
+          s"shared ShingleCache shape (${c.idCol}, n=${c.shingleSize}) does not " +
+            s"match the call ($idCol, n=$shingleSize)")
+        require(c.isCached, "shared ShingleCache was already released")
+        c.frame.select(col(idCol), explode(col("sh")).as("h"))
+      case None => spread(test, idCol)
+        .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("s"))
+        .select(col(idCol), md5Long(col("s")).as("h"))
+    }
     testSh.join(trainSh, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),

@@ -12,9 +12,12 @@ object Quality {
   /** Per-group z-score outlier flags: a value is anomalous when it
     * sits more than `sigma` sample standard deviations from its
     * group's mean. Two aggregates per group computed in ONE grouped
-    * pass, broadcast back onto the rows (group stats are tiny), so
-    * the corpus is scanned twice and shuffled never — the shape that
-    * survives a fact table with millions of rows per group. */
+    * pass, joined back onto the rows. The stats side carries NO forced
+    * broadcast hint: for the common low-cardinality shape (a handful
+    * of groups, millions of rows each) AQE broadcasts it at runtime
+    * from its actual size, while a high-cardinality groupCols (e.g.
+    * per-user stats) plans a shuffle join instead of silently building
+    * an over-limit driver-side broadcast. */
   def zScoreOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
       sigma: Double = 3.0): DataFrame = {
     val stats = df.groupBy(groupCols.map(col): _*)
@@ -23,7 +26,7 @@ object Quality {
     // null-SAFE group join (a NULL group key is a row, not a discard),
     // and the flag coalesces to false for 1-row groups (stddev NULL)
     // and NULL values — every input row comes back, flagged
-    df.join(broadcast(stats),
+    df.join(stats,
         groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _), "left")
       .withColumn("is_outlier", coalesce(
         col("__sd") > 0 && abs(col(valueCol) - col("__mu")) > col("__sd") * sigma,

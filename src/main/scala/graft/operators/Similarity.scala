@@ -278,6 +278,27 @@ object Similarity {
         round(sqrt(col("__tot")), 6).as("approx_dist"))
   }
 
+  /** Recall@k of an approximate top-k result against exact ground
+    * truth — the quality dial for tuning nProbe/m/codebook size that
+    * value-exactness checks cannot provide. Both inputs are
+    * (qid, rank, nid, ...) frames as produced by the top-k operators
+    * here (exact from [[bruteForceTopK]]/[[bruteForceTopKL2]]). Per
+    * query: hits = |approx top-k ∩ exact top-k|, recall = hits / k.
+    * One equi-join on (qid, nid) + one per-query aggregate; the exact
+    * side at real scale is computed once for a small audit query set,
+    * never the full corpus. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val a = approx.where(col("rank") <= k).select(col("qid"), col("nid"))
+    val e = exact.where(col("rank") <= k)
+      .select(col("qid"), col("nid"), lit(1).as("__hit"))
+    a.join(e, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum("__hit"), lit(0)).cast("long").as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / lit(k.toDouble), 4))
+  }
+
   /** Lloyd's k-means over the embedding column, fully distributed
     * (no driver-side collect and no driver-side count): seed = the k
     * first vectors in md5-of-id order (deterministic, uniform-ish, a

@@ -328,5 +328,45 @@ object BusinessQueries {
             CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
             FROM events GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58)
+  /** q70 — the F16 money-measure family computed under DecimalType
+    * (the [[graft.etl.RunContext.decimalMeasures]] DDL-fidelity mode,
+    * reference Numeric(12,2)/(10,2), etl_ods_tables.py:162-165):
+    * amounts and discounts cast to the DDL decimal types, derived
+    * discount/net measures rounded in exact decimal arithmetic, then
+    * aggregated exactly. Final sums cast to double on BOTH engines for
+    * the compare; the values still pin decimal semantics — any float
+    * drift in the internal arithmetic would shift the last cents. */
+  private val q70 = Q("q70_decimal_measures",
+    (s, d) => {
+      val amt = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(10,2)")
+      val da = round(amt * disc, 2)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), amt.as("amt"), da.as("da"),
+          round(amt - da, 2).as("net"))
+        .groupBy("l_returnflag")
+        .agg(sum("amt").cast("double").as("gross_revenue"),
+          sum("da").cast("double").as("discount_amount"),
+          sum("net").cast("double").as("net_revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+              CAST(sum(amt) AS DOUBLE) AS gross_revenue,
+              CAST(sum(da) AS DOUBLE) AS discount_amount,
+              CAST(sum(net) AS DOUBLE) AS net_revenue,
+              count(*) AS n
+            FROM (
+              SELECT l_returnflag,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) AS amt,
+                     round(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_discount AS DECIMAL(10,2)), 2) AS da,
+                     round(CAST(l_extendedprice AS DECIMAL(12,2))
+                           - round(CAST(l_extendedprice AS DECIMAL(12,2))
+                                   * CAST(l_discount AS DECIMAL(10,2)), 2), 2) AS net
+              FROM lineitem)
+            GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
+    q70)
 }

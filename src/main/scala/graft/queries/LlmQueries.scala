@@ -795,6 +795,247 @@ object LlmQueries {
     },
     None)
 
+  /** q68 — the corpus pipeline's SQL-expressible prefix, value-gated:
+    * quality gate → exact dedup → simhash near-dup cluster dedup →
+    * decontaminate vs eval → mixture sample, reported as per-stage row
+    * counts. This is q61's composition with the (mapPartitions) packing
+    * tail cut off, so the oracle can replay EVERY stage — the quality
+    * expression, fingerprint dedup, simhash banding, the recursive-CTE
+    * component closure, the shingle-vocabulary contamination gate, and
+    * the md5-threshold mixture — and hash-match the stage counts. */
+  private val q68 = Q("q68_pipeline_stage_counts",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val quality = docs.where(qualityScore(col("text")) >= 0.2).persist()
+      val exact = Dedup.exactByKey(quality, fingerprint(col("text")), "doc_id")
+        .persist()
+      val pairs = Dedup.simhashNearDupPairs(exact, "doc_id", "text",
+        bits = 48, maxHamming = 3)
+      val nearDup = Dedup.dedupByClusters(exact,
+        Dedup.connectedComponents(pairs), "doc_id").persist()
+      val evalDocs = docs.filter(col("doc_id") < 10)
+      val contaminated = Dedup.contamination(evalDocs, nearDup, "doc_id", "text",
+          shingleSize = 3)
+        .where(col("contamination_pct") > 0.0).select("doc_id")
+      val clean = nearDup.join(contaminated, Seq("doc_id"), "left_anti").persist()
+      val mixed = Sampling.mixtureSample(clean, col("source"), col("doc_id"),
+        Map("src0" -> 0.5), defaultRate = 1.0)
+      val rows = Seq(
+        "1_input" -> docs.count(),
+        "2_quality_filter" -> quality.count(),
+        "3_exact_dedup" -> exact.count(),
+        "4_cluster_dedup" -> nearDup.count(),
+        "5_decontaminate" -> clean.count(),
+        "6_mixture_sample" -> mixed.count())
+      Seq(quality, exact, nearDup, clean).foreach(_.unpersist(blocking = false))
+      rows.toDF("stage", "n").orderBy("stage")
+    },
+    Some("""WITH RECURSIVE quality AS (
+              SELECT doc_id, text, source FROM documents
+              WHERE round(least(len(str_split(text, ' ')) / 60.0, 1.0) * 0.4
+                    + (len(list_distinct(str_split(text, ' '))) * 1.0 / len(str_split(text, ' '))) * 0.3
+                    + (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 0.3,
+                    6) >= 0.2),
+            keyed AS (SELECT doc_id, text, source,
+                             substr(md5(lower(trim(text))), 1, 16) AS fp
+                      FROM quality),
+            ex AS (SELECT k.* FROM keyed k
+                   JOIN (SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY 1) s
+                     ON k.fp = s.fp AND k.doc_id = s.doc_id),
+            hv AS (
+              SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv
+              FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM ex)),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hv, (SELECT unnest(generate_series(0, 47)) AS j)
+              GROUP BY 1, 2),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+              FROM bits GROUP BY 1),
+            chunks AS (
+              SELECT doc_id, simhash, b,
+                     (simhash >> (b * 12)) & 4095 AS chunk
+              FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+              FROM chunks a JOIN chunks c
+                ON a.b = c.b AND a.chunk = c.chunk AND a.doc_id < c.doc_id
+              WHERE bit_count(xor(a.simhash, c.simhash)) <= 3),
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION ALL SELECT d2, d1 FROM pairs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+            lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+            nd AS (SELECT * FROM ex WHERE doc_id NOT IN
+                     (SELECT id FROM lbl WHERE id <> label)),
+            evsh AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+              FROM (SELECT unnest(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS sh
+                    FROM (SELECT str_split(text, ' ') AS ws FROM documents WHERE doc_id < 10)
+                    WHERE len(ws) >= 3)),
+            tsh AS (
+              SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+              FROM (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS sh
+                    FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM nd)
+                    WHERE len(ws) >= 3)),
+            cont AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN evsh e ON t.h = e.h),
+            clean AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+            mixed AS (
+              SELECT * FROM clean
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    < (CASE source WHEN 'src0' THEN 576460752303423488
+                                   ELSE 1152921504606846976 END))
+            SELECT stage, n FROM (
+              SELECT '1_input' AS stage, count(*) AS n FROM documents
+              UNION ALL SELECT '2_quality_filter', count(*) FROM quality
+              UNION ALL SELECT '3_exact_dedup', count(*) FROM ex
+              UNION ALL SELECT '4_cluster_dedup', count(*) FROM nd
+              UNION ALL SELECT '5_decontaminate', count(*) FROM clean
+              UNION ALL SELECT '6_mixture_sample', count(*) FROM mixed)
+            ORDER BY stage"""))
+
+  /** q69 — recall@k for the ANN family against brute-force ground
+    * truth ([[graft.operators.Similarity.recallAtK]]): IVF vs the
+    * exact-cosine top-5, PQ and IVF-PQ vs the exact-L2 top-5, per
+    * query. The one number value-exactness cannot give — how GOOD the
+    * approximation is — made fully oracle-checkable because every
+    * approximate pipeline here is deterministic: the oracle replays
+    * approx AND exact sides and must land on identical hit counts. */
+  private val q69 = Q("q69_ann_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exactCos = Similarity.bruteForceTopK(emb, queries, k = 5)
+      val exactL2 = Similarity.bruteForceTopKL2(emb, queries, k = 5)
+      val centroids = Similarity.sampleCentroids(emb, 50)
+      val ivf = Similarity.ivfTopK(
+        Similarity.assignCells(emb, centroids, "nid", "ne", "cell", 1),
+        queries, centroids, k = 5, nProbe = 3)
+      val cb = Similarity.pqCodebooks(emb, m = 4, dim = 64, step = 50)
+      val pq = Similarity.pqTopK(Similarity.pqEncode(emb, cb, m = 4, dim = 64),
+        cb, queries, m = 4, dim = 64, k = 5)
+      val (enc2, cb2) = Similarity.ivfPqBuild(emb, centroids, m = 4, dim = 64,
+        pqStep = 25)
+      val ivfpq = Similarity.ivfPqTopK(enc2, centroids, cb2, queries,
+        m = 4, dim = 64, k = 5, nProbe = 3)
+      Seq(("ivf", ivf, exactCos), ("ivfpq", ivfpq, exactL2), ("pq", pq, exactL2))
+        .map { case (m, approx, exact) =>
+          Similarity.recallAtK(approx, exact, k = 5).withColumn("method", lit(m))
+        }
+        .reduce(_.unionByName(_))
+        .select("method", "qid", "n_returned", "n_hits", "recall")
+        .orderBy("method", "qid")
+    },
+    Some("""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT vec_id AS qid, e AS qe FROM corpus WHERE vec_id < 10),
+            exc AS (SELECT qid, nid FROM (
+                      SELECT qid, n.vec_id AS nid,
+                             row_number() OVER (PARTITION BY qid
+                               ORDER BY list_cosine_similarity(qe, n.e) DESC, n.vec_id ASC) AS rnk
+                      FROM q JOIN corpus n ON n.vec_id <> qid) WHERE rnk <= 5),
+            exl AS (SELECT qid, nid FROM (
+                      SELECT qid, n.vec_id AS nid,
+                             row_number() OVER (PARTITION BY qid
+                               ORDER BY list_distance(qe, n.e) ASC, n.vec_id ASC) AS rnk
+                      FROM q JOIN corpus n ON n.vec_id <> qid) WHERE rnk <= 5),
+            cent AS (SELECT vec_id AS cid, e AS ce FROM corpus WHERE vec_id % 50 = 0),
+            acell AS (SELECT nid, ne, cell FROM (
+                        SELECT vec_id AS nid, e AS ne, cid AS cell,
+                               row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY list_cosine_similarity(e, ce) DESC, cid ASC) AS rn
+                        FROM corpus CROSS JOIN cent) WHERE rn = 1),
+            probes AS (SELECT qid, qe, probe_cell FROM (
+                         SELECT qid, qe, cid AS probe_cell,
+                                row_number() OVER (PARTITION BY qid
+                                  ORDER BY list_cosine_similarity(qe, ce) DESC, cid ASC) AS rn
+                         FROM q CROSS JOIN cent) WHERE rn <= 3),
+            ivf AS (SELECT qid, nid FROM (
+                      SELECT qid, nid,
+                             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+                      FROM (SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos
+                            FROM probes JOIN acell ON probe_cell = cell AND qid <> nid))
+                    WHERE rnk <= 5),
+            js AS (SELECT unnest(generate_series(0, 3)) AS j),
+            cb AS (SELECT cid, j, list_slice(ce, j * 16 + 1, j * 16 + 16) AS ce FROM
+                     (SELECT vec_id AS cid, e AS ce FROM corpus WHERE vec_id % 50 = 0), js),
+            slices AS (SELECT vec_id AS nid, j, list_slice(e, j * 16 + 1, j * 16 + 16) AS nv
+                       FROM corpus, js),
+            enc AS (SELECT nid, j, cid AS code FROM (
+                      SELECT nid, j, cid,
+                             row_number() OVER (PARTITION BY nid, j
+                               ORDER BY list_distance(nv, ce), cid) AS rn
+                      FROM slices JOIN cb USING (j)) WHERE rn = 1),
+            qs AS (SELECT qid, j, list_slice(qe, j * 16 + 1, j * 16 + 16) AS qv FROM q, js),
+            dtq AS (SELECT qid, j, cid AS code, pow(list_distance(qv, ce), 2) AS dsq
+                    FROM qs JOIN cb USING (j)),
+            pq AS (SELECT qid, nid FROM (
+                     SELECT qid, nid,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY d0 + d1 + d2 + d3, nid) AS rnk
+                     FROM (SELECT qid, nid,
+                                  sum(CASE WHEN j = 0 THEN dsq ELSE 0 END) AS d0,
+                                  sum(CASE WHEN j = 1 THEN dsq ELSE 0 END) AS d1,
+                                  sum(CASE WHEN j = 2 THEN dsq ELSE 0 END) AS d2,
+                                  sum(CASE WHEN j = 3 THEN dsq ELSE 0 END) AS d3
+                           FROM enc JOIN dtq USING (j, code)
+                           WHERE qid <> nid GROUP BY 1, 2))
+                   WHERE rnk <= 5),
+            res AS (SELECT nid, cell,
+                           list_transform(generate_series(1, 64), i -> ne[i] - ce2[i]) AS r
+                    FROM acell JOIN (SELECT cid AS cell, ce AS ce2 FROM cent) USING (cell)),
+            cb2 AS (SELECT cid, j, list_slice(ce, j * 16 + 1, j * 16 + 16) AS ce FROM
+                      (SELECT nid AS cid, r AS ce FROM res WHERE nid % 25 = 0), js),
+            rsl AS (SELECT nid, cell, j, list_slice(r, j * 16 + 1, j * 16 + 16) AS nv
+                    FROM res, js),
+            enc2 AS (SELECT nid, cell, j, cid AS code FROM (
+                       SELECT nid, cell, j, cid,
+                              row_number() OVER (PARTITION BY nid, j
+                                ORDER BY list_distance(nv, ce), cid) AS rn
+                       FROM rsl JOIN cb2 USING (j)) WHERE rn = 1),
+            qres AS (SELECT qid, probe_cell AS cell,
+                            list_transform(generate_series(1, 64), i -> qe[i] - ce2[i]) AS qr
+                     FROM probes JOIN (SELECT cid AS probe_cell, ce AS ce2 FROM cent)
+                       USING (probe_cell)),
+            qsl AS (SELECT qid, cell, j, list_slice(qr, j * 16 + 1, j * 16 + 16) AS qv
+                    FROM qres, js),
+            dt2 AS (SELECT qid, cell, j, cid AS code, pow(list_distance(qv, ce), 2) AS dsq
+                    FROM qsl JOIN cb2 USING (j)),
+            ivfpq AS (SELECT qid, nid FROM (
+                        SELECT qid, nid,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY d0 + d1 + d2 + d3, nid) AS rnk
+                        FROM (SELECT qid, nid,
+                                     sum(CASE WHEN j = 0 THEN dsq ELSE 0 END) AS d0,
+                                     sum(CASE WHEN j = 1 THEN dsq ELSE 0 END) AS d1,
+                                     sum(CASE WHEN j = 2 THEN dsq ELSE 0 END) AS d2,
+                                     sum(CASE WHEN j = 3 THEN dsq ELSE 0 END) AS d3
+                              FROM enc2 JOIN dt2 USING (cell, j, code)
+                              WHERE qid <> nid GROUP BY 1, 2))
+                      WHERE rnk <= 5),
+            r AS (
+              SELECT 'ivf' AS method, a.qid,
+                     CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END AS hit
+              FROM ivf a LEFT JOIN exc e ON a.qid = e.qid AND a.nid = e.nid
+              UNION ALL
+              SELECT 'ivfpq', a.qid, CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END
+              FROM ivfpq a LEFT JOIN exl e ON a.qid = e.qid AND a.nid = e.nid
+              UNION ALL
+              SELECT 'pq', a.qid, CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END
+              FROM pq a LEFT JOIN exl e ON a.qid = e.qid AND a.nid = e.nid)
+            SELECT method, qid, count(*) AS n_returned,
+                   CAST(sum(hit) AS BIGINT) AS n_hits,
+                   round(sum(hit) / 5.0, 4) AS recall
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** q62 — product-quantization ANN (build → encode → asymmetric-
     * distance top-k): 4 subspaces × 16 dims, sampled codebooks so the
     * oracle replays the whole scheme — encoding argmins, distance
@@ -954,5 +1195,5 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
-    q63, q66, q67)
+    q63, q66, q67, q68, q69)
 }

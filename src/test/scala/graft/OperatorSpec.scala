@@ -347,6 +347,22 @@ class OperatorSpec extends SparkSpec {
     assert(ops2 === Map(Option.empty[String] -> "D"))
   }
 
+  test("zScoreOutliers: no forced broadcast — high-cardinality groups stay correct") {
+    import graft.operators.Quality
+    // one row per group (worst cardinality): stats side is as wide as
+    // the input — a forced broadcast would pin it to the driver
+    val df = (1L to 2000L).map(i => (i, i.toDouble)).toDF("k", "v")
+    val out = Quality.zScoreOutliers(df, Seq("k"), "v")
+    // no ResolvedHint/UnresolvedHint survives in the plan — the join
+    // strategy is left to size estimates + AQE
+    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, UnresolvedHint}
+    assert(!out.queryExecution.analyzed.exists(p =>
+      p.isInstanceOf[ResolvedHint] || p.isInstanceOf[UnresolvedHint]))
+    // every row returns, 1-row groups flagged false
+    assert(out.count() === 2000L)
+    assert(out.where(col("is_outlier")).isEmpty)
+  }
+
   test("zScoreOutliers keeps NULL-group rows and flags 1-row groups false") {
     import graft.operators.Quality
     val df = Seq((Option("g1"), 1.0), (Option("g1"), 1.1), (Option("g1"), 0.9),
@@ -445,6 +461,20 @@ class OperatorSpec extends SparkSpec {
     assert(top(900L) === Set(3L, 103L, 203L))
     assert(top(901L) === Set(7L, 107L, 207L))
     assert(top(902L) === Set(15L, 115L, 215L))
+
+    // recallAtK: exact-vs-exact is the 1.0 sanity bound; PQ on the
+    // planted clusters must meet a full-recall floor at k=3 (its top-3
+    // sets equal the exact sets above) — the metric a user tunes m /
+    // nProbe against
+    val exact = Similarity.bruteForceTopKL2(corpus, pqueries, k = 3)
+    val self = Similarity.recallAtK(exact, exact, k = 3)
+      .select("recall").as[Double].collect()
+    assert(self.forall(_ === 1.0))
+    val ptop = Similarity.pqTopK(penc, pcb, pqueries, m = 8, dim = 64, k = 3)
+    val rec = Similarity.recallAtK(ptop, exact, k = 3)
+      .select("recall").as[Double].collect()
+    assert(rec.length === 3 && rec.forall(_ === 1.0),
+      s"planted-cluster PQ recall fell below 1.0: ${rec.toSeq}")
   }
 
   test("kMeans centroids separate two planted clusters") {
@@ -677,6 +707,35 @@ class OperatorSpec extends SparkSpec {
       .flatMap(_.collect { case l: LambdaFunction => l })
     assert(lambdas.nonEmpty) // posWordShingles itself builds via transform
     assert(!lambdas.exists(_.exists(_.isInstanceOf[Md5])))
+  }
+
+  test("shared shingle cache serves several operators and stays caller-owned") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, base), (2L, base), (3L, base + " extra trailing words here"),
+      (4L, "completely different text with nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    val cache = graft.operators.Dedup.shingleCache(docs, "doc_id", "text", 3)
+    assert(cache.isCached)
+    val lshShared = Dedup.minhashLsh(docs, "doc_id", "text", shingleSize = 3,
+      numHashes = 64, bands = 16, threshold = 0.5, shared = Some(cache))
+    val jacShared = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5, shared = Some(cache))
+    // value-identical to the unshared runs
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", shingleSize = 3,
+      numHashes = 64, bands = 16, threshold = 0.5)
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+    assert(lshShared.exceptAll(lsh).isEmpty && lsh.exceptAll(lshShared).isEmpty)
+    assert(jacShared.exceptAll(jac).isEmpty && jac.exceptAll(jacShared).isEmpty)
+    // finish() must NOT release caller-owned state mid-session...
+    assert(cache.isCached)
+    // ...and release() must actually free it
+    cache.release()
+    assert(!cache.isCached)
+    // a released cache is refused, not silently recomputed
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(docs, "doc_id", "text", shared = Some(cache))
+    }
   }
 
   test("reliable checkpoint engages when a checkpoint dir is configured") {

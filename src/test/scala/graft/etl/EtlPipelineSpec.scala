@@ -49,6 +49,33 @@ class EtlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("decimalMeasures stores DDL decimal types over float-faithful values") {
+    import org.apache.spark.sql.types.DecimalType
+    counts // force the (shared, double-typed) pipeline run first
+    val dCtx = RunContext(ctx.runDate, ctx.batchId, decimalMeasures = true)
+    val sales = StagingLayer.sales(wh.read("ods_sales"), wh.read("stg_date"),
+      wh.read("stg_customer"), wh.read("stg_product"), wh.read("stg_store"), dCtx)
+    val rets = StagingLayer.returns(wh.read("ods_returns"), wh.read("stg_date"),
+      wh.read("stg_product"), wh.read("stg_store"),
+      wh.read("stg_return_reason"), dCtx)
+    // the reference DDL's types (etl_ods_tables.py:162-165, 201)
+    assert(sales.schema("sales_amount").dataType === DecimalType(12, 2))
+    assert(sales.schema("net_revenue").dataType === DecimalType(12, 2))
+    assert(sales.schema("profit").dataType === DecimalType(12, 2))
+    assert(sales.schema("shipping_cost").dataType === DecimalType(10, 2))
+    assert(rets.schema("return_amount").dataType === DecimalType(12, 2))
+    assert(rets.schema("avg_return_price").dataType === DecimalType(10, 2))
+    // same values as the double path to the cent: the cast is storage
+    // fidelity, not a different computation
+    val dec = sales.agg(sum(col("net_revenue").cast("double"))).first().getDouble(0)
+    val dbl = wh.read("stg_sales")
+      .agg(sum("net_revenue")).first().getDouble(0)
+    assert(math.abs(dec - dbl) < 0.01)
+    // off by default: the flagless pipeline kept doubles
+    assert(wh.read("stg_sales").schema("net_revenue").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+  }
+
   test("dashboard KPIs reproduce the csv truth") {
     // Ground truth computed from the raw csv (duckdb):
     // sum(profit)=1521767.96, sum(sales)=14915600.82, sum(qty)=214777
