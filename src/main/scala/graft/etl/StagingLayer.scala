@@ -47,8 +47,12 @@ object StagingLayer {
     * [[RunContext.decimalMeasures]]): when the flag is on, cast each
     * listed column to its reference-DDL decimal type AFTER the
     * float-faithful derivation — exact storage semantics over the
-    * reference's own arithmetic. All stored values are already
-    * round(x, 2), so the cast is lossless. */
+    * reference's own arithmetic. Derived columns (discount_amount,
+    * net_revenue, avg_return_price) are already round(x, 2), so their
+    * cast is lossless; raw pass-through money (sales_amount, profit,
+    * shipping_cost, return_amount) with >2 decimals rounds half-up —
+    * exactly what inserting the same value into the reference's
+    * `Numeric(12,2)` column does. */
   private def decimalize(ctx: RunContext, cols: (String, String)*)(df: DataFrame): DataFrame =
     if (!ctx.decimalMeasures) df
     else cols.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }

@@ -38,6 +38,8 @@ object Dedup {
     * and one per operator. */
   final class ShingleCache private[operators] (
       private[operators] val frame: DataFrame,
+      private[operators] val docsPlan:
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       private[operators] val idCol: String,
       private[operators] val shingleSize: Int) {
     /** Current cache status — NONE once released. */
@@ -59,20 +61,35 @@ object Dedup {
     new ShingleCache(
       hashedShingledPlan(docs, idCol, textCol, shingleSize)
         .withColumn("__shared", lit(1)).persist(),
+      docs.queryExecution.analyzed,
       idCol, shingleSize)
 
+  /** The shared-cache contract, enforced at every consuming entry
+    * point: same id column, same shingle width, not yet released, and
+    * built from the SAME corpus — `sameResult` on the canonicalized
+    * source plans, so a cache built over corpus A silently standing in
+    * for corpus B (plausible-but-wrong pairs) is refused, not served. */
+  private def validateShared(c: ShingleCache, docs: DataFrame,
+      idCol: String, shingleSize: Int): Unit = {
+    require(c.idCol == idCol && c.shingleSize == shingleSize,
+      s"shared ShingleCache shape (${c.idCol}, n=${c.shingleSize}) does not " +
+        s"match the call ($idCol, n=$shingleSize)")
+    require(c.isCached, "shared ShingleCache was already released")
+    require(c.docsPlan.sameResult(docs.queryExecution.analyzed),
+      "shared ShingleCache was built over a DIFFERENT corpus than this " +
+        "call's docs frame — results would silently cover the wrong corpus")
+  }
+
   /** Resolve the shingle frame an operator should use: the caller's
-    * shared cache when provided (validated against the call's shape),
-    * a fresh operator-scoped materialization otherwise. The Boolean
-    * says whether the operator OWNS the frame (and must release it). */
+    * shared cache when provided (validated against the call's shape
+    * and corpus), a fresh operator-scoped materialization otherwise.
+    * The Boolean says whether the operator OWNS the frame (and must
+    * release it). */
   private def resolveShingles(shared: Option[ShingleCache], docs: DataFrame,
       idCol: String, textCol: String, shingleSize: Int): (DataFrame, Boolean) =
     shared match {
       case Some(c) =>
-        require(c.idCol == idCol && c.shingleSize == shingleSize,
-          s"shared ShingleCache shape (${c.idCol}, n=${c.shingleSize}) does not " +
-            s"match the call ($idCol, n=$shingleSize)")
-        require(c.isCached, "shared ShingleCache was already released")
+        validateShared(c, docs, idCol, shingleSize)
         (c.frame, false)
       case None =>
         (hashedShingled(docs, idCol, textCol, shingleSize), true)
@@ -124,14 +141,19 @@ object Dedup {
     * the session's parallelism only when the scan is narrower than the
     * core count (at real scale the scan already is parallel and this
     * is a no-op — no gratuitous shuffle of a 100 TB corpus). The width
-    * check is a plan-side size estimate (a scan splits into
-    * ~sizeInBytes / maxPartitionBytes tasks), not `df.rdd` — the RDD
-    * conversion would re-plan the frame once per operator call. */
+    * check is a plan-side size estimate, not `df.rdd` — the RDD
+    * conversion would re-plan the frame once per operator call. It
+    * sums the LEAF relations' sizes (a scan splits into
+    * ~sizeInBytes / maxPartitionBytes tasks): leaf stats are actual
+    * file/relation sizes, where a whole-plan estimate over a join
+    * multiplies out and would skip the repartition exactly when the
+    * input is small-but-join-shaped. */
   private def spread(df: DataFrame, idCol: String): DataFrame = {
     val sess = df.sparkSession
     val want = sess.sparkContext.defaultParallelism
     val maxBytes = sess.sessionState.conf.filesMaxPartitionBytes
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
     if (est < BigInt(want) * maxBytes) df.repartition(col(idCol)) else df
   }
 
@@ -398,6 +420,14 @@ object Dedup {
       rowsPerPartition: Long = 2000000L): DataFrame = {
     val sess = pairs.sparkSession
     import sess.implicits._
+    // integral ids only — a silent cast of string ids would NULL them
+    // out under non-ANSI sessions and return garbage clusters
+    Seq(id1, id2).foreach { c =>
+      val t = pairs.schema(c).dataType
+      require(Seq("byte", "short", "int", "integer", "long", "bigint")
+          .contains(t.typeName),
+        s"connectedComponents requires integral ids; column $c is $t")
+    }
     val fwd = pairs.select(col(id1).cast("long").as("a"),
       col(id2).cast("long").as("b"))
     val sym = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
@@ -440,7 +470,9 @@ object Dedup {
     // cached blocks satisfy the join's distribution every round.
     val edges = star.unionByName(star.select(col("b").as("a"), col("a").as("b")))
       .repartition(nParts, col("b")).persist()
-    var labels = Checkpoints.stable(
+    // (frame, reliable-checkpoint path) — superseded rounds drop their
+    // checkpoint files instead of accumulating for the session
+    var labels = Checkpoints.stableTracked(
       edges.select(col("a")).repartition(nParts, col("a")).distinct()
         .select(col("a").as("id"), col("a").as("label")))
     // pointer jump: adopt the label's own label (path halving). Valid
@@ -464,10 +496,10 @@ object Dedup {
       // whole stage barrier per round). Partial aggregation is traded
       // for the explicit width — acceptable because per-node degree in
       // a near-dup pair graph is bounded by the candidate caps.
-      val cand = edges.join(labels.repartition(nParts, col("id")),
+      val cand = edges.join(labels._1.repartition(nParts, col("id")),
           col("b") === col("id"))
         .select(col("a"), col("label"))
-      val prop = cand.unionByName(labels.select(col("id").as("a"), col("label")))
+      val prop = cand.unionByName(labels._1.select(col("id").as("a"), col("label")))
         .repartition(nParts, col("a"))
         .groupBy(col("a")).agg(min("label").as("label"))
         .select(col("a").as("id"), col("label"))
@@ -478,7 +510,7 @@ object Dedup {
       // sums ⇔ no label changed. Decimal(38) keeps the sum exact for
       // any realistic id range × corpus size (no ANSI overflow).
       val obs = new org.apache.spark.sql.Observation()
-      val updated = Checkpoints.stable(jump(prop).observe(obs,
+      val updated = Checkpoints.stableTracked(jump(prop).observe(obs,
         coalesce(sum(col("label").cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO)).as("label_sum")))
       val sumNow = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
@@ -487,14 +519,21 @@ object Dedup {
         println(s"[cc] round $i labelSum=$sumNow")
       prevSum = sumNow
       prop.unpersist(blocking = false)
+      Checkpoints.drop(labels._1, labels._2)
       labels = updated
       i += 1
     }
     sym.unpersist(blocking = false)
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds — " +
-        "component diameter exceeds the budget; raise maxIters")
-    finish(labels.select(col("id"), col("label").as("cluster_id")), edges)
+    if (!converged) {
+      Checkpoints.drop(labels._1, labels._2)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component diameter exceeds the budget; raise maxIters")
+    }
+    val out = finish(
+      labels._1.select(col("id"), col("label").as("cluster_id")), edges)
+    Checkpoints.drop(labels._1, labels._2)
+    out
   }
 
   /** Cluster-aware exact survivor selection: drop every doc that
@@ -532,10 +571,7 @@ object Dedup {
     // is value-identical to re-shingling the raw text)
     val testSh = sharedTest match {
       case Some(c) =>
-        require(c.idCol == idCol && c.shingleSize == shingleSize,
-          s"shared ShingleCache shape (${c.idCol}, n=${c.shingleSize}) does not " +
-            s"match the call ($idCol, n=$shingleSize)")
-        require(c.isCached, "shared ShingleCache was already released")
+        validateShared(c, test, idCol, shingleSize)
         c.frame.select(col(idCol), explode(col("sh")).as("h"))
       case None => spread(test, idCol)
         .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("s"))

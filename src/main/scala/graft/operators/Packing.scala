@@ -45,13 +45,17 @@ object Packing {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nBuckets > 0 && nBuckets <= (1 << 20),
       s"nBuckets must be in [1, 2^20], got $nBuckets")
+    // internal working columns must not silently shadow (and then
+    // swallow) caller columns of the same name
+    Seq("__pack_h", "__pack_bucket").foreach(c =>
+      require(!docs.columns.contains(c), s"input already has a column $c"))
     val ordered = docs
-      .withColumn("__h", md5Long(col(idCol).cast("string")))
-      .withColumn("__bucket", pmod(col("__h"), lit(nBuckets.toLong)))
-      .repartition(col("__bucket"))
-      .sortWithinPartitions(col("__bucket"), col("__h"), col(idCol))
+      .withColumn("__pack_h", md5Long(col(idCol).cast("string")))
+      .withColumn("__pack_bucket", pmod(col("__pack_h"), lit(nBuckets.toLong)))
+      .repartition(col("__pack_bucket"))
+      .sortWithinPartitions(col("__pack_bucket"), col("__pack_h"), col(idCol))
     val tokIdx = ordered.schema.fieldIndex(tokenCol)
-    val bIdx = ordered.schema.fieldIndex("__bucket")
+    val bIdx = ordered.schema.fieldIndex("__pack_bucket")
     val packed = ordered.rdd.mapPartitions { rows =>
       var bucket = -1L
       var packSeq = -1L
@@ -73,6 +77,6 @@ object Packing {
         StructType(ordered.schema.fields
           :+ StructField("pack_id", LongType, nullable = false)
           :+ StructField("pack_fill", LongType, nullable = false)))
-      .drop("__h", "__bucket")
+      .drop("__pack_h", "__pack_bucket")
   }
 }

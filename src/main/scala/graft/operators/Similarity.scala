@@ -318,23 +318,25 @@ object Similarity {
     * as the `centroids` input of the probe operators.
     */
   def kMeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = Checkpoints.stable(
+    // (frame, reliable-checkpoint path): superseded iterations drop
+    // their checkpoint files instead of accumulating for the session
+    var centroids = Checkpoints.stableTracked(
       corpus.select(col("vec_id"), col("embedding"))
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k))
     for (_ <- 0 until iters) {
-      val assigned = assignCells(corpus, centroids, "vid", "ve", "cell", 1)
+      val assigned = assignCells(corpus, centroids._1, "vid", "ve", "cell", 1)
       val prev = centroids
-      centroids = assigned
+      centroids = Checkpoints.stableTracked(assigned
         .select(col("cell"), posexplode(col("ve")))
         .groupBy("cell", "pos")
         .agg(avg("col").as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("vec_id"),
-          transform(col("pm"), x => x.getField("m")).as("embedding"))
-      centroids = Checkpoints.stable(centroids)
-      prev.unpersist()
+          transform(col("pm"), x => x.getField("m")).as("embedding")))
+      prev._1.unpersist()
+      Checkpoints.drop(prev._1, prev._2)
     }
-    centroids
+    centroids._1
   }
 }

@@ -729,6 +729,12 @@ class OperatorSpec extends SparkSpec {
     assert(jacShared.exceptAll(jac).isEmpty && jac.exceptAll(jacShared).isEmpty)
     // finish() must NOT release caller-owned state mid-session...
     assert(cache.isCached)
+    // ...a cache built over a DIFFERENT corpus is refused, not served
+    val other = Seq((9L, "a totally different corpus of words here"))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(other, "doc_id", "text", shared = Some(cache))
+    }
     // ...and release() must actually free it
     cache.release()
     assert(!cache.isCached)
@@ -741,18 +747,30 @@ class OperatorSpec extends SparkSpec {
   test("reliable checkpoint engages when a checkpoint dir is configured") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
+    def files(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles).toSeq.flatten.flatMap(c => c +: files(c))
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_id_1", "doc_id_2")
       val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
       assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-      // the run must have written reliable checkpoint files
-      def files(f: java.io.File): Seq[java.io.File] =
-        Option(f.listFiles).toSeq.flatten.flatMap(c => c +: files(c))
+      // the run must have written reliable checkpoint files...
       assert(files(new java.io.File(dir)).exists(_.isFile))
+      // ...but only the LIVE result's: superseded per-round checkpoints
+      // are dropped as the loop advances (the session-lifetime-leak
+      // guard), so at most the finish() result + the final labels round
+      // remain on disk
+      val dirs = Option(new java.io.File(dir).listFiles).toSeq.flatten
+        .filter(_.isDirectory)
+      assert(dirs.length <= 2, s"leaked checkpoint dirs: ${dirs.length}")
     } finally {
       // setCheckpointDir has no unset; pin the rest of the shared
-      // session back to the localCheckpoint path via the mode conf
+      // session back to the localCheckpoint path via the mode conf,
+      // and remove the temp checkpoint tree
       spark.conf.set("spark.graft.checkpoint", "local")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
     }
   }
 }
