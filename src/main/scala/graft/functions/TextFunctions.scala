@@ -70,6 +70,33 @@ object TextFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** High-precision PII shapes for corpus scrubbing, applied in
+    * declaration order (emails, then SSN-shaped ids, then phone
+    * numbers — SSN before phone so `123-45-6789` is typed `<SSN>`,
+    * never partially eaten as a phone). RE2/Java-compatible so a SQL
+    * oracle replays them verbatim. Deliberately simple, precise
+    * shapes: a training-corpus scrub favors precision (don't mangle
+    * prose) and layers more patterns as needed. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    // no LEADING \b: a boundary never sits between space and '(' or
+    // '+' (all non-word), so it would miss "(555) ..." and "+1 ..."
+    // forms; RE2 (the oracle's engine) has no lookbehind to guard
+    // with instead. The trailing \b still pins the number's end.
+    "(?:\\+?1[ .-])?(?:\\(\\d{3}\\)|\\d{3})[ .-]\\d{3}[ .-]\\d{4}\\b" -> "<PHONE>")
+
+  /** Replace every PII match with its typed placeholder — a pure
+    * codegen'd regexp_replace chain (one map pass, no shuffle). */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Number of PII matches in the raw text (counted BEFORE
+    * redaction, per pattern, summed). */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (p, _) => regexp_count(text, lit(p)) }
+      .reduce(_ + _).cast("long")
+
   /** Positional word n-gram shingles (duplicates kept, document
     * order preserved — winnowing needs the sequence). */
   def posWordShingles(text: Column, n: Int): Column = {

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextFunctions.{posWordShingles, tokens}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -32,6 +33,42 @@ object Quality {
         col("__sd") > 0 && abs(col(valueCol) - col("__mu")) > col("__sd") * sigma,
         lit(false)))
       .drop(groupCols.map(c => s"__g_$c") :+ "__mu" :+ "__sd": _*)
+  }
+
+  /** Repetition signals per document, in the style of the Gopher
+    * quality filters (Rae et al. 2021, "Scaling Language Models",
+    * §A1.1 — repetitious text is the strongest cheap low-quality
+    * signal in web corpora), at word and 2-gram granularity:
+    *
+    *  - `top_word_frac` / `top_bigram_frac`: mass fraction of the
+    *    single most frequent word / 2-gram (ties don't matter — the
+    *    max count is unique even when the argmax isn't);
+    *  - `dup_word_frac` / `dup_bigram_frac`: fraction of tokens that
+    *    are repeats of an already-seen word / 2-gram
+    *    (1 − distinct/total).
+    *
+    * Execution: one explode per granularity, a (doc, term) count, a
+    * per-doc rollup — all map-side-combinable uniform-key shuffles.
+    * Documents with < 2 words have no 2-grams: their bigram columns
+    * are NULL (not 0 — "no signal", distinct from "no repetition").
+    * Returns (idCol, n_words, top_word_frac, dup_word_frac,
+    * n_bigrams, top_bigram_frac, dup_bigram_frac), fractions rounded
+    * to 6. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def gramStats(grams: DataFrame, n: String, top: String, dup: String): DataFrame =
+      grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol))
+        .agg(sum("c").as(n), max("c").as("__top"), count(lit(1)).as("__distinct"))
+        .select(col(idCol), col(n),
+          round(col("__top") / col(n), 6).as(top),
+          round(lit(1.0) - col("__distinct") / col(n), 6).as(dup))
+    val words = gramStats(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("g")),
+      "n_words", "top_word_frac", "dup_word_frac")
+    val bigrams = gramStats(
+      df.select(col(idCol), explode(posWordShingles(col(textCol), 2)).as("g")),
+      "n_bigrams", "top_bigram_frac", "dup_bigram_frac")
+    words.join(bigrams, Seq(idCol), "left")
   }
 
   /** One-pass completeness profile: row count + per-column null

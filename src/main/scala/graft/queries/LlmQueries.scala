@@ -1036,6 +1036,79 @@ object LlmQueries {
                    round(sum(hit) / 5.0, 4) AS recall
             FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q71 — Gopher-style repetition signals per document
+    * ([[graft.operators.Quality.repetitionSignals]]): top-word /
+    * top-2-gram mass fractions and duplicate-token fractions — the
+    * cheap repetitious-boilerplate detectors a web-corpus quality
+    * gate runs alongside q26's composite score. NULL bigram columns
+    * (sub-2-word docs) are part of the contract. */
+  private val q71 = Q("q71_repetition_signals",
+    (s, d) => {
+      Quality.repetitionSignals(
+          Tables.documents(s, d).filter(col("doc_id") < 150), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, unnest(str_split(text, ' ')) AS g
+              FROM documents WHERE doc_id < 150),
+            wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),
+            ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                          round(max(c) / sum(c), 6) AS top_word_frac,
+                          round(1.0 - count(*) / sum(c), 6) AS dup_word_frac
+                   FROM wc GROUP BY 1),
+            b AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(ws2) - 1),
+                       i -> array_to_string(list_slice(ws2, i, i + 1), ' '))) AS g
+              FROM (SELECT doc_id, str_split(text, ' ') AS ws2
+                    FROM documents WHERE doc_id < 150)
+              WHERE len(ws2) >= 2),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+            bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                          round(max(c) / sum(c), 6) AS top_bigram_frac,
+                          round(1.0 - count(*) / sum(c), 6) AS dup_bigram_frac
+                   FROM bc GROUP BY 1)
+            SELECT ws.doc_id, n_words, top_word_frac, dup_word_frac,
+                   n_bigrams, top_bigram_frac, dup_bigram_frac
+            FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+            ORDER BY ws.doc_id"""))
+
+  /** q72 — PII redaction ([[graft.functions.TextFunctions.redactPii]]):
+    * email / SSN-shaped / phone patterns planted into each document
+    * (the corpus itself is synthetic and clean — planting makes the
+    * gate meaningful), counted before redaction and the redacted text
+    * fingerprinted so the oracle checks the SCRUBBED BYTES, not just
+    * the counts. Pure codegen'd regexp chain — one map pass. */
+  private val q72 = Q("q72_pii_redaction",
+    (s, d) => {
+      val planted = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .withColumn("t2", concat(col("text"), lit(" contact user"),
+          col("doc_id"),
+          lit("@example.com or (555) 123-4567 id 123-45-6789")))
+      planted.select(col("doc_id"),
+          piiCount(col("t2")).as("n_pii"),
+          fingerprint(redactPii(col("t2"))).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (
+              SELECT doc_id,
+                     concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                            '@example.com or (555) 123-4567 id 123-45-6789') AS t2
+              FROM documents WHERE doc_id < 100),
+            r AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        + len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b'))
+                        + len(regexp_extract_all(t2, '(?:\+?1[ .-])?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}\b'))
+                       AS BIGINT) AS n_pii,
+                     regexp_replace(regexp_replace(regexp_replace(t2,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                         '(?:\+?1[ .-])?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g') AS red
+              FROM p)
+            SELECT doc_id, n_pii, substr(md5(lower(trim(red))), 1, 16) AS redacted_fp
+            FROM r ORDER BY doc_id"""))
+
   /** q62 — product-quantization ANN (build → encode → asymmetric-
     * distance top-k): 4 subspaces × 16 dims, sampled codebooks so the
     * oracle replays the whole scheme — encoding argmins, distance
@@ -1195,5 +1268,5 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
-    q63, q66, q67, q68, q69)
+    q63, q66, q67, q68, q69, q71, q72)
 }

@@ -685,6 +685,36 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq("en", "und"))
   }
 
+  test("repetition signals match hand-computed fractions; sub-2-word docs get NULL bigrams") {
+    import graft.operators.Quality
+    val df = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = Quality.repetitionSignals(df, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    // doc 1: words a,a,a,b → top 3/4, dup 1-2/4; bigrams "a a","a a","a b"
+    assert(out(0).getLong(1) === 4L)
+    assert(out(0).getDouble(2) === 0.75 && out(0).getDouble(3) === 0.5)
+    assert(out(0).getLong(4) === 3L)
+    assert(out(0).getDouble(5) === 0.666667 && out(0).getDouble(6) === 0.333333)
+    // doc 2: one word, no bigrams → NULL bigram columns (no signal)
+    assert(out(1).getLong(1) === 1L && out(1).getDouble(2) === 1.0)
+    assert(out(1).isNullAt(4) && out(1).isNullAt(5) && out(1).isNullAt(6))
+  }
+
+  test("pii redaction: planted shapes typed correctly, clean prose untouched") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org today"),
+      (2L, "ssn 123-45-6789 phone (555) 123-4567 and +1 555-123-4567"),
+      (3L, "no pii here, just words and numbers like 12345 or 3.14"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("r"),
+        TextFunctions.piiCount(col("text")).as("n"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out(0) === ((1L, "reach me at <EMAIL> today", 1L)))
+    assert(out(1) === ((2L, "ssn <SSN> phone <PHONE> and <PHONE>", 3L)))
+    assert(out(2) === ((3L, "no pii here, just words and numbers like 12345 or 3.14", 0L)))
+  }
+
   test("winnowing: hand-checked fingerprints; md5 never runs inside a lambda") {
     // hand replay of SIGMOD'03 winnowing: k-shingles, md5Long each,
     // sliding window-of-w minima, distinct
