@@ -46,12 +46,19 @@ object CorpusPipeline {
       textCol: String = "text", sourceCol: String = "source",
       evalDocs: Option[DataFrame] = None,
       cfg: Config = Config()): Result = {
-    val staged = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    val report = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val staged = scala.collection.mutable.ListBuffer
+      .empty[(String, org.apache.spark.sql.Observation, DataFrame)]
     def stage(name: String, df: DataFrame): DataFrame = {
-      val p = df.persist()
-      staged += p
-      report += name -> p.count()
+      // the stage count rides the cache's FIRST materialization as an
+      // observed metric instead of a dedicated count job per stage
+      // (every stage cache is fully scanned by its downstream
+      // consumer, so that first execution covers all rows); a stage
+      // whose metric did not surface (e.g. a cache filled inside an
+      // RDD-level computation) falls back to a cache-warm count when
+      // the report is assembled — never a blocking get
+      val obs = new org.apache.spark.sql.Observation()
+      val p = df.observe(obs, count(lit(1)).as("n")).persist()
+      staged += ((name, obs, p))
       p
     }
 
@@ -84,8 +91,11 @@ object CorpusPipeline {
 
     val train = Checkpoints.stable(packed)
     val hold = Checkpoints.stable(holdout)
-    report += "holdout" -> hold.count()
-    staged.foreach(_.unpersist(blocking = false))
-    Result(train, hold, report.toList)
+    val report = staged.map { case (name, obs, p) =>
+      val observed = obs.future.value.flatMap(_.toOption).map(_.getLong(0))
+      name -> observed.getOrElse(p.count())
+    }.toList :+ ("holdout" -> hold.count())
+    staged.foreach(_._3.unpersist(blocking = false))
+    Result(train, hold, report)
   }
 }

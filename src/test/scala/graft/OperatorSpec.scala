@@ -154,6 +154,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents stitches components across contraction partitions") {
+    // a 400-node chain with rowsPerPartition forced low: contraction
+    // runs on several hash-sharded partitions, so no partition sees
+    // the whole component and emits only FRAGMENT stars — the global
+    // loop must merge them across partition boundaries (the path the
+    // tiny single-partition fixtures never exercise)
+    val edges = (1L until 400L).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
+    val cc = Dedup.connectedComponents(edges, rowsPerPartition = 100)
+    assert(cc.count() === 400L)
+    assert(cc.where(col("cluster_id") =!= 1L).isEmpty)
+  }
+
   test("asofJoin: latest prior match per key, boundary-equal matches, no-prior is null") {
     import graft.ops.AsOf
     val trades = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 35L), (4L, "B", 5L))
