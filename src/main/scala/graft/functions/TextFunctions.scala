@@ -97,6 +97,31 @@ object TextFunctions {
     piiPatterns.map { case (p, _) => regexp_count(text, lit(p)) }
       .reduce(_ + _).cast("long")
 
+  /** Canonicalize an http(s) URL column — the normalization pass a
+    * crawl pipeline runs before URL-level dedup so trivially-distinct
+    * spellings collapse: lowercase scheme+host, strip the
+    * scheme-default port (:443 / :80), drop the fragment, drop
+    * `utm_*` tracking params, and tidy the separators the removals
+    * leave behind. Path/query case is preserved (it is significant).
+    * Pure regexp/string built-ins, engine-replayable. */
+  def canonicalizeUrl(url: Column): Column = {
+    val headPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val head = lower(regexp_extract(url, "(" + headPat + ")", 1))
+    val headNoPort = when(head.startsWith("https://"),
+        regexp_replace(head, ":443$", ""))
+      .otherwise(regexp_replace(head, ":80$", ""))
+    val tail = regexp_replace(url, headPat, "")
+    val noFrag = regexp_replace(tail, "#.*", "")
+    // utm removal in three shapes: '&utm_x=v' drops clean; '?utm_x=v&'
+    // promotes the next param to '?'; a lone trailing '?utm_x=v' drops
+    // with its '?'; then any dangling '?'/'&' is trimmed
+    val noUtm = regexp_replace(regexp_replace(regexp_replace(noFrag,
+      "&utm_[A-Za-z0-9_]*=[^&]*", ""),
+      "\\?utm_[A-Za-z0-9_]*=[^&]*&", "?"),
+      "\\?utm_[A-Za-z0-9_]*=[^&]*$", "")
+    concat(headNoPort, regexp_replace(noUtm, "[?&]$", ""))
+  }
+
   /** Positional word n-gram shingles (duplicates kept, document
     * order preserved — winnowing needs the sequence). */
   def posWordShingles(text: Column, n: Int): Column = {

@@ -35,6 +35,31 @@ object Quality {
       .drop(groupCols.map(c => s"__g_$c") :+ "__mu" :+ "__sd": _*)
   }
 
+  /** Tukey-fence (IQR) outlier flags per group — the rank-based
+    * complement of [[zScoreOutliers]], robust where heavy tails drag
+    * the mean/stddev: a value is anomalous when outside
+    * [q1 − k·iqr, q3 + k·iqr]. Exact per-group percentiles
+    * (continuous interpolation, the q54-proven engine-portable kind)
+    * in one grouped pass, joined back with no forced broadcast (AQE
+    * decides — same contract as zScoreOutliers). Fences are rounded
+    * to 4 decimals so an external replay lands on identical
+    * boundaries. NULL values and 1-row groups flag false; NULL group
+    * keys are rows, not discards. */
+  def iqrOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), lit(0.25)).as("__q1"),
+        percentile(col(valueCol), lit(0.75)).as("__q3"))
+      .select(groupCols.map(c => col(c).as(s"__g_$c"))
+        :+ round(col("__q1") - lit(k) * (col("__q3") - col("__q1")), 4).as("__lo")
+        :+ round(col("__q3") + lit(k) * (col("__q3") - col("__q1")), 4).as("__hi"): _*)
+    df.join(stats,
+        groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _), "left")
+      .withColumn("is_outlier", coalesce(
+        col(valueCol) < col("__lo") || col(valueCol) > col("__hi"), lit(false)))
+      .drop(groupCols.map(c => s"__g_$c") :+ "__lo" :+ "__hi": _*)
+  }
+
   /** Repetition signals per document, in the style of the Gopher
     * quality filters (Rae et al. 2021, "Scaling Language Models",
     * §A1.1 — repetitious text is the strongest cheap low-quality

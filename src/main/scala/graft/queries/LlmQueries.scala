@@ -806,29 +806,41 @@ object LlmQueries {
   private val q68 = Q("q68_pipeline_stage_counts",
     (s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      val quality = docs.where(qualityScore(col("text")) >= 0.2).persist()
-      val exact = Dedup.exactByKey(quality, fingerprint(col("text")), "doc_id")
-        .persist()
+      // stage counts ride each cache's first full-scan materialization
+      // as observed metrics (CorpusPipeline.stage's pattern) — only
+      // the tail needs a dedicated count job; unsurfaced metrics fall
+      // back to a cache-warm count
+      val pendings = scala.collection.mutable.ListBuffer
+        .empty[(String, org.apache.spark.sql.Observation, org.apache.spark.sql.DataFrame)]
+      def staged(name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val obs = new org.apache.spark.sql.Observation()
+        val p = df.observe(obs, count(lit(1)).as("n")).persist()
+        pendings += ((name, obs, p))
+        p
+      }
+      val docs = staged("1_input", Tables.documents(s, d))
+      val quality = staged("2_quality_filter",
+        docs.where(qualityScore(col("text")) >= 0.2))
+      val exact = staged("3_exact_dedup",
+        Dedup.exactByKey(quality, fingerprint(col("text")), "doc_id"))
       val pairs = Dedup.simhashNearDupPairs(exact, "doc_id", "text",
         bits = 48, maxHamming = 3)
-      val nearDup = Dedup.dedupByClusters(exact,
-        Dedup.connectedComponents(pairs), "doc_id").persist()
+      val nearDup = staged("4_cluster_dedup", Dedup.dedupByClusters(exact,
+        Dedup.connectedComponents(pairs), "doc_id"))
       val evalDocs = docs.filter(col("doc_id") < 10)
       val contaminated = Dedup.contamination(evalDocs, nearDup, "doc_id", "text",
           shingleSize = 3)
         .where(col("contamination_pct") > 0.0).select("doc_id")
-      val clean = nearDup.join(contaminated, Seq("doc_id"), "left_anti").persist()
+      val clean = staged("5_decontaminate",
+        nearDup.join(contaminated, Seq("doc_id"), "left_anti"))
       val mixed = Sampling.mixtureSample(clean, col("source"), col("doc_id"),
         Map("src0" -> 0.5), defaultRate = 1.0)
-      val rows = Seq(
-        "1_input" -> docs.count(),
-        "2_quality_filter" -> quality.count(),
-        "3_exact_dedup" -> exact.count(),
-        "4_cluster_dedup" -> nearDup.count(),
-        "5_decontaminate" -> clean.count(),
-        "6_mixture_sample" -> mixed.count())
-      Seq(quality, exact, nearDup, clean).foreach(_.unpersist(blocking = false))
+      val nMixed = mixed.count() // materializes the whole chain
+      val rows = pendings.map { case (name, obs, p) =>
+        name -> obs.future.value.flatMap(_.toOption).map(_.getLong(0))
+          .getOrElse(p.count())
+      }.toList :+ ("6_mixture_sample" -> nMixed)
+      pendings.foreach(_._3.unpersist(blocking = false))
       rows.toDF("stage", "n").orderBy("stage")
     },
     Some("""WITH RECURSIVE quality AS (
@@ -1109,6 +1121,81 @@ object LlmQueries {
             SELECT doc_id, n_pii, substr(md5(lower(trim(red))), 1, 16) AS redacted_fp
             FROM r ORDER BY doc_id"""))
 
+  /** q73 — Tukey-fence (IQR) outliers per group
+    * ([[graft.operators.Quality.iqrOutliers]]), the rank-based
+    * complement of q64's z-scores — robust where heavy tails drag the
+    * mean. k=0.5 so the near-uniform price distribution actually
+    * yields flagged rows; fences rounded to 4 on both engines. */
+  private val q73 = Q("q73_iqr_outliers",
+    (s, d) => {
+      Quality.iqrOutliers(Tables.lineitem(s, d), Seq("l_returnflag"),
+          "l_extendedprice", k = 0.5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1).otherwise(0)).as("n_outliers"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH f AS (
+              SELECT l_returnflag,
+                     round(quantile_cont(l_extendedprice, 0.25)
+                           - 0.5 * (quantile_cont(l_extendedprice, 0.75)
+                                    - quantile_cont(l_extendedprice, 0.25)), 4) AS lo,
+                     round(quantile_cont(l_extendedprice, 0.75)
+                           + 0.5 * (quantile_cont(l_extendedprice, 0.75)
+                                    - quantile_cont(l_extendedprice, 0.25)), 4) AS hi
+              FROM lineitem GROUP BY 1)
+            SELECT l.l_returnflag, count(*) AS n,
+                   CAST(sum(CASE WHEN l.l_extendedprice < f.lo
+                                   OR l.l_extendedprice > f.hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** q74 — URL canonicalization
+    * ([[graft.functions.TextFunctions.canonicalizeUrl]]): messy URL
+    * spellings planted per doc (mixed-case scheme/host, default port,
+    * utm params threaded through real ones, fragment) must collapse
+    * to one canonical form, hash-checked byte-for-byte. The
+    * normalization pass before URL-level crawl dedup. */
+  private val q74 = Q("q74_url_canonicalize",
+    (s, d) => {
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          canonicalizeUrl(concat(lit("HTTPS://Example"), col("doc_id") % 10,
+            lit(".COM:443/Path"), col("doc_id"),
+            lit("/?utm_source=x&id="), col("doc_id"),
+            lit("&utm_campaign=y#frag"))).as("canonical_url"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (
+              SELECT doc_id,
+                     concat('HTTPS://Example', CAST(doc_id % 10 AS VARCHAR),
+                            '.COM:443/Path', CAST(doc_id AS VARCHAR),
+                            '/?utm_source=x&id=', CAST(doc_id AS VARCHAR),
+                            '&utm_campaign=y#frag') AS url
+              FROM documents WHERE doc_id < 100),
+            parts AS (
+              SELECT doc_id,
+                     lower(regexp_extract(url, '(^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS head,
+                     regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS tail
+              FROM u),
+            cleaned AS (
+              SELECT doc_id,
+                     CASE WHEN head LIKE 'https://%'
+                          THEN regexp_replace(head, ':443$', '')
+                          ELSE regexp_replace(head, ':80$', '') END AS head2,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(tail, '#.*', ''),
+                           '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g'),
+                         '\?utm_[A-Za-z0-9_]*=[^&]*&', '?'),
+                       '\?utm_[A-Za-z0-9_]*=[^&]*$', '') AS tail2
+              FROM parts)
+            SELECT doc_id,
+                   concat(head2, regexp_replace(tail2, '[?&]$', '')) AS canonical_url
+            FROM cleaned ORDER BY doc_id"""))
+
   /** q62 — product-quantization ANN (build → encode → asymmetric-
     * distance top-k): 4 subspaces × 16 dims, sampled codebooks so the
     * oracle replays the whole scheme — encoding argmins, distance
@@ -1268,5 +1355,5 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
-    q63, q66, q67, q68, q69, q71, q72)
+    q63, q66, q67, q68, q69, q71, q72, q73, q74)
 }

@@ -697,6 +697,40 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq("en", "und"))
   }
 
+  test("iqrOutliers: hand-computed fences flag only beyond-fence values") {
+    import graft.operators.Quality
+    // values 1..8 + 100: q1=3, q3=7, iqr=4, k=1.5 → fences [-3, 13]
+    val df = ((1 to 8).map(i => ("g", i.toDouble)) :+ (("g", 100.0)))
+      .toDF("k", "v")
+    val out = Quality.iqrOutliers(df, Seq("k"), "v")
+    assert(out.count() === 9L)
+    assert(out.where(col("is_outlier")).select("v").as[Double].collect().toSeq
+      === Seq(100.0))
+    // NULL value rows come back flagged false
+    val withNull = df.unionByName(Seq(("g", null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "v"))
+    assert(Quality.iqrOutliers(withNull, Seq("k"), "v")
+      .where(col("v").isNull && col("is_outlier")).isEmpty)
+  }
+
+  test("canonicalizeUrl: case, ports, fragments, and utm params normalize") {
+    val cases = Seq(
+      // mixed case + default https port + threaded utm + fragment
+      "HTTPS://Example.COM:443/Path/?utm_source=x&id=7#frag" ->
+        "https://example.com/Path/?id=7",
+      // http default port; utm in the middle of real params
+      "http://A.Org:80/p?id=1&utm_campaign=c&z=2" -> "http://a.org/p?id=1&z=2",
+      // non-default port is KEPT; no utm → untouched query
+      "https://h.net:8443/x?a=1" -> "https://h.net:8443/x?a=1",
+      // all-utm query collapses entirely (no dangling '?')
+      "https://h.net/x?utm_a=1&utm_b=2" -> "https://h.net/x",
+      // path case preserved
+      "http://H.net/CaseSensitive" -> "http://h.net/CaseSensitive")
+    val out = cases.map(_._1).toDF("url")
+      .select(TextFunctions.canonicalizeUrl(col("url"))).as[String].collect()
+    assert(out.toSeq === cases.map(_._2))
+  }
+
   test("repetition signals match hand-computed fractions; sub-2-word docs get NULL bigrams") {
     import graft.operators.Quality
     val df = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
