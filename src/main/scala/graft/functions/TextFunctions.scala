@@ -80,11 +80,16 @@ object TextFunctions {
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
-    // no LEADING \b: a boundary never sits between space and '(' or
-    // '+' (all non-word), so it would miss "(555) ..." and "+1 ..."
-    // forms; RE2 (the oracle's engine) has no lookbehind to guard
-    // with instead. The trailing \b still pins the number's end.
-    "(?:\\+?1[ .-])?(?:\\(\\d{3}\\)|\\d{3})[ .-]\\d{3}[ .-]\\d{4}\\b" -> "<PHONE>")
+    // no leading \b (a boundary never sits between space and '(' or
+    // '+', all non-word — it would miss "(555) ..." and "+1 ..."),
+    // and RE2 (the oracle's engine) has no lookbehind; instead a
+    // captured one-char guard `(^|[^0-9.-])` keeps the pattern from
+    // matching a SUFFIX of a longer digit run ('serial 0555-123-4567'
+    // stays intact), with `$1` restoring the guard char in the
+    // replacement (the oracle's dialect spells it `\1`). The trailing
+    // \b pins the number's end.
+    "(^|[^0-9.-])((?:\\+?1[ .-])?(?:\\(\\d{3}\\)|\\d{3})[ .-]\\d{3}[ .-]\\d{4})\\b"
+      -> "$1<PHONE>")
 
   /** Replace every PII match with its typed placeholder — a pure
     * codegen'd regexp_replace chain (one map pass, no shuffle). */
@@ -112,14 +117,19 @@ object TextFunctions {
       .otherwise(regexp_replace(head, ":80$", ""))
     val tail = regexp_replace(url, headPat, "")
     val noFrag = regexp_replace(tail, "#.*", "")
-    // utm removal in three shapes: '&utm_x=v' drops clean; '?utm_x=v&'
-    // promotes the next param to '?'; a lone trailing '?utm_x=v' drops
-    // with its '?'; then any dangling '?'/'&' is trimmed
-    val noUtm = regexp_replace(regexp_replace(regexp_replace(noFrag,
+    // utm removal runs on the QUERY substring only — '&' is a legal
+    // RFC 3986 path character, so a whole-tail pattern would let
+    // '[^&]*' swallow path segments after a literal '&' in the path.
+    // Three shapes: '&utm_x=v' drops clean; '?utm_x=v&' promotes the
+    // next param to '?'; a lone trailing '?utm_x=v' drops with its
+    // '?'; then any dangling '?'/'&' is trimmed
+    val path = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_replace(noFrag, "^[^?]*", "")
+    val noUtm = regexp_replace(regexp_replace(regexp_replace(query,
       "&utm_[A-Za-z0-9_]*=[^&]*", ""),
       "\\?utm_[A-Za-z0-9_]*=[^&]*&", "?"),
       "\\?utm_[A-Za-z0-9_]*=[^&]*$", "")
-    concat(headNoPort, regexp_replace(noUtm, "[?&]$", ""))
+    concat(headNoPort, path, regexp_replace(noUtm, "[?&]$", ""))
   }
 
   /** Positional word n-gram shingles (duplicates kept, document

@@ -22,6 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** Stage-count collector shared by [[prepare]] and the q68 driver
+    * query: each stage's row count rides the cache's FIRST (full-scan)
+    * materialization as an observed metric instead of a dedicated
+    * count job. `counts` waits a bounded beat for each metric — the
+    * listener bus delivers asynchronously, so an unbounded-blocking
+    * get could hang on a metric that never fires (e.g. a cache filled
+    * inside RDD-level computation) and a raced synchronous read would
+    * pay the fallback — then falls back to a cache-warm count(). */
+  private[graft] final class StageCounter {
+    private val staged = scala.collection.mutable.ListBuffer
+      .empty[(String, org.apache.spark.sql.Observation, DataFrame)]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val obs = new org.apache.spark.sql.Observation()
+      val p = df.observe(obs, count(lit(1)).as("n")).persist()
+      staged += ((name, obs, p))
+      p
+    }
+    def counts: List[(String, Long)] = staged.map { case (name, obs, p) =>
+      val observed = scala.util.Try(scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(250, "ms"))).toOption
+      name -> observed.map(_.getLong(0)).getOrElse(p.count())
+    }.toList
+    def release(): Unit =
+      staged.foreach(_._3.unpersist(blocking = false))
+  }
+
   final case class Config(
       minQuality: Double = 0.3,
       nearDupBits: Int = 48,
@@ -46,21 +72,8 @@ object CorpusPipeline {
       textCol: String = "text", sourceCol: String = "source",
       evalDocs: Option[DataFrame] = None,
       cfg: Config = Config()): Result = {
-    val staged = scala.collection.mutable.ListBuffer
-      .empty[(String, org.apache.spark.sql.Observation, DataFrame)]
-    def stage(name: String, df: DataFrame): DataFrame = {
-      // the stage count rides the cache's FIRST materialization as an
-      // observed metric instead of a dedicated count job per stage
-      // (every stage cache is fully scanned by its downstream
-      // consumer, so that first execution covers all rows); a stage
-      // whose metric did not surface (e.g. a cache filled inside an
-      // RDD-level computation) falls back to a cache-warm count when
-      // the report is assembled — never a blocking get
-      val obs = new org.apache.spark.sql.Observation()
-      val p = df.observe(obs, count(lit(1)).as("n")).persist()
-      staged += ((name, obs, p))
-      p
-    }
+    val counter = new StageCounter
+    def stage(name: String, df: DataFrame): DataFrame = counter.stage(name, df)
 
     val input = stage("input", docs)
     val quality = stage("quality_filter",
@@ -91,11 +104,8 @@ object CorpusPipeline {
 
     val train = Checkpoints.stable(packed)
     val hold = Checkpoints.stable(holdout)
-    val report = staged.map { case (name, obs, p) =>
-      val observed = obs.future.value.flatMap(_.toOption).map(_.getLong(0))
-      name -> observed.getOrElse(p.count())
-    }.toList :+ ("holdout" -> hold.count())
-    staged.foreach(_._3.unpersist(blocking = false))
+    val report = counter.counts :+ ("holdout" -> hold.count())
+    counter.release()
     Result(train, hold, report)
   }
 }

@@ -525,6 +525,8 @@ object Dedup {
     }
     sym.unpersist(blocking = false)
     if (!converged) {
+      // the error path must release everything finish() would have
+      edges.unpersist(blocking = false)
       Checkpoints.drop(labels._1, labels._2)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +

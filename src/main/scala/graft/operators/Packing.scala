@@ -46,8 +46,10 @@ object Packing {
     require(nBuckets > 0 && nBuckets <= (1 << 20),
       s"nBuckets must be in [1, 2^20], got $nBuckets")
     // internal working columns must not silently shadow (and then
-    // swallow) caller columns of the same name
-    Seq("__pack_h", "__pack_bucket").foreach(c =>
+    // swallow) caller columns, and the appended output columns must
+    // not duplicate existing names (an AMBIGUOUS_REFERENCE trap when
+    // re-packing already-packed data)
+    Seq("__pack_h", "__pack_bucket", "pack_id", "pack_fill").foreach(c =>
       require(!docs.columns.contains(c), s"input already has a column $c"))
     val ordered = docs
       .withColumn("__pack_h", md5Long(col(idCol).cast("string")))

@@ -73,12 +73,15 @@ object Quality {
     *    (1 − distinct/total).
     *
     * Execution: one explode per granularity, a (doc, term) count, a
-    * per-doc rollup — all map-side-combinable uniform-key shuffles.
-    * Documents with < 2 words have no 2-grams: their bigram columns
-    * are NULL (not 0 — "no signal", distinct from "no repetition").
-    * Returns (idCol, n_words, top_word_frac, dup_word_frac,
-    * n_bigrams, top_bigram_frac, dup_bigram_frac), fractions rounded
-    * to 6. */
+    * per-doc rollup — all map-side-combinable uniform-key shuffles —
+    * joined back onto the input's id set, so EVERY input document has
+    * an output row. Documents with < 2 words have no 2-grams, and a
+    * NULL text has no tokens at all: the missing granularity's
+    * columns are NULL (not 0 — "no signal", distinct from "no
+    * repetition"; a gate must decide NULL's fate explicitly instead
+    * of the doc silently bypassing it). Returns (idCol, n_words,
+    * top_word_frac, dup_word_frac, n_bigrams, top_bigram_frac,
+    * dup_bigram_frac), fractions rounded to 6. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def gramStats(grams: DataFrame, n: String, top: String, dup: String): DataFrame =
       grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
@@ -93,7 +96,9 @@ object Quality {
     val bigrams = gramStats(
       df.select(col(idCol), explode(posWordShingles(col(textCol), 2)).as("g")),
       "n_bigrams", "top_bigram_frac", "dup_bigram_frac")
-    words.join(bigrams, Seq(idCol), "left")
+    df.select(col(idCol)).distinct()
+      .join(words, Seq(idCol), "left")
+      .join(bigrams, Seq(idCol), "left")
   }
 
   /** One-pass completeness profile: row count + per-column null

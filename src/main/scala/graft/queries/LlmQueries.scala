@@ -807,17 +807,11 @@ object LlmQueries {
     (s, d) => {
       import s.implicits._
       // stage counts ride each cache's first full-scan materialization
-      // as observed metrics (CorpusPipeline.stage's pattern) — only
-      // the tail needs a dedicated count job; unsurfaced metrics fall
-      // back to a cache-warm count
-      val pendings = scala.collection.mutable.ListBuffer
-        .empty[(String, org.apache.spark.sql.Observation, org.apache.spark.sql.DataFrame)]
-      def staged(name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        val obs = new org.apache.spark.sql.Observation()
-        val p = df.observe(obs, count(lit(1)).as("n")).persist()
-        pendings += ((name, obs, p))
-        p
-      }
+      // as observed metrics (CorpusPipeline.StageCounter) — only the
+      // tail needs a dedicated count job
+      val counter = new CorpusPipeline.StageCounter
+      def staged(name: String, df: org.apache.spark.sql.DataFrame) =
+        counter.stage(name, df)
       val docs = staged("1_input", Tables.documents(s, d))
       val quality = staged("2_quality_filter",
         docs.where(qualityScore(col("text")) >= 0.2))
@@ -836,11 +830,8 @@ object LlmQueries {
       val mixed = Sampling.mixtureSample(clean, col("source"), col("doc_id"),
         Map("src0" -> 0.5), defaultRate = 1.0)
       val nMixed = mixed.count() // materializes the whole chain
-      val rows = pendings.map { case (name, obs, p) =>
-        name -> obs.future.value.flatMap(_.toOption).map(_.getLong(0))
-          .getOrElse(p.count())
-      }.toList :+ ("6_mixture_sample" -> nMixed)
-      pendings.foreach(_._3.unpersist(blocking = false))
+      val rows = counter.counts :+ ("6_mixture_sample" -> nMixed)
+      counter.release()
       rows.toDF("stage", "n").orderBy("stage")
     },
     Some("""WITH RECURSIVE quality AS (
@@ -1111,12 +1102,12 @@ object LlmQueries {
               SELECT doc_id,
                      CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                         + len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b'))
-                        + len(regexp_extract_all(t2, '(?:\+?1[ .-])?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}\b'))
+                        + len(regexp_extract_all(t2, '(^|[^0-9.-])((?:\+?1[ .-])?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4})\b'))
                        AS BIGINT) AS n_pii,
                      regexp_replace(regexp_replace(regexp_replace(t2,
                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-                         '(?:\+?1[ .-])?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g') AS red
+                         '(^|[^0-9.-])((?:\+?1[ .-])?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4})\b', '\1<PHONE>', 'g') AS red
               FROM p)
             SELECT doc_id, n_pii, substr(md5(lower(trim(red))), 1, 16) AS redacted_fp
             FROM r ORDER BY doc_id"""))

@@ -725,7 +725,10 @@ class OperatorSpec extends SparkSpec {
       // all-utm query collapses entirely (no dangling '?')
       "https://h.net/x?utm_a=1&utm_b=2" -> "https://h.net/x",
       // path case preserved
-      "http://H.net/CaseSensitive" -> "http://h.net/CaseSensitive")
+      "http://H.net/CaseSensitive" -> "http://h.net/CaseSensitive",
+      // '&' is a legal PATH char — utm removal must not eat path
+      // segments after it (it runs on the query substring only)
+      "https://h.com/a&utm_x=1/b?q=2" -> "https://h.com/a&utm_x=1/b?q=2")
     val out = cases.map(_._1).toDF("url")
       .select(TextFunctions.canonicalizeUrl(col("url"))).as[String].collect()
     assert(out.toSeq === cases.map(_._2))
@@ -744,13 +747,23 @@ class OperatorSpec extends SparkSpec {
     // doc 2: one word, no bigrams → NULL bigram columns (no signal)
     assert(out(1).getLong(1) === 1L && out(1).getDouble(2) === 1.0)
     assert(out(1).isNullAt(4) && out(1).isNullAt(5) && out(1).isNullAt(6))
+    // NULL text: the doc is PRESENT with all-NULL signals, so a gate
+    // must decide its fate explicitly instead of it silently bypassing
+    val withNull = df.unionByName(
+      Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val nul = Quality.repetitionSignals(withNull, "doc_id", "text")
+      .where(col("doc_id") === 3L).collect()
+    assert(nul.length === 1 && nul(0).isNullAt(1) && nul(0).isNullAt(4))
   }
 
   test("pii redaction: planted shapes typed correctly, clean prose untouched") {
     val df = Seq(
       (1L, "reach me at jane.doe+spam@mail.example.org today"),
       (2L, "ssn 123-45-6789 phone (555) 123-4567 and +1 555-123-4567"),
-      (3L, "no pii here, just words and numbers like 12345 or 3.14"))
+      (3L, "no pii here, just words and numbers like 12345 or 3.14"),
+      // a phone-shaped SUFFIX of a longer digit run is NOT PII — the
+      // captured guard keeps the pattern from partially redacting it
+      (4L, "serial 0555-123-4567 stays"))
       .toDF("doc_id", "text")
     val out = df.select(col("doc_id"),
         TextFunctions.redactPii(col("text")).as("r"),
@@ -759,6 +772,7 @@ class OperatorSpec extends SparkSpec {
     assert(out(0) === ((1L, "reach me at <EMAIL> today", 1L)))
     assert(out(1) === ((2L, "ssn <SSN> phone <PHONE> and <PHONE>", 3L)))
     assert(out(2) === ((3L, "no pii here, just words and numbers like 12345 or 3.14", 0L)))
+    assert(out(3) === ((4L, "serial 0555-123-4567 stays", 0L)))
   }
 
   test("winnowing: hand-checked fingerprints; md5 never runs inside a lambda") {
