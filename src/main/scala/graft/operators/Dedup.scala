@@ -96,17 +96,19 @@ object Dedup {
     }
 
   /** Exact dedup: group on a content key (hash of the payload), keep
-    * the row with the minimum id. One shuffle on the 128-bit content
-    * hash — at 100 TB this is the cheapest possible exact pass, and
-    * the hash-key shuffle is uniform (no skew) by construction.
+    * the row(s) carrying the minimum id per key. ONE corpus scan and
+    * ONE shuffle — on the content hash, uniform by construction: the
+    * min-id survivor is a whole-partition window min over the key,
+    * not a groupBy + semi-join back (which scans the corpus twice and
+    * shuffles it twice — the r5 plan audit's finding; at 100 TB the
+    * second scan is the cost model to avoid).
     */
-  def exactByKey(df: DataFrame, contentKey: Column, idCol: String): DataFrame = {
-    val survivors = df
-      .groupBy(contentKey.as("__ck"))
-      .agg(min(col(idCol)).as(idCol))
-      .drop("__ck")
-    df.join(survivors, Seq(idCol), "left_semi")
-  }
+  def exactByKey(df: DataFrame, contentKey: Column, idCol: String): DataFrame =
+    df.withColumn("__ck", contentKey)
+      .withColumn("__min",
+        min(col(idCol)).over(Window.partitionBy(col("__ck"))))
+      .where(col(idCol) === col("__min"))
+      .drop("__ck", "__min")
 
   private val M30 = (1L << 30) - 1
   private val M60 = (1L << 60) - 1
