@@ -645,15 +645,20 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Exact-simhash duplicate pairs (hamming distance 0). */
+  /** Exact-simhash duplicate pairs (hamming distance 0). The
+    * signature frame is persisted across the self-join sides (the
+    * 48-aggregate signature pass would otherwise run twice) and
+    * released once the pair list materializes. */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 48): DataFrame = {
-    val sigs = simhash(docs, idCol, textCol, bits)
-    sigs.as("a").join(sigs.as("b"),
-        col("a.simhash") === col("b.simhash") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"),
-        col("a.simhash").as("simhash"))
+    val sigs = simhash(docs, idCol, textCol, bits).persist()
+    finish(
+      sigs.as("a").join(sigs.as("b"),
+          col("a.simhash") === col("b.simhash") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"),
+          col("a.simhash").as("simhash")),
+      sigs)
   }
 
   /** Near-duplicate pairs at hamming distance ≤ `maxHamming`, via

@@ -133,15 +133,22 @@ object Similarity {
     */
   def nearDupPairs(corpus: DataFrame, centroids: DataFrame,
       threshold: Double, nProbe: Int = 2): DataFrame = {
+    // persisted: BOTH self-join sides consume the assignment — unshared
+    // it would score corpus × centroids twice. The (pairs-sized) result
+    // is materialized and the assignment released before returning.
     val assigned = assignCells(corpus, centroids, "vid", "ve", "cell", nProbe)
+      .persist()
     val a = assigned.select(col("vid").as("vec_id_1"), col("ve").as("e1"), col("cell"))
     val b = assigned.select(col("vid").as("vec_id_2"), col("ve").as("e2"), col("cell"))
-    a.join(b, Seq("cell"))
+    val result = a.join(b, Seq("cell"))
       .where(col("vec_id_1") < col("vec_id_2"))
       .select("vec_id_1", "vec_id_2", "e1", "e2").distinct() // multi-probe → same pair in ≥1 cells
       .withColumn("cosine", round(cosine(col("e1"), col("e2")), 6))
       .where(col("cosine") >= threshold)
       .select("vec_id_1", "vec_id_2", "cosine")
+    val out = Checkpoints.stable(result)
+    assigned.unpersist(blocking = false)
+    out
   }
 
   /** Product quantization (Jégou, Douze, Schmid: "Product Quantization
@@ -229,15 +236,23 @@ object Similarity {
     */
   def ivfPqBuild(corpus: DataFrame, centroids: DataFrame, m: Int, dim: Int,
       pqStep: Long): (DataFrame, DataFrame) = {
-    val assigned = assignCells(corpus, centroids, "nid", "ne", "cell", 1)
     val cent = broadcast(centroids.select(col("vec_id").as("cell"),
       toDouble(col("embedding")).as("__ce")))
-    val residuals = assigned.join(cent, Seq("cell"))
+    // persisted: three consumers (codebook sampling, encoding, the
+    // cell tag-back join) would each recompute the assignment + the
+    // residual pass. Both returned frames are materialized
+    // ([[Checkpoints.stable]] — codes are m bytes-ish per vector, far
+    // smaller than the raw corpus) and the residuals released before
+    // returning.
+    val residuals = assignCells(corpus, centroids, "nid", "ne", "cell", 1)
+      .join(cent, Seq("cell"))
       .select(col("nid").as("vec_id"), col("cell"),
         zip_with(col("ne"), col("__ce"), (a, b) => a - b).as("embedding"))
-    val codebooks = pqCodebooks(residuals, m, dim, pqStep)
-    val encoded = pqEncode(residuals, codebooks, m, dim)
-      .join(residuals.select(col("vec_id").as("nid"), col("cell")), Seq("nid"))
+      .persist()
+    val codebooks = Checkpoints.stable(pqCodebooks(residuals, m, dim, pqStep))
+    val encoded = Checkpoints.stable(pqEncode(residuals, codebooks, m, dim)
+      .join(residuals.select(col("vec_id").as("nid"), col("cell")), Seq("nid")))
+    residuals.unpersist(blocking = false)
     (encoded, codebooks)
   }
 
