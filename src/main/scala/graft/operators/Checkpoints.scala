@@ -2,39 +2,38 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 
-/** Lineage-truncation policy for iterative operators (connected
-  * components, k-means) and operator-scoped result materialization.
+/** Lineage-truncation policy for this library, split by lifetime:
   *
-  * Two modes, selected per session:
+  *  - OPERATOR RESULTS ([[materialize]]): always `localCheckpoint` —
+  *    eager, executor-resident, cleaner-managed once the frame drops.
+  *    Results are consumed promptly; on executor loss the caller
+  *    re-runs one operator. Using reliable checkpoints here would
+  *    write an undeletable directory per call (the caller owns the
+  *    frame, so nothing could ever safely remove it).
+  *  - LOOP STATE ([[stableTracked]] + [[drop]]): per-round frames of
+  *    iterative jobs (connected components, k-means). With a
+  *    checkpoint directory configured (`sc.setCheckpointDir`), rounds
+  *    write a uniquely-named parquet dir and DELETE the superseded
+  *    round's — executor loss mid-loop costs one round, not the whole
+  *    40-round job, and nothing accumulates. Without a dir (or with
+  *    `spark.graft.checkpoint=local`), falls back to localCheckpoint.
   *
-  *  - `localCheckpoint` (the default): blocks live only on executors —
-  *    fast, no distributed-FS round-trip, but losing an executor that
-  *    holds them fails the job instead of recomputing lineage. The
-  *    right trade on a single node and for short-lived frames. Blocks
-  *    are released by the ContextCleaner when the frame is dropped.
-  *  - reliable checkpoint: used automatically when the SparkContext
-  *    has a checkpoint directory configured (`sc.setCheckpointDir`) —
-  *    the frame is written to a uniquely-named parquet directory under
-  *    the checkpoint dir and read back, so the data survives executor
-  *    loss — the reliability story a 1000-executor cluster needs for a
-  *    40-round iterative job. A parquet round-trip (not
-  *    `Dataset.checkpoint`) because it yields a KNOWN path: iterative
-  *    loops [[stableTracked]] each round and [[drop]] the superseded
-  *    one, where `Dataset.checkpoint` files are only ever removed by
-  *    the context cleaner under
-  *    `spark.cleaner.referenceTracking.cleanCheckpoints` and would
-  *    otherwise accumulate for the session lifetime.
-  *
-  * `spark.graft.checkpoint` overrides: "local" forces localCheckpoint
-  * even with a dir configured (e.g. a test session that set a dir for
-  * one suite), "auto" (default) is the dir-based selection above.
+  * The parquet round-trip (not `Dataset.checkpoint`) is what makes
+  * deletion possible: it yields a KNOWN path, where
+  * `Dataset.checkpoint` files are only removed by the context cleaner
+  * under `spark.cleaner.referenceTracking.cleanCheckpoints`.
   */
 object Checkpoints {
 
-  def stable(df: DataFrame): DataFrame = stableTracked(df)._1
+  /** Eagerly materialize an operator result and release its
+    * intermediate caches — released even when materialization fails,
+    * so an error path never pins executor storage. */
+  def materialize(result: DataFrame, intermediates: DataFrame*): DataFrame =
+    try result.localCheckpoint()
+    finally intermediates.foreach(_.unpersist(blocking = false))
 
-  /** Like [[stable]], but returns the reliable checkpoint's directory
-    * (None on the localCheckpoint path) so the caller can [[drop]] it
+  /** Loop-state checkpoint: (frame, reliable-checkpoint path). The
+    * path is None on the localCheckpoint fallback; pass it to [[drop]]
     * once a later round supersedes the frame. */
   def stableTracked(df: DataFrame): (DataFrame, Option[String]) = {
     val sess = df.sparkSession
@@ -49,6 +48,11 @@ object Checkpoints {
       case None => (df.localCheckpoint(), None)
     }
   }
+
+  /** [[stableTracked]] without the handle — for loop state whose
+    * lifetime ends with the loop (the caller drops nothing). Prefer
+    * stableTracked inside loops. */
+  def stable(df: DataFrame): DataFrame = stableTracked(df)._1
 
   /** Best-effort deletion of a superseded [[stableTracked]] directory.
     * Safe to call with None (the localCheckpoint path — its blocks are

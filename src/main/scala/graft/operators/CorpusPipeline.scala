@@ -102,8 +102,8 @@ object CorpusPipeline {
         tokenCount(col(textCol)).cast("long"))),
       idCol, "n_tokens", cfg.packBudget)
 
-    val train = Checkpoints.stable(packed)
-    val hold = Checkpoints.stable(holdout)
+    val train = Checkpoints.materialize(packed)
+    val hold = Checkpoints.materialize(holdout)
     val report = counter.counts :+ ("holdout" -> hold.count())
     counter.release()
     Result(train, hold, report)

@@ -13,18 +13,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Bounds intermediate-cache lifetime to the operator call: eagerly
-    * materializes the (pairs-sized, corpus-shrunk) result via
-    * [[Checkpoints.stable]] (localCheckpoint, or reliable checkpoint()
-    * when the session has a checkpoint dir — see Checkpoints for the
-    * executor-loss trade), then unpersists the intermediate frames —
-    * so a session running many dedup queries (Bench runs 60+) does not
-    * accumulate shingle/signature caches, and re-invocations never hit
-    * "already cached" plan collisions. */
-  private def finish(result: DataFrame, intermediates: DataFrame*): DataFrame = {
-    val out = Checkpoints.stable(result)
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
-  }
+    * materializes the (pairs-sized, corpus-shrunk) result and releases
+    * the intermediate frames even on failure
+    * ([[Checkpoints.materialize]]) — so a session running many dedup
+    * queries (Bench runs 70+) does not accumulate shingle/signature
+    * caches, and re-invocations never hit "already cached" plan
+    * collisions. */
+  private def finish(result: DataFrame, intermediates: DataFrame*): DataFrame =
+    Checkpoints.materialize(result, intermediates: _*)
 
   /** Caller-owned handle over the persisted hashed-shingle frame the
     * dedup family computes from the raw corpus — the single most
@@ -96,19 +92,26 @@ object Dedup {
     }
 
   /** Exact dedup: group on a content key (hash of the payload), keep
-    * the row(s) carrying the minimum id per key. ONE corpus scan and
-    * ONE shuffle — on the content hash, uniform by construction: the
-    * min-id survivor is a whole-partition window min over the key,
-    * not a groupBy + semi-join back (which scans the corpus twice and
-    * shuffles it twice — the r5 plan audit's finding; at 100 TB the
-    * second scan is the cost model to avoid).
+    * the row carrying the minimum id per key (ids are assumed unique —
+    * document ids). Shape, deliberately: an aggregate for the
+    * survivors plus a semi-join back. A single-pass window
+    * (`min(id) over (partition by ck)`) would read the corpus once
+    * instead of twice — but it ships EVERY duplicate's full row into
+    * one window partition, so the mass-duplicated corpus this
+    * operator is the designated pre-pass for (thousands of identical
+    * crawl pages; see [[minhashLsh]]'s bucketCap note) turns into a
+    * one-task straggler. The aggregate's map-side partial combine
+    * collapses duplicate mass BEFORE the wire, and both shuffles
+    * (content hash post-combine, unique id) stay uniform — the second
+    * scan is linear; the skew is not.
     */
-  def exactByKey(df: DataFrame, contentKey: Column, idCol: String): DataFrame =
-    df.withColumn("__ck", contentKey)
-      .withColumn("__min",
-        min(col(idCol)).over(Window.partitionBy(col("__ck"))))
-      .where(col(idCol) === col("__min"))
-      .drop("__ck", "__min")
+  def exactByKey(df: DataFrame, contentKey: Column, idCol: String): DataFrame = {
+    val survivors = df
+      .groupBy(contentKey.as("__ck"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__ck")
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
 
   private val M30 = (1L << 30) - 1
   private val M60 = (1L << 60) - 1
@@ -407,7 +410,7 @@ object Dedup {
     *     its shuffle width (edges/rowsPerPartition, clamped to session
     *     parallelism) — session-wide shuffle partitions would make
     *     every tiny per-round exchange pay a full-width stage. Labels
-    *     are checkpointed per round ([[Checkpoints.stable]]) so round
+    *     are checkpointed per round ([[Checkpoints.stableTracked]]) so round
     *     i+1 reads k rows, not a depth-i plan, and convergence rides
     *     that SAME materialization as an observed metric
     *     (`Dataset.observe`): labels only decrease, so equal

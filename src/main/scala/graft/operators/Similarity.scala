@@ -140,15 +140,14 @@ object Similarity {
       .persist()
     val a = assigned.select(col("vid").as("vec_id_1"), col("ve").as("e1"), col("cell"))
     val b = assigned.select(col("vid").as("vec_id_2"), col("ve").as("e2"), col("cell"))
-    val result = a.join(b, Seq("cell"))
-      .where(col("vec_id_1") < col("vec_id_2"))
-      .select("vec_id_1", "vec_id_2", "e1", "e2").distinct() // multi-probe → same pair in ≥1 cells
-      .withColumn("cosine", round(cosine(col("e1"), col("e2")), 6))
-      .where(col("cosine") >= threshold)
-      .select("vec_id_1", "vec_id_2", "cosine")
-    val out = Checkpoints.stable(result)
-    assigned.unpersist(blocking = false)
-    out
+    Checkpoints.materialize(
+      a.join(b, Seq("cell"))
+        .where(col("vec_id_1") < col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2", "e1", "e2").distinct() // multi-probe → same pair in ≥1 cells
+        .withColumn("cosine", round(cosine(col("e1"), col("e2")), 6))
+        .where(col("cosine") >= threshold)
+        .select("vec_id_1", "vec_id_2", "cosine"),
+      assigned)
   }
 
   /** Product quantization (Jégou, Douze, Schmid: "Product Quantization
@@ -241,19 +240,20 @@ object Similarity {
     // persisted: three consumers (codebook sampling, encoding, the
     // cell tag-back join) would each recompute the assignment + the
     // residual pass. Both returned frames are materialized
-    // ([[Checkpoints.stable]] — codes are m bytes-ish per vector, far
-    // smaller than the raw corpus) and the residuals released before
-    // returning.
+    // ([[Checkpoints.materialize]] — codes are m bytes-ish per vector,
+    // far smaller than the raw corpus) and the residuals released
+    // (even on failure) before returning.
     val residuals = assignCells(corpus, centroids, "nid", "ne", "cell", 1)
       .join(cent, Seq("cell"))
       .select(col("nid").as("vec_id"), col("cell"),
         zip_with(col("ne"), col("__ce"), (a, b) => a - b).as("embedding"))
       .persist()
-    val codebooks = Checkpoints.stable(pqCodebooks(residuals, m, dim, pqStep))
-    val encoded = Checkpoints.stable(pqEncode(residuals, codebooks, m, dim)
-      .join(residuals.select(col("vec_id").as("nid"), col("cell")), Seq("nid")))
-    residuals.unpersist(blocking = false)
-    (encoded, codebooks)
+    try {
+      val codebooks = Checkpoints.materialize(pqCodebooks(residuals, m, dim, pqStep))
+      val encoded = Checkpoints.materialize(pqEncode(residuals, codebooks, m, dim)
+        .join(residuals.select(col("vec_id").as("nid"), col("cell")), Seq("nid")))
+      (encoded, codebooks)
+    } finally residuals.unpersist(blocking = false)
   }
 
   /** IVF-PQ probe: nProbe coarse cells per query, a residual distance
@@ -323,7 +323,7 @@ object Similarity {
     * position-sorted collect — shuffle keyed on (cell, dim), uniform.
     *
     * Each iteration's centroids are checkpointed
-    * ([[Checkpoints.stable]] — localCheckpoint, or reliable
+    * ([[Checkpoints.stableTracked]] — localCheckpoint, or reliable
     * checkpoint() when the session has a checkpoint dir): k tiny rows
     * materialize eagerly and the lineage truncates, so iteration i+1
     * costs exactly one corpus pass instead of recomputing iterations
@@ -352,6 +352,11 @@ object Similarity {
       prev._1.unpersist()
       Checkpoints.drop(prev._1, prev._2)
     }
-    centroids._1
+    // the RESULT is a plain materialized frame; the final round's
+    // reliable checkpoint (if any) is dropped so a session of repeated
+    // kMeans calls leaves nothing behind
+    val out = Checkpoints.materialize(centroids._1)
+    Checkpoints.drop(centroids._1, centroids._2)
+    out
   }
 }

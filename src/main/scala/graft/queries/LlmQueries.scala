@@ -775,27 +775,13 @@ object LlmQueries {
             FROM test t LEFT JOIN train tr ON t.h = tr.h
             GROUP BY 1 ORDER BY 1"""))
 
-  /** q61 — the composed corpus-prep pipeline
-    * ([[graft.operators.CorpusPipeline]]): quality gate → exact dedup
-    * → near-dup cluster dedup → decontaminate → mixture → split →
-    * pack, reported as per-stage row counts. FULLY value-gated: the
-    * oracle replays every stage count including the md5-threshold
-    * train/holdout split (packing is 1:1, so the packed tail does not
-    * change the train count — and q52 value-gates the packing fold
-    * itself). The composition invariants stay asserted in
-    * OperatorSpec. */
-  private val q61 = Q("q61_corpus_pipeline",
-    (s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      val res = CorpusPipeline.prepare(docs,
-        evalDocs = Some(docs.filter(col("doc_id") < 10)),
-        cfg = CorpusPipeline.Config(minQuality = 0.2,
-          mixtureRates = Map("src0" -> 0.5), defaultRate = 1.0,
-          holdoutFrac = 0.1, packBudget = 1024))
-      res.report.toDF("stage", "rows").orderBy("stage")
-    },
-    Some("""WITH RECURSIVE quality AS (
+  /** Shared DuckDB replay of the corpus pipeline's prefix — quality
+    * gate → exact dedup → simhash near-dup cluster dedup (recursive
+    * CTE closure) → decontaminate vs eval (doc_id < 10) → mixture
+    * (src0 0.5 / default 1.0), cfg identical to q61's and q68's runs.
+    * Interpolated into BOTH oracles so the two gates can never
+    * validate different pipeline definitions. */
+  private val pipelinePrefixSql = """quality AS (
               SELECT doc_id, text, source FROM documents
               WHERE round(least(len(str_split(text, ' ')) / 60.0, 1.0) * 0.4
                     + (len(list_distinct(str_split(text, ' '))) * 1.0 / len(str_split(text, ' '))) * 0.3
@@ -857,7 +843,29 @@ object LlmQueries {
               SELECT * FROM clean
               WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                     < (CASE source WHEN 'src0' THEN 576460752303423488
-                                   ELSE 1152921504606846976 END)),
+                                   ELSE 1152921504606846976 END))"""
+
+  /** q61 — the composed corpus-prep pipeline
+    * ([[graft.operators.CorpusPipeline]]): quality gate → exact dedup
+    * → near-dup cluster dedup → decontaminate → mixture → split →
+    * pack, reported as per-stage row counts. FULLY value-gated: the
+    * oracle replays every stage count including the md5-threshold
+    * train/holdout split (packing is 1:1, so the packed tail does not
+    * change the train count — and q52 value-gates the packing fold
+    * itself). The composition invariants stay asserted in
+    * OperatorSpec. */
+  private val q61 = Q("q61_corpus_pipeline",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val res = CorpusPipeline.prepare(docs,
+        evalDocs = Some(docs.filter(col("doc_id") < 10)),
+        cfg = CorpusPipeline.Config(minQuality = 0.2,
+          mixtureRates = Map("src0" -> 0.5), defaultRate = 1.0,
+          holdoutFrac = 0.1, packBudget = 1024))
+      res.report.toDF("stage", "rows").orderBy("stage")
+    },
+    Some("""WITH RECURSIVE """ + pipelinePrefixSql + """,
             split AS (
               SELECT doc_id,
                      CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '|holdout')), 1, 15)) AS BIGINT)
@@ -913,69 +921,7 @@ object LlmQueries {
       counter.release()
       rows.toDF("stage", "n").orderBy("stage")
     },
-    Some("""WITH RECURSIVE quality AS (
-              SELECT doc_id, text, source FROM documents
-              WHERE round(least(len(str_split(text, ' ')) / 60.0, 1.0) * 0.4
-                    + (len(list_distinct(str_split(text, ' '))) * 1.0 / len(str_split(text, ' '))) * 0.3
-                    + (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 0.3,
-                    6) >= 0.2),
-            keyed AS (SELECT doc_id, text, source,
-                             substr(md5(lower(trim(text))), 1, 16) AS fp
-                      FROM quality),
-            ex AS (SELECT k.* FROM keyed k
-                   JOIN (SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY 1) s
-                     ON k.fp = s.fp AND k.doc_id = s.doc_id),
-            hv AS (
-              SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv
-              FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM ex)),
-            bits AS (
-              SELECT doc_id, j,
-                     sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM hv, (SELECT unnest(generate_series(0, 47)) AS j)
-              GROUP BY 1, 2),
-            sig AS (
-              SELECT doc_id,
-                     CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
-                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-              FROM bits GROUP BY 1),
-            chunks AS (
-              SELECT doc_id, simhash, b,
-                     (simhash >> (b * 12)) & 4095 AS chunk
-              FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-              FROM chunks a JOIN chunks c
-                ON a.b = c.b AND a.chunk = c.chunk AND a.doc_id < c.doc_id
-              WHERE bit_count(xor(a.simhash, c.simhash)) <= 3),
-            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                      UNION ALL SELECT d2, d1 FROM pairs),
-            nodes AS (SELECT DISTINCT a AS id FROM edges),
-            reach(id, r) AS (
-              SELECT id, id FROM nodes
-              UNION
-              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
-            lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
-            nd AS (SELECT * FROM ex WHERE doc_id NOT IN
-                     (SELECT id FROM lbl WHERE id <> label)),
-            evsh AS (
-              SELECT DISTINCT CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
-              FROM (SELECT unnest(list_distinct(list_transform(generate_series(1, len(ws) - 2),
-                           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS sh
-                    FROM (SELECT str_split(text, ' ') AS ws FROM documents WHERE doc_id < 10)
-                    WHERE len(ws) >= 3)),
-            tsh AS (
-              SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
-              FROM (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws) - 2),
-                           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS sh
-                    FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM nd)
-                    WHERE len(ws) >= 3)),
-            cont AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN evsh e ON t.h = e.h),
-            clean AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-            mixed AS (
-              SELECT * FROM clean
-              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                    < (CASE source WHEN 'src0' THEN 576460752303423488
-                                   ELSE 1152921504606846976 END))
+    Some("""WITH RECURSIVE """ + pipelinePrefixSql + """
             SELECT stage, n FROM (
               SELECT '1_input' AS stage, count(*) AS n FROM documents
               UNION ALL SELECT '2_quality_filter', count(*) FROM quality

@@ -840,18 +840,25 @@ class OperatorSpec extends SparkSpec {
     def files(f: java.io.File): Seq[java.io.File] =
       Option(f.listFiles).toSeq.flatten.flatMap(c => c +: files(c))
     try {
+      // the mechanism: stableTracked writes a parquet checkpoint at a
+      // known path; drop deletes it
+      val (chk, path) = graft.operators.Checkpoints.stableTracked(
+        Seq((1L, 2L)).toDF("a", "b"))
+      assert(path.isDefined && files(new java.io.File(dir)).exists(_.isFile))
+      assert(chk.count() === 1L)
+      graft.operators.Checkpoints.drop(chk, path)
+      // count only OUR dirs: sc.setCheckpointDir pre-creates its own
+      // empty UUID subdirectory for RDD checkpoints
+      def dirs = Option(new java.io.File(dir).listFiles).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("graft-"))
+      assert(dirs.isEmpty)
+      // the loops: CC iterates on reliable checkpoints, drops every
+      // superseded round, and materializes its RESULT locally — a
+      // session of repeated runs leaves NOTHING on the checkpoint FS
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_id_1", "doc_id_2")
       val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
       assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-      // the run must have written reliable checkpoint files...
-      assert(files(new java.io.File(dir)).exists(_.isFile))
-      // ...but only the LIVE result's: superseded per-round checkpoints
-      // are dropped as the loop advances (the session-lifetime-leak
-      // guard), so at most the finish() result + the final labels round
-      // remain on disk
-      val dirs = Option(new java.io.File(dir).listFiles).toSeq.flatten
-        .filter(_.isDirectory)
-      assert(dirs.length <= 2, s"leaked checkpoint dirs: ${dirs.length}")
+      assert(dirs.isEmpty, s"leaked checkpoint dirs: ${dirs.map(_.getName)}")
     } finally {
       // setCheckpointDir has no unset; pin the rest of the shared
       // session back to the localCheckpoint path via the mode conf,
