@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Text-analysis primitives for large-scale training-data pipelines.
   * All pure Catalyst built-in expressions (codegen'd, no UDFs) so they
@@ -133,14 +134,12 @@ object TextFunctions {
   }
 
   /** Positional word n-gram shingles (duplicates kept, document
-    * order preserved — winnowing needs the sequence). */
-  def posWordShingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => array_join(slice(ws, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * order preserved — winnowing needs the sequence). Backed by the
+    * native codegen'd [[ShinglesExpr]]; the previous higher-order
+    * `transform(sequence(...))` form evaluated interpreted on the
+    * hottest map pass of every dedup operator. */
+  def posWordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(tokens(text)), n))
 
   /** Distinct word n-gram shingles of a document, as an array column. */
   def wordShingles(text: Column, n: Int): Column =

@@ -790,13 +790,13 @@ class OperatorSpec extends SparkSpec {
     val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
     val out = Dedup.winnowingFingerprints(df, "doc_id", "text", k, w)
     assert(out.select("fp").as[Long].collect().toSeq.sorted === expected)
-    // the digest must be a plain codegen'd projection: a hash inside a
-    // higher-order-function lambda evaluates interpreted per element
-    import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, Md5}
+    // the whole shingle path must be codegen: no higher-order-function
+    // lambda anywhere (the digest is a plain projection, and shingle
+    // construction itself is the native ShinglesExpr, not a transform)
+    import org.apache.spark.sql.catalyst.expressions.LambdaFunction
     val lambdas = out.queryExecution.analyzed.flatMap(_.expressions)
       .flatMap(_.collect { case l: LambdaFunction => l })
-    assert(lambdas.nonEmpty) // posWordShingles itself builds via transform
-    assert(!lambdas.exists(_.exists(_.isInstanceOf[Md5])))
+    assert(lambdas.isEmpty)
   }
 
   test("shared shingle cache serves several operators and stays caller-owned") {
