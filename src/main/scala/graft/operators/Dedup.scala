@@ -104,6 +104,17 @@ object Dedup {
     * collapses duplicate mass BEFORE the wire, and both shuffles
     * (content hash post-combine, unique id) stay uniform — the second
     * scan is linear; the skew is not.
+    *
+    * INCREMENTAL LOADS (the composition a warehouse with batch-id
+    * audit columns actually runs): when ids are monotone across
+    * batches (every new batch's ids exceed all prior ids — the
+    * surrogate-key contract), batch-1 survivors are STABLE under
+    * re-running this operator over the grown corpus, because min(id)
+    * per content key can only be claimed by an OLDER row. A 100 TB
+    * pipeline therefore never recomputes: dedup the new batch
+    * internally, then anti-join its content keys against the already-
+    * loaded corpus's key set — value-identical to the full recompute
+    * (the batch-boundary spec pins this equivalence).
     */
   def exactByKey(df: DataFrame, contentKey: Column, idCol: String): DataFrame = {
     val survivors = df
@@ -115,6 +126,30 @@ object Dedup {
 
   private val M30 = (1L << 30) - 1
   private val M60 = (1L << 60) - 1
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Rows a single post-shrink-stage partition should hold — the same
+    * budget [[connectedComponents]] uses for its loop exchanges. */
+  private val RowsPerPartition = 2000000L
+
+  /** Shuffle width an intermediate stage should OWN, sized off its own
+    * row count instead of inheriting `spark.sql.shuffle.partitions`:
+    * candidate/bucket frames have shrunk orders of magnitude below the
+    * corpus, so session-wide width is pure per-stage overhead at small
+    * scale, while the clamp to the session's parallelism keeps the
+    * width right when the stage genuinely is corpus-sized. */
+  private def partsFor(rows: Long, sess: org.apache.spark.sql.SparkSession): Int =
+    math.max(1L, math.min(sess.sparkContext.defaultParallelism.toLong,
+      (rows + RowsPerPartition - 1) / RowsPerPartition)).toInt
+
+  /** Truncation report for [[minhashLsh]]'s opt-in `bucketCap`: the
+    * number of over-cap (band, bucket) groups excluded from candidate
+    * generation and the occurrence rows they carried. A 100 TB dedup
+    * run that silently truncated is indistinguishable from one that
+    * did not — so when capping engages, the operator measures the
+    * drop and reports it (warn log + `onTruncation` callback). */
+  final case class TruncationStats(droppedBuckets: Long, droppedRows: Long)
 
   /** The minhash family: h_i(x) = (A_i * md5Long(x)) mod 2^60, with
     * A_i an odd 60-bit multiplier derived from md5("A|i") — so any
@@ -159,7 +194,16 @@ object Dedup {
     val maxBytes = sess.sessionState.conf.filesMaxPartitionBytes
     val est = df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
-    if (est < BigInt(want) * maxBytes) df.repartition(col(idCol)) else df
+    if (est >= BigInt(want) * maxBytes) df
+    else {
+      // byte-narrow is not task-narrow: a mid-size input spread over
+      // >= core-count FILES already scans wide enough, and the
+      // repartition would be a pure extra shuffle. File listing is
+      // plan metadata (already resolved); non-file inputs report no
+      // files and keep the old behavior.
+      val files = scala.util.Try(df.inputFiles.length).getOrElse(0)
+      if (files >= want) df else df.repartition(col(idCol))
+    }
   }
 
   /** MinHash + LSH near-duplicate candidate pairs, verified with exact
@@ -189,15 +233,31 @@ object Dedup {
     * EVERY band bucket it shares is over the cap. Byte-identical mass
     * duplicates are recoverable by an [[exactByKey]] pre-pass (the
     * intended companion on crawl corpora), but *near*-exact duplicates
-    * whose only shared buckets are over-cap are silently lost — capped
-    * recall is not the full LSH guarantee.
+    * whose only shared buckets are over-cap are lost — capped recall
+    * is not the full LSH guarantee. Capping is never silent: when it
+    * engages, the operator measures what it dropped and reports
+    * [[TruncationStats]] through a warn log and the `onTruncation`
+    * callback.
     *
     * @return (doc_id_1, doc_id_2, jaccard) with id1 < id2, jaccard ≥ threshold
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.7, bucketCap: Long = Long.MaxValue,
-      shared: Option[ShingleCache] = None): DataFrame = {
+      shared: Option[ShingleCache] = None,
+      onTruncation: TruncationStats => Unit = _ => ()): DataFrame = {
+    val (result, intermediates) = minhashLshPlan(docs, idCol, textCol,
+      shingleSize, numHashes, bands, threshold, bucketCap, shared, onTruncation)
+    finish(result, intermediates: _*)
+  }
+
+  /** [[minhashLsh]] body, pre-`finish` — split out so specs can assert
+    * plan properties (owned exchange widths) before materialization
+    * severs the lineage. Returns (result, intermediates to release). */
+  private[operators] def minhashLshPlan(docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, numHashes: Int, bands: Int,
+      threshold: Double, bucketCap: Long, shared: Option[ShingleCache],
+      onTruncation: TruncationStats => Unit): (DataFrame, Seq[DataFrame]) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
@@ -215,6 +275,10 @@ object Dedup {
     // signature aggregation a second time
     val sigs = hashes.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
       .persist()
+    // the count both materializes the cache (some action must) and
+    // sizes every downstream exchange off the REAL post-shrink scale
+    val nDocs = sigs.count()
+    val nParts = partsFor(nDocs * bands, docs.sparkSession)
 
     // band buckets: the comma-joined signature-row string (engine-
     // portable, unlike murmur hash()) collapsed to a 60-bit md5Long —
@@ -226,9 +290,35 @@ object Dedup {
     val bucketCols = (0 until bands).map { b =>
       md5Long(concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
     }
+    // the repartition OWNS the one exchange this stage needs: the
+    // window's ClusteredDistribution and the self-join's co-partition
+    // requirement are both satisfied by it, so neither plans a second,
+    // session-width exchange over the post-shrink bucket frame
     val allBuckets = sigs.select(col(idCol), posexplode(array(bucketCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+      .repartition(nParts, col("band"), col("bucket"))
+
+    // when capping is opted into, measure what it drops BEFORE it
+    // drops it: one aggregate over the cached signature frame (cheap —
+    // docs × bands rows), reported via warn log + callback. An
+    // observed metric on the bucket frame would ride for free, but the
+    // self-join consumes that frame TWICE, so the metric would
+    // double-count (or fire once per side) depending on exchange
+    // reuse — an eager audit job is deterministic, and the caller
+    // already paid for observability by opting into the cap.
+    if (bucketCap != Long.MaxValue) {
+      val over = allBuckets.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__n")).where(col("__n") > bucketCap)
+        .agg(count(lit(1)).as("b"), coalesce(sum("__n"), lit(0L)).as("r"))
+        .head()
+      val stats = TruncationStats(over.getLong(0), over.getLong(1))
+      if (stats.droppedBuckets > 0)
+        log.warn(s"minhashLsh bucketCap=$bucketCap dropped " +
+          s"${stats.droppedBuckets} over-cap buckets " +
+          s"(${stats.droppedRows} occurrence rows) from candidate generation")
+      onTruncation(stats)
+    }
 
     // degenerate-bucket guard as a window count over the SAME
     // (band, bucket) shuffle+sort the candidate self-join needs anyway
@@ -240,16 +330,23 @@ object Dedup {
       .where(col("__n") <= bucketCap)
       .drop("__n")
 
+    // the pre-distinct repartition owns the dedup exchange's width.
+    // Trade, stated: duplicates now cross the wire un-combined (the
+    // session-width aggregate exchange it replaces ran a map-side
+    // partial dedup first) — bounded loss, since a pair's duplicate
+    // multiplicity is at most `bands`, and the width saturates to the
+    // session's parallelism at real scale anyway.
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
+      .repartition(nParts, col("doc_id_1"), col("doc_id_2"))
       .distinct()
 
-    finish(verifyJaccard(candidates, shingled, idCol, threshold),
-      (if (owned) Seq(sigs, shingled) else Seq(sigs)): _*)
+    (verifyJaccard(candidates, shingled, idCol, threshold),
+      if (owned) Seq(sigs, shingled) else Seq(sigs))
   }
 
   /** Documents → (id, sh: array<long>) of 60-bit-hashed distinct word
@@ -329,6 +426,18 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5, dfCap: Long = 100,
       shared: Option[ShingleCache] = None): DataFrame = {
+    val (result, intermediates) =
+      ngramJaccardPairsPlan(docs, idCol, textCol, shingleSize, threshold,
+        dfCap, shared)
+    finish(result, intermediates: _*)
+  }
+
+  /** [[ngramJaccardPairs]] body, pre-`finish` — split out so specs can
+    * assert plan properties (owned exchange widths) before
+    * materialization severs the lineage. */
+  private[operators] def ngramJaccardPairsPlan(docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, threshold: Double, dfCap: Long,
+      shared: Option[ShingleCache]): (DataFrame, Seq[DataFrame]) = {
     val (shingled, owned) =
       resolveShingles(shared, docs, idCol, textCol, shingleSize)
     val inv = shingled.select(col(idCol), size(col("sh")).as("sz"),
@@ -338,6 +447,10 @@ object Dedup {
     // consume the join, and exchange reuse alone would still run the
     // join twice (shuffle-read + merge per consumer)
     val withDf = inv.join(dfCount, "s").persist()
+    // the count both materializes the cache (some action must) and
+    // sizes the candidate stages' exchanges off the REAL occurrence
+    // count instead of the session's corpus-scale shuffle width
+    val nParts = partsFor(withDf.count(), docs.sparkSession)
 
     // The r3 shape ran one row_number window over EVERY shingle
     // occurrence; in a boilerplate-heavy corpus the over-cap shingles
@@ -354,25 +467,40 @@ object Dedup {
     //    rows reproduces the old `rn = 1` branch exactly and the two
     //    legs stay disjoint.
     val prefixCapped = withDf.where(col("df") <= dfCap)
+      // owns the prefix window's exchange (ClusteredDistribution on
+      // the doc id is satisfied, so the window plans no second one)
+      .repartition(nParts, col(idCol))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))))
       .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col(idCol), col("s"))
+    // the fallback aggregate keeps its own session-width exchange: its
+    // map-side min(struct) combine collapses each doc's occurrence fan
+    // BEFORE the wire, which an explicit repartition would forfeit
     val fallback = withDf
       .groupBy(col(idCol))
       .agg(min(struct(col("df"), col("s"))).as("m"))
       .where(col("m.df") > dfCap)
       .select(col(idCol), col("m.s").as("s"))
-    // persisted: both sides of the candidate self-join consume it
-    val prefix = prefixCapped.unionByName(fallback).persist()
+    // persisted: both sides of the candidate self-join consume it. The
+    // pre-cache repartition on the join key means the cached layout
+    // ITSELF satisfies the self-join's co-partition requirement — the
+    // join plans zero exchanges where the unpartitioned cache paid a
+    // session-width one (exchange-reused across the two sides)
+    val prefix = prefixCapped.unionByName(fallback)
+      .repartition(nParts, col("s")).persist()
 
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
+      // owned width for the dedup exchange; same bounded trade as the
+      // minhash candidate distinct (duplicate multiplicity here is
+      // bounded by the per-doc prefix length)
+      .repartition(nParts, col("doc_id_1"), col("doc_id_2"))
       .distinct()
-    finish(verifyJaccard(candidates, shingled, idCol, threshold),
-      (if (owned) Seq(prefix, withDf, shingled) else Seq(prefix, withDf)): _*)
+    (verifyJaccard(candidates, shingled, idCol, threshold),
+      if (owned) Seq(prefix, withDf, shingled) else Seq(prefix, withDf))
   }
 
   /** Connected components over a near-duplicate pair list: the step a
@@ -401,7 +529,11 @@ object Dedup {
     *     partition) the whole graph resolves here and the loop merely
     *     confirms; at 100 TB each partition folds `rowsPerPartition`
     *     edges into ≤ nodes-per-partition star edges. Memory: the
-    *     union-find map is bounded by 2·rowsPerPartition entries.
+    *     union-find map holds only NON-ROOT nodes (identity-absent
+    *     semantics over a primitive-long [[LongLongMap]]) — at most
+    *     2·rowsPerPartition entries at ~34 bytes each, ~140 MB worst
+    *     case per concurrent task at the defaults, with zero per-entry
+    *     GC pressure.
     *  2. GLOBAL LOOP: iterative min-label propagation over the star
     *     edges, one pointer-jump per round (label := label of label —
     *     path halving, O(log diameter) rounds; same round-complexity
@@ -433,8 +565,14 @@ object Dedup {
           .contains(t.typeName),
         s"connectedComponents requires integral ids; column $c is $t")
     }
-    val fwd = pairs.select(col(id1).cast("long").as("a"),
+    val fwdAll = pairs.select(col(id1).cast("long").as("a"),
       col(id2).cast("long").as("b"))
+    // self-pairs (a,a) carry no connectivity but their ids are still
+    // owed a label under the "every id that appears in a pair"
+    // contract: phase-1 contraction emits no star edge for a
+    // singleton root, so they are excluded here and unioned back as
+    // trivial (id, id) clusters at the end
+    val fwd = fwdAll.where(col("a") =!= col("b"))
     val sym = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
     // the count sizes the loop's shuffle width AND materializes the
@@ -445,29 +583,31 @@ object Dedup {
     // phase 1: per-partition union-find → spanning star edges.
     // Hash-partitioning on `a` co-locates each node's edge fan before
     // contracting (better fold), but ANY partitioning is correct.
+    // identity-absent union-find over a primitive-long open-addressing
+    // map ([[LongLongMap]] — ~34 B/entry vs ~80 for boxed HashMap
+    // entries, the honest heap bound at 2M rows/partition): an id with
+    // no entry is its own root, so ONLY non-root nodes occupy slots
+    // and the emission loop is exactly the map's keys. Path
+    // compression during emission only UPDATES existing keys (never
+    // inserts — every traversed non-root already has an entry), which
+    // the map's iterator tolerates by construction.
     val star = sym.repartition(nParts, col("a")).as[(Long, Long)]
       .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
+        val parent = new LongLongMap()
         def find(x: Long): Long = {
           var r = x
-          while (parent.get(r) != r) r = parent.get(r)
+          var p = parent.getOrDefault(r, r)
+          while (p != r) { r = p; p = parent.getOrDefault(r, r) }
           var c = x // path compression
-          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
           r
         }
         it.foreach { case (x, y) =>
-          if (!parent.containsKey(x)) parent.put(x, x)
-          if (!parent.containsKey(y)) parent.put(y, y)
           val rx = find(x); val ry = find(y)
           if (rx < ry) parent.put(ry, rx)
           else if (ry < rx) parent.put(rx, ry)
         }
-        val out = Iterator.newBuilder[(Long, Long)]
-        parent.keySet().forEach { k =>
-          val r = find(k)
-          if (r != k) out += ((k, r))
-        }
-        out.result()
+        parent.keysIterator.map(k => (k, find(k)))
       }.toDF("a", "b")
     // phase 2 edge set: the symmetrized stars. Duplicate star edges
     // across partitions are possible and harmless under min-agg — no
@@ -537,8 +677,14 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds — " +
           "component diameter exceeds the budget; raise maxIters")
     }
-    val out = finish(
-      labels._1.select(col("id"), col("label").as("cluster_id")), edges)
+    val labeled = labels._1.select(col("id"), col("label").as("cluster_id"))
+    // ids seen ONLY in self-pairs come back as their own singleton
+    // clusters (one filter pass over the pair list + a tiny anti-join)
+    val loners = fwdAll.where(col("a") === col("b"))
+      .select(col("a").as("id")).distinct()
+      .join(labeled.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    val out = finish(labeled.unionByName(loners), edges)
     Checkpoints.drop(labels._1, labels._2)
     out
   }
@@ -568,11 +714,6 @@ object Dedup {
   def contamination(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3,
       sharedTest: Option[ShingleCache] = None): DataFrame = {
-    val trainSh = spread(train, idCol)
-      .select(explode(wordShingles(col(textCol), shingleSize)).as("s"))
-      .select(md5Long(col("s")).as("h"))
-      .distinct()
-      .withColumn("__hit", lit(1))
     // the test side may reuse a caller-owned [[ShingleCache]] over the
     // test corpus (exploding the cached per-doc distinct-shingle arrays
     // is value-identical to re-shingling the raw text)
@@ -584,6 +725,46 @@ object Dedup {
         .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("s"))
         .select(col(idCol), md5Long(col("s")).as("h"))
     }
+    contaminationOf(train, testSh, idCol, textCol, shingleSize)
+  }
+
+  /** [[contamination]] where the test side reuses a [[ShingleCache]]
+    * built over a SUPERSET of `test` (the raw corpus before upstream
+    * gates filtered it — the [[CorpusPipeline]] composition). A per-doc
+    * shingle array depends only on that doc's own text, so semi-joining
+    * the cache down to `test`'s ids is value-identical to re-shingling
+    * `test` — one corpus-wide shingle materialization serves every
+    * pipeline stage instead of one per stage. The subset claim is
+    * VERIFIED, not trusted: any test doc with enough words to shingle
+    * that is missing from the cache fails the call loudly (a silently
+    * absent doc would masquerade as "nothing to contaminate"). */
+  def contaminationFromSuperset(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, cache: ShingleCache): DataFrame = {
+    require(cache.idCol == idCol,
+      s"superset ShingleCache id column ${cache.idCol} does not match $idCol")
+    require(cache.isCached, "superset ShingleCache was already released")
+    val shingleable = test
+      .where(size(tokens(col(textCol))) >= cache.shingleSize).select(col(idCol))
+    val missing = shingleable
+      .join(cache.frame.select(col(idCol)), Seq(idCol), "left_anti").limit(1)
+    require(missing.isEmpty,
+      "test corpus contains docs absent from the superset ShingleCache — " +
+        "the cache was built over a different (or narrower) corpus")
+    val testSh = cache.frame.join(shingleable, Seq(idCol), "left_semi")
+      .select(col(idCol), explode(col("sh")).as("h"))
+    contaminationOf(train, testSh, idCol, textCol, cache.shingleSize)
+  }
+
+  /** Shared tail of the contamination family: reduce train to its
+    * distinct shingle vocabulary, presence-mark the (id, h) test
+    * shingles against it, fold per test doc. */
+  private def contaminationOf(train: DataFrame, testSh: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    val trainSh = spread(train, idCol)
+      .select(explode(wordShingles(col(textCol), shingleSize)).as("s"))
+      .select(md5Long(col("s")).as("h"))
+      .distinct()
+      .withColumn("__hit", lit(1))
     testSh.join(trainSh, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
