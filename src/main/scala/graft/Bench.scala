@@ -23,18 +23,33 @@ object Bench {
     // every round) executes in the same order: Map iteration order
     // shifts as queries are added, which moves JIT/GC neighborhoods
     // and makes per-query times incomparable across rounds.
+    //
+    // Each query runs `reps` times (default 3) and reports the MEDIAN:
+    // single-run times on queries in the 0.2–4 s band have shown ±15%
+    // whipsaw across rounds, which a median kills while an average
+    // would let one GC pause poison. The spread (max−min across reps,
+    // summed) is reported alongside so a noisy run is visible as data
+    // rather than a ghost regression. Repetitions run back-to-back per
+    // query (not as whole-suite passes) so each query's reps share the
+    // same JIT/GC neighborhood.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (0 until reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      (name, times.sorted, times.length == reps)
     }
     val good = results.filter(_._3)
     val errors = results.filterNot(_._3).map(_._1)
-    val qs = good.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def median(ts: Seq[Double]): Double = ts(ts.length / 2)
+    val qs = good.map { case (k, ts, _) => s"\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = good.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val total = good.map { case (_, ts, _) => median(ts) }.sum
+    val spread = good.map { case (_, ts, _) => ts.last - ts.head }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"spread":$spread,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // also land the line in a file: the stdout copy gets wrapped in sbt
     // noise, which breaks machine parsing of the bench result

@@ -25,12 +25,20 @@ object CorpusPipeline {
   /** Stage-count collector shared by [[prepare]] and the q68 driver
     * query: each stage's row count rides the cache's FIRST (full-scan)
     * materialization as an observed metric instead of a dedicated
-    * count job. `counts` waits a bounded beat for each metric — the
-    * listener bus delivers asynchronously, so an unbounded-blocking
-    * get could hang on a metric that never fires (e.g. a cache filled
-    * inside RDD-level computation) and a raced synchronous read would
-    * pay the fallback — then falls back to a cache-warm count(). */
-  private[graft] final class StageCounter {
+    * count job. `counts` is called only AFTER the pipeline's terminal
+    * actions complete, so a fired metric is at most one asynchronous
+    * listener-bus delivery away — the wait bound can therefore be
+    * generous (default 10 s, constructor-configurable) without risking
+    * a hang-class stall, and a loaded cluster no longer silently
+    * demotes observed counts to fallback count() jobs the way the old
+    * 250 ms raced bound did. A metric that genuinely never fires (a
+    * cache first materialized through an RDD-level path) pays the
+    * bound once, then the cache-warm count() keeps the report correct.
+    * `release` completes-and-deregisters every observation
+    * ([[org.apache.spark.sql.graft.ObservationBridge]]) so a session
+    * running many pipeline invocations accumulates no manager
+    * entries. */
+  private[graft] final class StageCounter(awaitMillis: Long = 10000L) {
     private val staged = scala.collection.mutable.ListBuffer
       .empty[(String, org.apache.spark.sql.Observation, DataFrame)]
     def stage(name: String, df: DataFrame): DataFrame = {
@@ -41,11 +49,13 @@ object CorpusPipeline {
     }
     def counts: List[(String, Long)] = staged.map { case (name, obs, p) =>
       val observed = scala.util.Try(scala.concurrent.Await.result(obs.future,
-        scala.concurrent.duration.Duration(250, "ms"))).toOption
+        scala.concurrent.duration.Duration(awaitMillis, "ms"))).toOption
       name -> observed.map(_.getLong(0)).getOrElse(p.count())
     }.toList
-    def release(): Unit =
-      staged.foreach(_._3.unpersist(blocking = false))
+    def release(): Unit = staged.foreach { case (_, obs, p) =>
+      org.apache.spark.sql.graft.ObservationBridge.discard(p.sparkSession, obs)
+      p.unpersist(blocking = false)
+    }
   }
 
   final case class Config(
@@ -68,10 +78,19 @@ object CorpusPipeline {
   final case class Result(train: DataFrame, holdout: DataFrame,
       report: Seq[(String, Long)])
 
+  /** @param sharedShingles caller-owned [[Dedup.ShingleCache]] built
+    *   over the RAW input corpus (same id column, shingle width 3 —
+    *   the contamination default). When provided, the decontamination
+    *   stage reuses that one corpus-wide shingle materialization
+    *   ([[Dedup.contaminationFromSuperset]] semi-joins it down to the
+    *   surviving docs) instead of re-shingling the filtered corpus —
+    *   at 100 TB, one shingle pass instead of one per consumer. The
+    *   caller releases it. */
   def prepare(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", sourceCol: String = "source",
       evalDocs: Option[DataFrame] = None,
-      cfg: Config = Config()): Result = {
+      cfg: Config = Config(),
+      sharedShingles: Option[Dedup.ShingleCache] = None): Result = {
     val counter = new StageCounter
     def stage(name: String, df: DataFrame): DataFrame = counter.stage(name, df)
 
@@ -84,10 +103,16 @@ object CorpusPipeline {
       bits = cfg.nearDupBits, maxHamming = cfg.nearDupMaxHamming)
     val nearDup = stage("near_dup_cluster_dedup",
       Dedup.dedupByClusters(exact, Dedup.connectedComponents(pairs), idCol))
-    // decontaminate: drop training docs that overlap the eval corpus
+    // decontaminate: drop training docs that overlap the eval corpus.
+    // The checked (test) side is the FILTERED corpus, so a caller-held
+    // cache over the raw corpus reuses through the superset path.
     val clean = evalDocs match {
       case Some(ev) =>
-        val contaminated = Dedup.contamination(ev, nearDup, idCol, textCol)
+        val cont = sharedShingles match {
+          case Some(c) => Dedup.contaminationFromSuperset(ev, nearDup, idCol, textCol, c)
+          case None => Dedup.contamination(ev, nearDup, idCol, textCol)
+        }
+        val contaminated = cont
           .where(col("contamination_pct") > cfg.maxContaminationPct).select(idCol)
         stage("decontaminate", nearDup.join(contaminated, Seq(idCol), "left_anti"))
       case None => nearDup

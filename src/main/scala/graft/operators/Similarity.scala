@@ -317,8 +317,10 @@ object Similarity {
   /** Lloyd's k-means over the embedding column, fully distributed
     * (no driver-side collect and no driver-side count): seed = the k
     * first vectors in md5-of-id order (deterministic, uniform-ish, a
-    * distributed top-k — no full sort, no size-of-corpus job), then
-    * `iters` rounds of assign → element-wise mean per cell. Mean is
+    * distributed top-k — no full sort, no size-of-corpus job) or a
+    * caller-supplied `seed` frame ([[kMeansParallelSeed]] is the
+    * quality init), then `iters` rounds of assign → element-wise mean
+    * per cell. Mean is
     * computed by posexploding dimensions and re-assembling with a
     * position-sorted collect — shuffle keyed on (cell, dim), uniform.
     *
@@ -332,12 +334,14 @@ object Similarity {
     * Returns (vec_id = cell id, embedding = centroid) for direct use
     * as the `centroids` input of the probe operators.
     */
-  def kMeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kMeans(corpus: DataFrame, k: Int, iters: Int,
+      seed: Option[DataFrame] = None): DataFrame = {
     // (frame, reliable-checkpoint path): superseded iterations drop
     // their checkpoint files instead of accumulating for the session
     var centroids = Checkpoints.stableTracked(
-      corpus.select(col("vec_id"), col("embedding"))
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k))
+      seed.getOrElse(
+        corpus.select(col("vec_id"), col("embedding"))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)))
     for (_ <- 0 until iters) {
       val assigned = assignCells(corpus, centroids._1, "vid", "ve", "cell", 1)
       val prev = centroids
@@ -357,6 +361,86 @@ object Similarity {
     // kMeans calls leaves nothing behind
     val out = Checkpoints.materialize(centroids._1)
     Checkpoints.drop(centroids._1, centroids._2)
+    out
+  }
+
+  /** k-means‖-style oversampled seed (Bahmani et al., "Scalable
+    * K-Means++", VLDB'12), fully deterministic: every random draw is
+    * an md5 of (vec_id, round), so the same corpus always yields the
+    * same seed on any cluster layout.
+    *
+    *  1. Start from the md5-first vector; for `rounds` rounds, sample
+    *     each vector independently with probability
+    *     min(1, oversample·k·d²/Σd²) where d = 1 − cos to the nearest
+    *     candidate so far — far-from-coverage regions are picked with
+    *     high probability, the k-means++ insight without its k
+    *     sequential passes. Candidates ≈ rounds·oversample·k ≪ corpus.
+    *  2. Weight each candidate by how many corpus vectors it is
+    *     nearest to, then run a short WEIGHTED Lloyd reduction over
+    *     the (tiny) candidate set down to k.
+    *
+    * Each round costs one broadcast scoring pass over the corpus plus
+    * one scalar Σd² aggregate — `rounds`+1 corpus passes total, the
+    * price of a seed that spans every cluster instead of whatever the
+    * md5 order happened to hit ([[kMeans]] then needs fewer Lloyd
+    * iterations over the full corpus, which is where 100 TB passes
+    * actually hurt). Returns (vec_id, embedding) × k for
+    * [[kMeans]]'s `seed`. */
+  def kMeansParallelSeed(corpus: DataFrame, k: Int, rounds: Int = 3,
+      oversample: Int = 2): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val c = corpus.select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
+    val two60 = math.pow(2.0, 60)
+    var cand = Checkpoints.stableTracked(
+      c.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(1))
+    for (r <- 0 until rounds) {
+      val bc = broadcast(cand._1
+        .select(col("vec_id").as("__cid"), col("embedding").as("__ce")))
+      // d² to the current candidate set, one broadcast pass
+      val d2 = c.join(bc)
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max(cosine(col("embedding"), col("__ce"))).as("__best"))
+        .withColumn("__d2", pow(lit(1.0) - col("__best"), 2))
+        .persist()
+      val sumD2 = d2.agg(sum(col("__d2"))).head().getDouble(0)
+      val picked =
+        if (sumD2 <= 0.0) d2.limit(0) // candidates already cover exactly
+        else d2.where(
+          (md5Long(concat(col("vec_id").cast("string"), lit(s"|seed|$r")))
+            / lit(two60)) * lit(sumD2) < lit(oversample.toDouble * k) * col("__d2"))
+      val prev = cand
+      cand = Checkpoints.stableTracked(prev._1.unionByName(
+        picked.select(col("vec_id"), col("embedding"))))
+      d2.unpersist(blocking = false)
+      Checkpoints.drop(prev._1, prev._2)
+    }
+    // weight candidates by their basin size, then reduce to k with a
+    // short weighted Lloyd over the candidate set only (tiny frames)
+    val weights = assignCells(c, cand._1, "vid", "ve", "cell", 1)
+      .groupBy(col("cell").as("vec_id")).agg(count(lit(1)).as("__w"))
+    val weighted = cand._1.join(weights, Seq("vec_id"), "inner").persist()
+    var centers = Checkpoints.stableTracked(
+      weighted.select(col("vec_id"), col("embedding"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k))
+    for (_ <- 0 until 3) {
+      val assigned = assignCells(weighted, centers._1, "vid", "ve", "cell", 1)
+        .join(weighted.select(col("vec_id").as("vid"), col("__w")), Seq("vid"))
+      val prev = centers
+      centers = Checkpoints.stableTracked(assigned
+        .select(col("cell"), col("__w"), posexplode(col("ve")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("col") * col("__w")) / sum(col("__w"))).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("vec_id"),
+          transform(col("pm"), x => x.getField("m")).as("embedding")))
+      Checkpoints.drop(prev._1, prev._2)
+    }
+    weighted.unpersist(blocking = false)
+    val out = Checkpoints.materialize(centers._1)
+    Checkpoints.drop(centers._1, centers._2)
+    Checkpoints.drop(cand._1, cand._2)
     out
   }
 }

@@ -1200,17 +1200,30 @@ object LlmQueries {
                      CASE WHEN head LIKE 'https://%'
                           THEN regexp_replace(head, ':443$', '')
                           ELSE regexp_replace(head, ':80$', '') END AS head2,
+                     regexp_replace(tail, '#.*', '') AS nofrag
+              FROM parts),
+            -- utm stripping runs on the QUERY substring only, exactly
+            -- as canonicalizeUrl does ('&' is a legal path character —
+            -- a whole-tail pattern would swallow path segments after a
+            -- literal '&' in the path)
+            split_qp AS (
+              SELECT doc_id, head2,
+                     regexp_extract(nofrag, '^([^?]*)', 1) AS path,
+                     regexp_replace(nofrag, '^[^?]*', '') AS query
+              FROM cleaned),
+            noutm AS (
+              SELECT doc_id, head2, path,
                      regexp_replace(
                        regexp_replace(
-                         regexp_replace(
-                           regexp_replace(tail, '#.*', ''),
+                         regexp_replace(query,
                            '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g'),
                          '\?utm_[A-Za-z0-9_]*=[^&]*&', '?'),
-                       '\?utm_[A-Za-z0-9_]*=[^&]*$', '') AS tail2
-              FROM parts)
+                       '\?utm_[A-Za-z0-9_]*=[^&]*$', '') AS query2
+              FROM split_qp)
             SELECT doc_id,
-                   concat(head2, regexp_replace(tail2, '[?&]$', '')) AS canonical_url
-            FROM cleaned ORDER BY doc_id"""))
+                   concat(head2, path,
+                          regexp_replace(query2, '[?&]$', '')) AS canonical_url
+            FROM noutm ORDER BY doc_id"""))
 
   /** q62 — product-quantization ANN (build → encode → asymmetric-
     * distance top-k): 4 subspaces × 16 dims, sampled codebooks so the
