@@ -33,6 +33,7 @@ object Bench {
     // query (not as whole-suite passes) so each query's reps share the
     // same JIT/GC neighborhood.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).flatMap { _ =>
         val t0 = System.nanoTime()

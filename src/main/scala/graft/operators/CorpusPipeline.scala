@@ -48,8 +48,12 @@ object CorpusPipeline {
       p
     }
     def counts: List[(String, Long)] = staged.map { case (name, obs, p) =>
+      // the empty-row filter covers counts-after-release misuse:
+      // release() completes never-fired observations with Row.empty,
+      // which must degrade to the count() fallback, not throw
       val observed = scala.util.Try(scala.concurrent.Await.result(obs.future,
-        scala.concurrent.duration.Duration(awaitMillis, "ms"))).toOption
+        scala.concurrent.duration.Duration(awaitMillis, "ms")))
+        .toOption.filter(_.length > 0)
       name -> observed.map(_.getLong(0)).getOrElse(p.count())
     }.toList
     def release(): Unit = staged.foreach { case (_, obs, p) =>
@@ -91,6 +95,18 @@ object CorpusPipeline {
       evalDocs: Option[DataFrame] = None,
       cfg: Config = Config(),
       sharedShingles: Option[Dedup.ShingleCache] = None): Result = {
+    // validate the shared cache up front against THIS call's corpus
+    // and the contamination default width — a mismatched cache would
+    // silently gate decontamination on different shingles
+    sharedShingles.foreach { c =>
+      require(c.idCol == idCol && c.shingleSize == 3,
+        s"sharedShingles shape (${c.idCol}, n=${c.shingleSize}) does not " +
+          s"match prepare's contract ($idCol, n=3)")
+      require(c.isCached, "sharedShingles cache was already released")
+      require(c.docsPlan.sameResult(docs.queryExecution.analyzed),
+        "sharedShingles was built over a DIFFERENT corpus than this " +
+          "call's docs frame")
+    }
     val counter = new StageCounter
     def stage(name: String, df: DataFrame): DataFrame = counter.stage(name, df)
 

@@ -129,19 +129,25 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Rows a single post-shrink-stage partition should hold — the same
-    * budget [[connectedComponents]] uses for its loop exchanges. */
-  private val RowsPerPartition = 2000000L
+  /** Rows below which a partition of a COMPUTE-BEARING stage (window
+    * sort, self-join) is pure scheduling overhead. Deliberately small:
+    * these stages do real per-row work, so starving them of
+    * parallelism costs far more than a few near-empty tasks — unlike
+    * the CC loop's per-round label exchanges (tiny frames, many
+    * rounds), where the 2M-row budget is the right one. A 480k-row
+    * bucket frame on 32 cores must still run 32-wide; only a
+    * genuinely tiny frame (≲ 10k rows/core) narrows. */
+  private val WidthRowsPerPartition = 10000L
 
   /** Shuffle width an intermediate stage should OWN, sized off its own
     * row count instead of inheriting `spark.sql.shuffle.partitions`:
-    * candidate/bucket frames have shrunk orders of magnitude below the
-    * corpus, so session-wide width is pure per-stage overhead at small
-    * scale, while the clamp to the session's parallelism keeps the
-    * width right when the stage genuinely is corpus-sized. */
+    * candidate/bucket frames can shrink orders of magnitude below the
+    * corpus (where session-wide width is pure per-stage overhead),
+    * while the clamp to the session's parallelism keeps the width
+    * right — and compute fully parallel — everywhere else. */
   private def partsFor(rows: Long, sess: org.apache.spark.sql.SparkSession): Int =
     math.max(1L, math.min(sess.sparkContext.defaultParallelism.toLong,
-      (rows + RowsPerPartition - 1) / RowsPerPartition)).toInt
+      (rows + WidthRowsPerPartition - 1) / WidthRowsPerPartition)).toInt
 
   /** Truncation report for [[minhashLsh]]'s opt-in `bucketCap`: the
     * number of over-cap (band, bucket) groups excluded from candidate
@@ -299,18 +305,31 @@ object Dedup {
       .withColumnRenamed("col", "bucket")
       .repartition(nParts, col("band"), col("bucket"))
 
-    // when capping is opted into, measure what it drops BEFORE it
-    // drops it: one aggregate over the cached signature frame (cheap —
-    // docs × bands rows), reported via warn log + callback. An
-    // observed metric on the bucket frame would ride for free, but the
-    // self-join consumes that frame TWICE, so the metric would
-    // double-count (or fire once per side) depending on exchange
-    // reuse — an eager audit job is deterministic, and the caller
-    // already paid for observability by opting into the cap.
-    if (bucketCap != Long.MaxValue) {
-      val over = allBuckets.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("__n")).where(col("__n") > bucketCap)
-        .agg(count(lit(1)).as("b"), coalesce(sum("__n"), lit(0L)).as("r"))
+    // degenerate-bucket guard as a window count over the SAME
+    // (band, bucket) shuffle+sort the candidate self-join needs anyway
+    // — one pass, no extra aggregate or semi-join (the r3 guard ran a
+    // separate count + left_semi, re-shuffling allBuckets twice)
+    val counted = allBuckets
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+    val capped = bucketCap != Long.MaxValue
+    // when capping is opted into, the counted frame is persisted so
+    // the truncation audit below, and BOTH self-join sides, share one
+    // shuffle+window materialization (exchange reuse does not span
+    // separate jobs, so an unpersisted audit would re-pay the whole
+    // bucket shuffle); released in finish()
+    val countedShared = if (capped) counted.persist() else counted
+    if (capped) {
+      // measure what the cap drops BEFORE it drops it, reported via
+      // warn log + callback. An observed metric on the bucket frame
+      // would ride for free, but the self-join consumes that frame
+      // TWICE, so the metric would double-count (or fire once per
+      // side) depending on exchange reuse — an eager audit job over
+      // the shared cache is deterministic, and the caller already
+      // paid for observability by opting into the cap.
+      val over = countedShared.where(col("__n") > bucketCap)
+        .agg(coalesce(countDistinct(col("band"), col("bucket")), lit(0L)).as("b"),
+          count(lit(1)).as("r"))
         .head()
       val stats = TruncationStats(over.getLong(0), over.getLong(1))
       if (stats.droppedBuckets > 0)
@@ -319,34 +338,29 @@ object Dedup {
           s"(${stats.droppedRows} occurrence rows) from candidate generation")
       onTruncation(stats)
     }
-
-    // degenerate-bucket guard as a window count over the SAME
-    // (band, bucket) shuffle+sort the candidate self-join needs anyway
-    // — one pass, no extra aggregate or semi-join (the r3 guard ran a
-    // separate count + left_semi, re-shuffling allBuckets twice)
-    val buckets = allBuckets
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bucket"))))
+    val buckets = countedShared
       .where(col("__n") <= bucketCap)
       .drop("__n")
 
-    // the pre-distinct repartition owns the dedup exchange's width.
-    // Trade, stated: duplicates now cross the wire un-combined (the
-    // session-width aggregate exchange it replaces ran a map-side
-    // partial dedup first) — bounded loss, since a pair's duplicate
-    // multiplicity is at most `bands`, and the width saturates to the
-    // session's parallelism at real scale anyway.
+    // the candidate dedup deliberately KEEPS the session-width
+    // aggregate exchange (no owned-width repartition here): pair
+    // volume is quadratic within buckets and unknowable before the
+    // join runs, so a width sized off the pre-blowup bucket count
+    // could be orders of magnitude too narrow on a mass-duplicate
+    // corpus — and the aggregate's map-side partial combine (which an
+    // explicit repartition would forfeit) collapses duplicate pairs
+    // before the wire. AQE right-sizes the read side at small scale.
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
-      .repartition(nParts, col("doc_id_1"), col("doc_id_2"))
       .distinct()
 
     (verifyJaccard(candidates, shingled, idCol, threshold),
-      if (owned) Seq(sigs, shingled) else Seq(sigs))
+      (if (owned) Seq(sigs, shingled) else Seq(sigs)) ++
+        (if (capped) Seq(countedShared) else Nil))
   }
 
   /** Documents → (id, sh: array<long>) of 60-bit-hashed distinct word
@@ -494,10 +508,11 @@ object Dedup {
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
-      // owned width for the dedup exchange; same bounded trade as the
-      // minhash candidate distinct (duplicate multiplicity here is
-      // bounded by the per-doc prefix length)
-      .repartition(nParts, col("doc_id_1"), col("doc_id_2"))
+      // session-width aggregate kept deliberately — same reasoning as
+      // the minhash candidate distinct: pair volume is quadratic in
+      // shared-shingle fan-out (the fallback leg's is unbounded per
+      // the scaladoc), so a pre-blowup owned width could be far too
+      // narrow, and the map-side partial dedup matters at scale
       .distinct()
     (verifyJaccard(candidates, shingled, idCol, threshold),
       if (owned) Seq(prefix, withDf, shingled) else Seq(prefix, withDf))
@@ -750,6 +765,24 @@ object Dedup {
     require(missing.isEmpty,
       "test corpus contains docs absent from the superset ShingleCache — " +
         "the cache was built over a different (or narrower) corpus")
+    // content sentinel: the id check cannot see a same-ids-DIFFERENT-
+    // text substitution (a re-ingested corpus under stable ids), so
+    // one doc's shingles are recomputed from test's own text and
+    // compared against the cache row. A single-row spot check, not a
+    // proof — but a global text change fails it with near-certainty,
+    // and it costs two tiny jobs. (The per-row HOF here is fine: it
+    // runs on exactly one row.)
+    val sentinel = test
+      .where(size(tokens(col(textCol))) >= cache.shingleSize)
+      .orderBy(col(idCol)).limit(1)
+      .select(col(idCol), array_sort(transform(
+        wordShingles(col(textCol), cache.shingleSize), s => md5Long(s))).as("__expect"))
+    val mismatch = sentinel.join(
+        cache.frame.select(col(idCol), array_sort(col("sh")).as("__got")), Seq(idCol))
+      .where(col("__expect") =!= col("__got")).limit(1)
+    require(mismatch.isEmpty,
+      "superset ShingleCache content does not match the test corpus's " +
+        "text (same ids, different text?) — refusing to reuse it")
     val testSh = cache.frame.join(shingleable, Seq(idCol), "left_semi")
       .select(col(idCol), explode(col("sh")).as("h"))
     contaminationOf(train, testSh, idCol, textCol, cache.shingleSize)

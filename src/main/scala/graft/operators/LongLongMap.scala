@@ -19,8 +19,11 @@ package graft.operators
   * is safe; inserting a new key during iteration is not.
   */
 private[operators] final class LongLongMap(initialCapacity: Int = 1 << 12) {
-  private var cap = Integer.highestOneBit(
-    math.max(16, initialCapacity) * 2 - 1)
+  // capacity arithmetic in Long, clamped at 2^30 slots (2^29 entries —
+  // far past any sane rowsPerPartition): Int-doubling past 2^30 would
+  // go negative and throw NegativeArraySizeException mid-task
+  private var cap = Integer.highestOneBit(math.min(1L << 30,
+    math.max(16L, initialCapacity.toLong) * 2 - 1).toInt)
   private var mask = cap - 1
   private var keys = new Array[Long](cap)
   private var vals = new Array[Long](cap)
@@ -53,6 +56,10 @@ private[operators] final class LongLongMap(initialCapacity: Int = 1 << 12) {
   }
 
   private def grow(): Unit = {
+    if (cap == (1 << 30))
+      throw new IllegalStateException(
+        "LongLongMap exceeded 2^29 entries in one partition — lower " +
+          "rowsPerPartition so per-partition state fits in memory")
     val oldKeys = keys; val oldVals = vals; val oldUsed = used
     cap <<= 1; mask = cap - 1
     keys = new Array[Long](cap); vals = new Array[Long](cap)

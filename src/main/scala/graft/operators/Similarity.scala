@@ -438,7 +438,19 @@ object Similarity {
       Checkpoints.drop(prev._1, prev._2)
     }
     weighted.unpersist(blocking = false)
-    val out = Checkpoints.materialize(centers._1)
+    // the weighted reduction can lose cells (a center that wins no
+    // candidate in a round drops out of the groupBy), and the sampled
+    // pool itself can start under k — top up deterministically from
+    // the corpus in md5 order so callers ALWAYS get exactly k seeds
+    // instead of a silently narrower index
+    val have = centers._1.count()
+    val full =
+      if (have >= k) centers._1
+      else centers._1.unionByName(
+        c.join(centers._1.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit((k - have).toInt))
+    val out = Checkpoints.materialize(full)
     Checkpoints.drop(centers._1, centers._2)
     Checkpoints.drop(cand._1, cand._2)
     out

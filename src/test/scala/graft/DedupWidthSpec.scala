@@ -17,12 +17,27 @@ class DedupWidthSpec extends SparkSpec {
     (4L, "another unrelated document with its own words")).toDF("doc_id", "text")
 
   /** Explicit-width repartitions in the plan (spread()'s width-less
-    * `repartition(col)` reports no optNumPartitions and is excluded). */
-  private def ownedWidths(df: org.apache.spark.sql.DataFrame): Seq[Int] =
-    df.queryExecution.optimizedPlan.collect {
+    * `repartition(col)` reports no optNumPartitions and is excluded),
+    * including ones living inside CACHED subplans — ngram's prefix
+    * repartition sits below a persist(), so the logical collect alone
+    * would not see it. */
+  private def ownedWidths(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    def phys(p: SparkPlan): Seq[Int] = p.collect {
+      case s: ShuffleExchangeExec if s.shuffleOrigin == REPARTITION_BY_NUM =>
+        Seq(s.outputPartitioning.numPartitions)
+      case a: AdaptiveSparkPlanExec => phys(a.inputPlan)
+    }.flatten
+    val logical = df.queryExecution.optimizedPlan.collect {
       case r: RepartitionByExpression if r.optNumPartitions.isDefined =>
-        r.optNumPartitions.get
+        Seq(r.optNumPartitions.get)
+      case m: InMemoryRelation => phys(m.cachedPlan)
     }
+    logical.flatten
+  }
 
   test("minhashLsh candidate exchanges run at owned width, not session width") {
     val (res, inter) = Dedup.minhashLshPlan(docs, "doc_id", "text",

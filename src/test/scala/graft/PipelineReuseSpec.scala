@@ -57,6 +57,16 @@ class PipelineReuseSpec extends SparkSpec {
       Dedup.contaminationFromSuperset(train, test, "doc_id", "text", narrow)
     }
     narrow.release()
+    // ...and a cache with the SAME ids but different text (the
+    // re-ingested-corpus substitution the id check cannot see) is
+    // caught by the content sentinel
+    val retext = Dedup.shingleCache(
+      corpus.withColumn("text", concat(col("text"), lit(" mutated"))),
+      "doc_id", "text", 3)
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationFromSuperset(train, test, "doc_id", "text", retext)
+    }
+    retext.release()
   }
 
   test("prepare with sharedShingles matches prepare without, cache survives") {
@@ -70,6 +80,20 @@ class PipelineReuseSpec extends SparkSpec {
       cfg = cfg, sharedShingles = Some(cache))
     assert(cache.isCached)
     cache.release()
+    // a cache of the wrong shingle width, or built over a different
+    // corpus, is refused up front — not silently composed
+    val wrongWidth = Dedup.shingleCache(docs, "doc_id", "text", 4)
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.prepare(docs, evalDocs = Some(ev), cfg = cfg,
+        sharedShingles = Some(wrongWidth))
+    }
+    wrongWidth.release()
+    val otherCorpus = Dedup.shingleCache(docs.limit(50), "doc_id", "text", 3)
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.prepare(docs, evalDocs = Some(ev), cfg = cfg,
+        sharedShingles = Some(otherCorpus))
+    }
+    otherCorpus.release()
     val without = CorpusPipeline.prepare(docs, evalDocs = Some(ev), cfg = cfg)
     assert(withCache.report === without.report)
     assert(withCache.train.exceptAll(without.train).isEmpty &&
