@@ -26,15 +26,17 @@ object CorpusPipeline {
     * query: each stage's row count rides the cache's FIRST (full-scan)
     * materialization as an observed metric instead of a dedicated
     * count job. `counts` is called only AFTER the pipeline's terminal
-    * actions complete, so a fired metric is at most one asynchronous
-    * listener-bus delivery away — the wait bound can therefore be
-    * generous (default 10 s, constructor-configurable) without risking
-    * a hang-class stall, and a loaded cluster no longer silently
-    * demotes observed counts to fallback count() jobs the way the old
-    * 250 ms raced bound did. A metric that genuinely never fires (a
-    * cache first materialized through an RDD-level path) pays the
-    * bound once, then the cache-warm count() keeps the report correct.
-    * `release` completes-and-deregisters every observation
+    * actions complete, so correctness needs only that the listener bus
+    * finish delivering: counts drains the bus ONCE (bounded by
+    * `awaitMillis`, default 10 s — the drain returns in milliseconds
+    * on an idle bus) and then reads every metric non-blockingly. A
+    * loaded cluster no longer silently demotes observed counts to
+    * fallback count() jobs the way the old 250 ms raced bound did, and
+    * a metric that genuinely never fires (a cache first materialized
+    * through an RDD-level path, e.g. inside a localCheckpoint job)
+    * costs NO wait at all — after the drain it is known to be absent
+    * and the cache-warm count() keeps the report correct. `release`
+    * completes-and-deregisters every observation
     * ([[org.apache.spark.sql.graft.ObservationBridge]]) so a session
     * running many pipeline invocations accumulates no manager
     * entries. */
@@ -47,15 +49,27 @@ object CorpusPipeline {
       staged += ((name, obs, p))
       p
     }
-    def counts: List[(String, Long)] = staged.map { case (name, obs, p) =>
-      // the empty-row filter covers counts-after-release misuse:
+    def counts: List[(String, Long)] = {
+      // one bounded drain of the listener bus (returns as soon as the
+      // bus is empty — milliseconds in practice), then every metric is
+      // read NON-blockingly: a metric absent after the drain is never
+      // coming (its cache was first filled through an RDD-level path,
+      // e.g. inside a localCheckpoint job), so it falls straight back
+      // to a cache-warm count() instead of burning a per-stage wait.
+      // The empty-row filter covers counts-after-release misuse:
       // release() completes never-fired observations with Row.empty,
-      // which must degrade to the count() fallback, not throw
-      val observed = scala.util.Try(scala.concurrent.Await.result(obs.future,
-        scala.concurrent.duration.Duration(awaitMillis, "ms")))
-        .toOption.filter(_.length > 0)
-      name -> observed.map(_.getLong(0)).getOrElse(p.count())
-    }.toList
+      // which must degrade to the fallback, not throw.
+      staged.headOption.foreach { case (_, _, p) =>
+        org.apache.spark.sql.graft.ObservationBridge
+          .drainListeners(p.sparkSession, awaitMillis)
+      }
+      staged.map { case (name, obs, p) =>
+        val observed = scala.util.Try(
+            org.apache.spark.sql.graft.ObservationBridge.rowOrEmpty(obs))
+          .toOption.flatten.filter(_.length > 0)
+        name -> observed.map(_.getLong(0)).getOrElse(p.count())
+      }.toList
+    }
     def release(): Unit = staged.foreach { case (_, obs, p) =>
       org.apache.spark.sql.graft.ObservationBridge.discard(p.sparkSession, obs)
       p.unpersist(blocking = false)

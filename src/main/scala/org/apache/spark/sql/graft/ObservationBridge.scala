@@ -41,4 +41,18 @@ object ObservationBridge {
     * internals moved). */
   def registeredCount(sess: SparkSession): Int =
     scala.util.Try(managerMap(sess).size()).getOrElse(-1)
+
+  /** Non-blocking metric read (`Observation.getRowOrEmpty` is
+    * `private[sql]`): None until the metric fires. */
+  def rowOrEmpty(obs: Observation): Option[Row] = obs.getRowOrEmpty
+
+  /** Block (bounded) until the listener bus has delivered every queued
+    * event. After the bus is drained, an observation that has not
+    * completed NEVER will (its query already finished), so callers can
+    * read metrics non-blockingly instead of paying a per-observation
+    * wait for metrics that are never coming. Returns false on timeout
+    * or if the internals moved. */
+  def drainListeners(sess: SparkSession, timeoutMs: Long): Boolean =
+    scala.util.Try(
+      sess.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)).isSuccess
 }
