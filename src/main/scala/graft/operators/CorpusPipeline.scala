@@ -28,7 +28,7 @@ object CorpusPipeline {
     * count job. `counts` is called only AFTER the pipeline's terminal
     * actions complete, so correctness needs only that the listener bus
     * finish delivering: counts drains the bus ONCE (bounded by
-    * `awaitMillis`, default 10 s — the drain returns in milliseconds
+    * `awaitMillis`, default 2 s — the drain returns in milliseconds
     * on an idle bus) and then reads every metric non-blockingly. A
     * loaded cluster no longer silently demotes observed counts to
     * fallback count() jobs the way the old 250 ms raced bound did, and
@@ -40,7 +40,10 @@ object CorpusPipeline {
     * ([[org.apache.spark.sql.graft.ObservationBridge]]) so a session
     * running many pipeline invocations accumulates no manager
     * entries. */
-  private[graft] final class StageCounter(awaitMillis: Long = 10000L) {
+  // 2 s default drain bound: ample for an idle-ish bus, and the cost
+  // of an incomplete drain is only a cache-warm fallback count — not
+  // worth stalling a busy 32-core bus's event backlog for 10 s
+  private[graft] final class StageCounter(awaitMillis: Long = 2000L) {
     private val staged = scala.collection.mutable.ListBuffer
       .empty[(String, org.apache.spark.sql.Observation, DataFrame)]
     def stage(name: String, df: DataFrame): DataFrame = {
