@@ -40,12 +40,18 @@ object Bench {
         val t = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
         // between reps (outside the timed window): drop the rep's
-        // leaked storage. Operator results are localCheckpointed; once
-        // counted, their blocks are unreferenced but only reclaimed
-        // after a JVM GC notifies the context cleaner — without this,
-        // reps 2-3 of persist-heavy queries run under accumulating
-        // storage/GC pressure and medians read 30-50% above a clean
-        // single run (measured at sf0.1).
+        // leaked storage. clearCache() FIRST — it both unpersists and
+        // DEREGISTERS DataFrame cache entries, where a raw RDD
+        // unpersist would leave a stale CacheManager entry that turns
+        // the next rep's identical .cache() into a no-op serving a
+        // dropped buffer (every consumer then recomputes, uncached).
+        // Then drop leftover RDD-level storage (localCheckpointed
+        // operator results — unreferenced once counted, but reclaimed
+        // only after a JVM GC notifies the context cleaner); without
+        // this, reps 2-3 of persist-heavy queries run under
+        // accumulating storage/GC pressure and medians read 30-50%
+        // above a clean single run (measured at sf0.1).
+        spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         System.gc()

@@ -113,17 +113,10 @@ object CorpusPipeline {
       cfg: Config = Config(),
       sharedShingles: Option[Dedup.ShingleCache] = None): Result = {
     // validate the shared cache up front against THIS call's corpus
-    // and the contamination default width — a mismatched cache would
-    // silently gate decontamination on different shingles
-    sharedShingles.foreach { c =>
-      require(c.idCol == idCol && c.shingleSize == 3,
-        s"sharedShingles shape (${c.idCol}, n=${c.shingleSize}) does not " +
-          s"match prepare's contract ($idCol, n=3)")
-      require(c.isCached, "sharedShingles cache was already released")
-      require(c.docsPlan.sameResult(docs.queryExecution.analyzed),
-        "sharedShingles was built over a DIFFERENT corpus than this " +
-          "call's docs frame")
-    }
+    // and the contamination default width (the one shared-cache
+    // contract, enforced by the one shared validator) — a mismatched
+    // cache would silently gate decontamination on different shingles
+    sharedShingles.foreach(c => Dedup.validateShared(c, docs, idCol, 3))
     val counter = new StageCounter
     def stage(name: String, df: DataFrame): DataFrame = counter.stage(name, df)
 

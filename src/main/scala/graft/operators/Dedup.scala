@@ -65,7 +65,7 @@ object Dedup {
     * built from the SAME corpus — `sameResult` on the canonicalized
     * source plans, so a cache built over corpus A silently standing in
     * for corpus B (plausible-but-wrong pairs) is refused, not served. */
-  private def validateShared(c: ShingleCache, docs: DataFrame,
+  private[operators] def validateShared(c: ShingleCache, docs: DataFrame,
       idCol: String, shingleSize: Int): Unit = {
     require(c.idCol == idCol && c.shingleSize == shingleSize,
       s"shared ShingleCache shape (${c.idCol}, n=${c.shingleSize}) does not " +
@@ -777,9 +777,11 @@ object Dedup {
       .orderBy(col(idCol)).limit(1)
       .select(col(idCol), array_sort(transform(
         wordShingles(col(textCol), cache.shingleSize), s => md5Long(s))).as("__expect"))
+    // sort AFTER the join: projected below it, the array_sort would
+    // run over every cached document instead of the one matched row
     val mismatch = sentinel.join(
-        cache.frame.select(col(idCol), array_sort(col("sh")).as("__got")), Seq(idCol))
-      .where(col("__expect") =!= col("__got")).limit(1)
+        cache.frame.select(col(idCol), col("sh")), Seq(idCol))
+      .where(col("__expect") =!= array_sort(col("sh"))).limit(1)
     require(mismatch.isEmpty,
       "superset ShingleCache content does not match the test corpus's " +
         "text (same ids, different text?) — refusing to reuse it")

@@ -441,8 +441,9 @@ object Similarity {
     // the weighted reduction can lose cells (a center that wins no
     // candidate in a round drops out of the groupBy), and the sampled
     // pool itself can start under k — top up deterministically from
-    // the corpus in md5 order so callers ALWAYS get exactly k seeds
-    // instead of a silently narrower index
+    // the corpus in md5 order, so the result has exactly k seeds
+    // whenever the corpus holds at least k vectors (a smaller corpus
+    // necessarily yields every vector it has)
     val have = centers._1.count()
     val full =
       if (have >= k) centers._1
