@@ -59,6 +59,35 @@ class ShinglesExprSpec extends SparkSpec {
     assert(folded === Seq("p q", "q r", "r s"))
   }
 
+  test("property: native == HOF on random corpora, several shingle widths") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "bb", "ccc", "dddd", "e", "ff", "longword", "x9")
+    val docs = (1 to 60).map { i =>
+      val n = rnd.nextInt(12) // 0..11 tokens, hitting the short-doc edge
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    Seq(1, 2, 3, 5).foreach { n =>
+      val bad = df.select($"id",
+          TextFunctions.posWordShingles($"text", n).as("nw"),
+          hofShingles($"text", n).as("old"))
+        .where(not($"nw" <=> $"old"))
+      assert(bad.isEmpty, s"n=$n: native diverged from HOF")
+    }
+  }
+
+  test("non-string-array input is rejected at analysis") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3)
+        .select(ColumnBridge.column(graft.functions.ShinglesExpr(
+          ColumnBridge.expression(array(lit(1), lit(2))), 2)))
+        .collect()
+    }
+    assert(e.getMessage.contains("array<string>") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("no LambdaFunction anywhere in the hashed-shingle path") {
     val df = Seq((1L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
     val shingled = df.select($"doc_id",
