@@ -281,9 +281,15 @@ object Dedup {
     // signature aggregation a second time
     val sigs = hashes.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
       .persist()
-    // the count both materializes the cache (some action must) and
-    // sizes every downstream exchange off the REAL post-shrink scale
-    val nDocs = sigs.count()
+    // signature count == shingle-frame count (hashedShingled emits one
+    // row per doc and never an empty array, so the explode + groupBy
+    // chain is row-preserving): size the downstream exchanges off the
+    // SHINGLE frame instead of forcing the 64-way min-agg into a
+    // dedicated count job. The shingle materialization is work every
+    // consumer needs anyway — and already paid when the cache is
+    // shared — while `sigs` now materializes inside its first real
+    // consumer (the bucket job), pipelined instead of eager.
+    val nDocs = shingled.count()
     val nParts = partsFor(nDocs * bands, docs.sparkSession)
 
     // band buckets: the comma-joined signature-row string (engine-
@@ -461,10 +467,18 @@ object Dedup {
     // consume the join, and exchange reuse alone would still run the
     // join twice (shuffle-read + merge per consumer)
     val withDf = inv.join(dfCount, "s").persist()
-    // the count both materializes the cache (some action must) and
-    // sizes the candidate stages' exchanges off the REAL occurrence
-    // count instead of the session's corpus-scale shuffle width
-    val nParts = partsFor(withDf.count(), docs.sparkSession)
+    // the occurrence count that sizes the candidate exchanges equals
+    // Σ size(sh) over the shingle frame (the df join is inner and
+    // every occurrence's shingle has df ≥ 1, so the join is
+    // row-preserving on the exploded side): one cheap array-length
+    // pass over the shingle cache — already materialized when shared
+    // — instead of a dedicated job that eagerly materialized the
+    // whole explode + df-count + join chain. `withDf` now
+    // materializes inside its first real consumer (the prefix-window
+    // job), pipelined instead of eager.
+    val occRow = shingled.agg(sum(size(col("sh")))).head()
+    val nOcc = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
+    val nParts = partsFor(nOcc, docs.sparkSession)
 
     // The r3 shape ran one row_number window over EVERY shingle
     // occurrence; in a boilerplate-heavy corpus the over-cap shingles

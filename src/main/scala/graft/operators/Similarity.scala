@@ -403,9 +403,14 @@ object Similarity {
           max(cosine(col("embedding"), col("__ce"))).as("__best"))
         .withColumn("__d2", pow(lit(1.0) - col("__best"), 2))
         .persist()
-      val sumD2 = d2.agg(sum(col("__d2"))).head().getDouble(0)
+      // sum over zero rows is SQL null (empty corpus → NPE on getDouble)
+      // and a zero-norm embedding makes a NaN cosine whose NaN sumD2
+      // turns the sampling predicate permanently false — treat both
+      // like exact coverage and let the top-up supply any remainder
+      val sumRow = d2.agg(sum(col("__d2"))).head()
+      val sumD2 = if (sumRow.isNullAt(0)) 0.0 else sumRow.getDouble(0)
       val picked =
-        if (sumD2 <= 0.0) d2.limit(0) // candidates already cover exactly
+        if (sumD2.isNaN || sumD2 <= 0.0) d2.limit(0) // covered exactly (or degenerate)
         else d2.where(
           (md5Long(concat(col("vec_id").cast("string"), lit(s"|seed|$r")))
             / lit(two60)) * lit(sumD2) < lit(oversample.toDouble * k) * col("__d2"))

@@ -858,12 +858,20 @@ object LlmQueries {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val res = CorpusPipeline.prepare(docs,
-        evalDocs = Some(docs.filter(col("doc_id") < 10)),
-        cfg = CorpusPipeline.Config(minQuality = 0.2,
-          mixtureRates = Map("src0" -> 0.5), defaultRate = 1.0,
-          holdoutFrac = 0.1, packBudget = 1024))
-      res.report.toDF("stage", "rows").orderBy("stage")
+      // the shared-shingle path IS the production shape: one corpus
+      // shingle pass owned by the caller, decontamination semi-joins
+      // it down to the survivors (Dedup.contaminationFromSuperset)
+      // instead of re-shingling the filtered corpus
+      val shingles = Dedup.shingleCache(docs, "doc_id", "text")
+      try {
+        val res = CorpusPipeline.prepare(docs,
+          evalDocs = Some(docs.filter(col("doc_id") < 10)),
+          cfg = CorpusPipeline.Config(minQuality = 0.2,
+            mixtureRates = Map("src0" -> 0.5), defaultRate = 1.0,
+            holdoutFrac = 0.1, packBudget = 1024),
+          sharedShingles = Some(shingles))
+        res.report.toDF("stage", "rows").orderBy("stage")
+      } finally shingles.release()
     },
     Some("""WITH RECURSIVE """ + pipelinePrefixSql + """,
             split AS (

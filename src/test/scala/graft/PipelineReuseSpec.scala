@@ -176,6 +176,62 @@ class PipelineReuseSpec extends SparkSpec {
     assert(seed.exceptAll(seed2).isEmpty && seed2.exceptAll(seed).isEmpty)
   }
 
+  test("kMeansParallelSeed survives degenerate corpora: empty, and zero-norm embeddings") {
+    // empty corpus: the Σd² aggregate is SQL null — must not NPE, and
+    // the seed is necessarily empty (no vectors to return)
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.kMeansParallelSeed(empty, k = 3).count() === 0)
+    // zero-norm embeddings make NaN cosines; a NaN Σd² used to turn
+    // the sampling predicate permanently false — the seed must still
+    // come back with min(k, n) vectors via the deterministic top-up
+    val degenerate = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(0.0, 0.0)),
+      (3L, Array(1.0, 0.0)), (4L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.kMeansParallelSeed(degenerate, k = 3).count() === 3)
+  }
+
+  test("incremental minhashLsh + connectedComponents across appended batches: old pairs persist, old survivors stable") {
+    // Bucket membership is a pure function of a doc's own content, so
+    // appending a batch can only ADD pairs (never remove old ones),
+    // and under monotone ids a cluster holding any batch-1 doc keeps
+    // a batch-1 min-id representative. The one documented exception:
+    // a NEW doc bridging two distinct old clusters merges them and
+    // retires one old survivor — this fixture has no bridge, pinning
+    // the stable-survivor contract a batch-id warehouse relies on.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "north south east west upward downward leftward rightward inward outward"
+    val c = "one singular document with entirely unshared vocabulary tokens here"
+    val d = "red orange yellow green blue indigo violet crimson amber teal"
+    val batch1 = Seq((1L, a), (2L, a), (3L, b), (4L, b), (5L, c))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((11L, a), (12L, d), (13L, d)).toDF("doc_id", "text")
+    def nearDupPath(docs: org.apache.spark.sql.DataFrame) = {
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.6)
+      val clusters = Dedup.connectedComponents(pairs)
+      (pairs.select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet,
+        clusters.as[(Long, Long)].collect().toMap,
+        Dedup.dedupByClusters(docs, clusters, "doc_id")
+          .select("doc_id").as[Long].collect().toSet)
+    }
+    val (pairs1, clusters1, survivors1) = nearDupPath(batch1)
+    assert(pairs1 === Set((1L, 2L), (3L, 4L)))
+    assert(survivors1 === Set(1L, 3L, 5L))
+    val (pairsFull, clustersFull, survivorsFull) =
+      nearDupPath(batch1.unionByName(batch2))
+    // old pairs persist verbatim; new pairs only involve appended docs
+    assert(pairs1.subsetOf(pairsFull))
+    assert((pairsFull -- pairs1).forall { case (x, y) => x > 5L || y > 5L })
+    // batch-1 docs keep their batch-1 cluster labels (11 joins 1's
+    // cluster; 12/13 form a new one) — clusters were added, not moved
+    assert(clusters1.forall { case (id, lbl) => clustersFull(id) == lbl })
+    assert(clustersFull(11L) === 1L && clustersFull(12L) === 12L)
+    // and the batch-1 survivor set is untouched by the append
+    assert(survivorsFull === Set(1L, 3L, 5L, 12L))
+    assert((survivorsFull & Set(1L, 2L, 3L, 4L, 5L)) === survivors1)
+  }
+
   test("LongLongMap matches a reference map under random ops (incl. negative keys)") {
     val rnd = new scala.util.Random(42)
     val m = new LongLongMap(16) // tiny: forces several grows
