@@ -12,13 +12,20 @@ import org.apache.spark.sql.functions._
   * (per-partition init of the expensive decoder object, streamed rows,
   * no driver involvement, scales by adding partitions).
   *
-  * The decode itself is a STUB by design: no media libraries exist in
-  * this environment, so [[decodeFeatures]] derives deterministic fake
-  * "decoded" attributes (dimensions from an MD5 of the payload,
-  * checksum, byte length). Everything around it — schema, encoders,
-  * partition batching, the per-partition heavyweight-init pattern — is
-  * real and tested, and a genuine decoder drops in by replacing the
-  * body of `decodeOne`.
+  * Two decoders live here:
+  *
+  *  - [[decodeFeatures]] — the ORACLE-GATED stub: deterministic fake
+  *    "decoded" attributes (dimensions from an MD5 of the payload,
+  *    checksum, byte length) so a SQL oracle can value-check the
+  *    plumbing end-to-end over the text-payload testdata.
+  *  - [[decodeImages]] — a REAL image decoder on `javax.imageio`
+  *    (in the JDK, no added dependency): PNG/JPEG/GIF/BMP payloads
+  *    decode to width/height/mean-luminance features. Undecodable
+  *    payloads yield an explicit `format_ok = false` row instead of
+  *    throwing — a crawl-scale corpus always contains corrupt bytes,
+  *    and one bad payload must not kill a 1000-executor job. Audio /
+  *    video codecs remain out of scope for this container; their
+  *    plumbing shape is the same `mapPartitions` contract.
   */
 object Multimodal {
 
@@ -65,6 +72,61 @@ object Multimodal {
           fake_h = 1L + hv % 1080L,
           checksum = hex.substring(0, 16),
           n_frames = (m.payload.length.toLong + frameStride - 1) / frameStride)
+      }
+    }
+  }
+
+  /** Real decoded-image features. `mean_luma` is Rec. 601 luminance
+    * averaged over a bounded sample grid; `format_ok = false` marks a
+    * payload no registered reader could decode (corrupt or non-image),
+    * with zeroed features. */
+  final case class ImageFeatures(doc_id: Long, source: String, byte_len: Long,
+      width: Long, height: Long, mean_luma: Double, format_ok: Boolean)
+
+  /** REAL image decode over opaque binary payloads —
+    * `javax.imageio.ImageIO` per partition, streamed rows, no driver
+    * involvement. Feature extraction stays O(1) per image regardless
+    * of resolution: luminance is averaged over at most
+    * `lumaGrid`×`lumaGrid` sample points (a 100-megapixel outlier
+    * costs the same as a thumbnail — per-item cost bounds are what
+    * keep a 100 TB decode stage's stragglers in check). Corrupt or
+    * non-image payloads return `format_ok = false` rather than
+    * failing the task. */
+  def decodeImages(media: Dataset[Media], lumaGrid: Int = 64): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // ImageIO's plugin registry scan happens once per JVM on first
+      // use — this touch keeps it out of the first row's latency
+      javax.imageio.ImageIO.getReaderFormatNames()
+      rows.map { m =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload)))
+          catch { case _: java.io.IOException => None }
+        img match {
+          case Some(i) =>
+            val w = i.getWidth; val h = i.getHeight
+            val sx = math.max(1, w / lumaGrid); val sy = math.max(1, h / lumaGrid)
+            var sum = 0.0; var n = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = i.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                n += 1
+                x += sx
+              }
+              y += sy
+            }
+            ImageFeatures(m.doc_id, m.source, m.payload.length.toLong,
+              w.toLong, h.toLong, if (n == 0) 0.0 else sum / n, format_ok = true)
+          case None =>
+            ImageFeatures(m.doc_id, m.source, m.payload.length.toLong,
+              0L, 0L, 0.0, format_ok = false)
+        }
       }
     }
   }

@@ -69,6 +69,31 @@ class PipelineReuseSpec extends SparkSpec {
     retext.release()
   }
 
+  test("contaminationFromSuperset plans ONE shingle pass (train side only); the direct path plans two") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // the superset path's value: the test side reads the shared cache
+    // instead of re-shingling — visible in the optimized plan as one
+    // ShinglesExpr (train vocabulary) plus an InMemoryRelation scan,
+    // where the direct path carries a ShinglesExpr per side
+    def shinglePasses(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.map(p => p.expressions.map(
+        _.collect { case s: graft.functions.ShinglesExpr => s }.size).sum).sum
+    val train = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely novel words that never appear in train corpus"))
+      .toDF("doc_id", "text")
+    val direct = Dedup.contamination(train, corpus, "doc_id", "text", 3)
+    assert(shinglePasses(direct) === 2)
+    val cache = Dedup.shingleCache(corpus, "doc_id", "text", 3)
+    val via = Dedup.contaminationFromSuperset(train, corpus, "doc_id", "text", cache)
+    assert(shinglePasses(via) === 1)
+    assert(via.queryExecution.optimizedPlan
+      .collect { case m: InMemoryRelation => m }.nonEmpty)
+    cache.release()
+  }
+
   test("prepare with sharedShingles matches prepare without, cache survives") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .limit(200)
