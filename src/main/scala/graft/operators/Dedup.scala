@@ -467,18 +467,18 @@ object Dedup {
     // consume the join, and exchange reuse alone would still run the
     // join twice (shuffle-read + merge per consumer)
     val withDf = inv.join(dfCount, "s").persist()
-    // the occurrence count that sizes the candidate exchanges equals
-    // Σ size(sh) over the shingle frame (the df join is inner and
-    // every occurrence's shingle has df ≥ 1, so the join is
-    // row-preserving on the exploded side): one cheap array-length
-    // pass over the shingle cache — already materialized when shared
-    // — instead of a dedicated job that eagerly materialized the
-    // whole explode + df-count + join chain. `withDf` now
-    // materializes inside its first real consumer (the prefix-window
-    // job), pipelined instead of eager.
-    val occRow = shingled.agg(sum(size(col("sh")))).head()
-    val nOcc = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
-    val nParts = partsFor(nOcc, docs.sparkSession)
+    // the count both materializes the cache (some action must) and
+    // sizes the candidate stages' exchanges off the REAL occurrence
+    // count instead of the session's corpus-scale shuffle width.
+    // Deliberately EAGER, unlike minhash's shingle-frame sizing: the
+    // prefix union's two legs (window + fallback aggregate) both scan
+    // withDf inside ONE downstream job, and a cache first touched by
+    // two concurrent subplans populates per-partition under a race —
+    // each leg recomputes the explode + df-join chain. Measured at
+    // sf0.1: lazy materialization here cost q33 +1.1 s (the A/B that
+    // reverted this), where minhash's sigs has a single consumer and
+    // the same laziness SAVED 1.4 s.
+    val nParts = partsFor(withDf.count(), docs.sparkSession)
 
     // The r3 shape ran one row_number window over EVERY shingle
     // occurrence; in a boilerplate-heavy corpus the over-cap shingles
