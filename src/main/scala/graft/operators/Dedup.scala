@@ -265,22 +265,14 @@ object Dedup {
       threshold: Double, bucketCap: Long, shared: Option[ShingleCache],
       onTruncation: TruncationStats => Unit): (DataFrame, Seq[DataFrame]) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
 
     val (shingled, owned) =
       resolveShingles(shared, docs, idCol, textCol, shingleSize)
 
-    val hashes = shingled.select(col(idCol), explode(col("sh")).as("h"))
-      .select(col(idCol), col("h").bitwiseAND(lit(M30)).as("h0"),
-        shiftright(col("h"), 30).as("h1"))
-    val minAggs = minhashConstants(numHashes).zipWithIndex.map {
-      case ((a0, a1), i) => min(mix(col("h0"), col("h1"), a0, a1)).as(s"m$i")
-    }
     // persisted: both sides of the bucket self-join consume it, and a
     // broadcast build side would otherwise recompute the whole
     // signature aggregation a second time
-    val sigs = hashes.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
-      .persist()
+    val sigs = minhashSignatures(shingled, idCol, numHashes).persist()
     // signature count == shingle-frame count (hashedShingled emits one
     // row per doc and never an empty array, so the explode + groupBy
     // chain is row-preserving): size the downstream exchanges off the
@@ -292,23 +284,11 @@ object Dedup {
     val nDocs = shingled.count()
     val nParts = partsFor(nDocs * bands, docs.sparkSession)
 
-    // band buckets: the comma-joined signature-row string (engine-
-    // portable, unlike murmur hash()) collapsed to a 60-bit md5Long —
-    // the self-join then shuffles/sorts 8-byte longs instead of
-    // ~80-byte strings. A 60-bit collision can only ADD a candidate
-    // pair (recall is untouched: equal strings hash equal), and the
-    // exact-Jaccard verify filters any such false positive; the
-    // oracle replays the same hash.
-    val bucketCols = (0 until bands).map { b =>
-      md5Long(concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
-    }
     // the repartition OWNS the one exchange this stage needs: the
     // window's ClusteredDistribution and the self-join's co-partition
     // requirement are both satisfied by it, so neither plans a second,
     // session-width exchange over the post-shrink bucket frame
-    val allBuckets = sigs.select(col(idCol), posexplode(array(bucketCols: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val allBuckets = signatureBuckets(sigs, idCol, numHashes, bands)
       .repartition(nParts, col("band"), col("bucket"))
 
     // degenerate-bucket guard as a window count over the SAME
@@ -367,6 +347,130 @@ object Dedup {
     (verifyJaccard(candidates, shingled, idCol, threshold),
       (if (owned) Seq(sigs, shingled) else Seq(sigs)) ++
         (if (capped) Seq(countedShared) else Nil))
+  }
+
+  /** (idCol, m0..m{numHashes-1}) minhash signature frame over a
+    * hashed-shingle frame — one explode + one map-side-combined
+    * aggregate, shared by [[minhashLshPlan]] and [[minhashIndex]]. */
+  private def minhashSignatures(shingled: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val hashes = shingled.select(col(idCol), explode(col("sh")).as("h"))
+      .select(col(idCol), col("h").bitwiseAND(lit(M30)).as("h0"),
+        shiftright(col("h"), 30).as("h1"))
+    val minAggs = minhashConstants(numHashes).zipWithIndex.map {
+      case ((a0, a1), i) => min(mix(col("h0"), col("h1"), a0, a1)).as(s"m$i")
+    }
+    hashes.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** Signatures → (idCol, band, bucket) LSH band buckets: the
+    * comma-joined signature-row string (engine-portable, unlike murmur
+    * hash()) collapsed to a 60-bit md5Long — downstream joins then
+    * shuffle/sort 8-byte longs instead of ~80-byte strings. A 60-bit
+    * collision can only ADD a candidate pair (recall is untouched:
+    * equal strings hash equal), and the exact-Jaccard verify filters
+    * any such false positive; the oracle replays the same hash. */
+  private def signatureBuckets(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bucketCols = (0 until bands).map { b =>
+      md5Long(concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+    }
+    sigs.select(col(idCol), posexplode(array(bucketCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** A persisted-or-persistable MinHash LSH index over an already-
+    * loaded corpus: the band-bucket table plus the hashed shingle
+    * frame, with the parameters baked in so an append can refuse a
+    * mismatched call. Both members are plain DataFrames — write them
+    * with `Warehouse`/parquet and read them back across sessions; at
+    * 100 TB the index is built (or extended) once per load, not once
+    * per audit. `release()` drops the builder's internal cache;
+    * indexes read back from storage hold no cache to drop. */
+  final case class MinhashIndex private[operators] (
+      buckets: DataFrame, shingles: DataFrame, idCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int) {
+    def release(): Unit = shingles.unpersist(blocking = false)
+  }
+
+  /** Build a [[MinhashIndex]] over a corpus. The hashed shingle frame
+    * is persisted (both the bucket derivation and any later verify
+    * read it); the bucket frame derives from it lazily, so writing
+    * both to storage costs one corpus text scan. */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 32): MinhashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = hashedShingled(docs, idCol, textCol, shingleSize)
+    MinhashIndex(
+      signatureBuckets(minhashSignatures(sh, idCol, numHashes), idCol,
+        numHashes, bands),
+      sh, idCol, shingleSize, numHashes, bands)
+  }
+
+  /** Incremental near-dup pair mining for batch-append corpora: mine
+    * ONLY the pairs that involve the new batch — new×new and
+    * new×indexed — against a [[MinhashIndex]] of the already-loaded
+    * corpus. Never re-mines indexed×indexed, which is what makes
+    * re-auditing a 100 TB corpus after a 100 GB append a 100 GB
+    * problem: the corpus-scale index bucket table is pruned by a
+    * semi-join on the NEW batch's (band, bucket) keys — a small
+    * broadcast build side — before anything corpus-sized shuffles, so
+    * the old side contributes only the buckets the new batch actually
+    * collides with.
+    *
+    * Under the append contract (ids unique across batches — the same
+    * surrogate-key contract [[exactByKey]]'s incremental composition
+    * states), `minhashLsh(old ∪ new)` without a bucket cap equals
+    * `minhashLsh(old)` ∪ this call's result (the batch-append spec
+    * pins it). An id present in BOTH sides is tolerated by taking the
+    * new batch's shingles for verification, but near-dup semantics for
+    * reused ids are the caller's problem. No `bucketCap` here: run the
+    * [[exactByKey]] pre-pass on mass-duplicated corpora instead —
+    * capping composes badly with incrementality (a bucket's size
+    * depends on batches the call cannot see).
+    *
+    * @return (doc_id_1, doc_id_2, jaccard), id1 < id2, jaccard ≥ threshold,
+    *         at least one id from `newBatch` */
+  def minhashLshAppend(index: MinhashIndex, newBatch: DataFrame,
+      textCol: String, threshold: Double = 0.7): DataFrame = {
+    val idCol = index.idCol
+    val shNew = hashedShingled(newBatch, idCol, textCol, index.shingleSize)
+    val sigsNew = minhashSignatures(shNew, idCol, index.numHashes)
+    // owned width off the new batch (shingle-frame row count == doc
+    // count, as in minhashLshPlan); the pruned old side co-partitions
+    // to it in the join
+    val nParts = partsFor(shNew.count() * index.bands, newBatch.sparkSession)
+    val newBuckets = signatureBuckets(sigsNew, idCol, index.numHashes, index.bands)
+      .repartition(nParts, col("band"), col("bucket")).persist()
+    val hitOld = index.buckets.join(
+      newBuckets.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+    val allBuckets = hitOld.unionByName(newBuckets)
+    val candidates = newBuckets.as("a")
+      .join(allBuckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      // normalize THEN distinct: the new side joins both directions,
+      // so a new×new pair arrives twice (a,b)/(b,a) — same aggregate
+      // exchange the self-join variant's DISTINCT pays, same
+      // session-width reasoning (pair volume is quadratic in bucket
+      // fan-out, unknowable pre-join)
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_id_1"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_id_2"))
+      .distinct()
+    // the verify reads one shingle frame covering both sides: the
+    // index's shingles cut down to candidate ids (tiny semi-join),
+    // the new batch's shingles winning on any id overlap
+    val candIds = candidates.select(col("doc_id_1").as(idCol))
+      .unionByName(candidates.select(col("doc_id_2").as(idCol))).distinct()
+    val shAll = index.shingles
+      .join(candIds, Seq(idCol), "left_semi")
+      .join(shNew.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(shNew.join(candIds, Seq(idCol), "left_semi"))
+    finish(verifyJaccard(candidates, shAll, idCol, threshold),
+      shNew, newBuckets)
   }
 
   /** Documents → (id, sh: array<long>) of 60-bit-hashed distinct word

@@ -175,6 +175,69 @@ object LlmQueries {
             SELECT doc_id_1, doc_id_2, jaccard FROM j
             WHERE jaccard >= 0.5 ORDER BY doc_id_1, doc_id_2"""))
 
+  /** q75 — INCREMENTAL MinHash+LSH mining ([[Dedup.minhashLshAppend]]):
+    * docs < 400 are the already-loaded corpus (indexed once via
+    * [[Dedup.minhashIndex]]), docs ≥ 400 the appended batch; only
+    * pairs touching the batch are mined — the indexed×indexed work is
+    * never re-run (at 100 TB: a re-audit after an append costs the
+    * append, not the corpus). The oracle replays the FULL minhash
+    * pipeline over the union and restricts to pairs touching the new
+    * batch — so the incremental path must reproduce the full
+    * recompute's pairs and verified jaccard values exactly (the
+    * decomposition contract PipelineReuseSpec pins batch-by-batch). */
+  private val q75 = Q("q75_minhash_lsh_append",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.minhashIndex(docs.filter(col("doc_id") < 400),
+        "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16)
+      try Dedup.minhashLshAppend(idx, docs.filter(col("doc_id") >= 400),
+          "text", threshold = 0.5)
+        .orderBy("doc_id_1", "doc_id_2")
+      finally idx.release()
+    },
+    Some("""WITH shs AS (
+              SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS shs
+              FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+              WHERE len(ws) >= 3),
+            sh AS (
+              SELECT doc_id, list_transform(shs,
+                     s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+              FROM shs),
+            consts AS (
+              SELECT i,
+                     (2 * CAST(('0x' || substr(md5('A|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                       & ((CAST(1 AS BIGINT) << 60) - 1) AS a
+              FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+            hv AS (
+              SELECT doc_id, unnest(sh) AS h FROM sh),
+            mins AS (
+              SELECT doc_id, i,
+                     min(((a & 1073741823) * (h & 1073741823)
+                          + (((a & 1073741823) * (h >> 30) + (a >> 30) * (h & 1073741823))
+                             & 1073741823) * (CAST(1 AS BIGINT) << 30))
+                         & ((CAST(1 AS BIGINT) << 60) - 1)) AS m
+              FROM hv CROSS JOIN consts GROUP BY 1, 2),
+            buckets AS (
+              SELECT doc_id, i // 4 AS b,
+                     CAST(('0x' || substr(md5(
+                       string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)), 1, 15))
+                       AS BIGINT) AS bucket
+              FROM mins GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+              FROM buckets a
+              JOIN buckets c
+                ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+              WHERE a.doc_id >= 400 OR c.doc_id >= 400),
+            j AS (
+              SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+                     round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+              FROM cand JOIN sh x ON x.doc_id = d1 JOIN sh y ON y.doc_id = d2)
+            SELECT doc_id_1, doc_id_2, jaccard FROM j
+            WHERE jaccard >= 0.5 ORDER BY doc_id_1, doc_id_2"""))
+
   /** q29 — exact brute-force cosine top-k (the ANN baseline): 10 query
     * vectors broadcast against the corpus, per-query top-5 via a
     * k-limiting window (no global sort). */
@@ -1392,5 +1455,5 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
-    q63, q66, q67, q68, q69, q71, q72, q73, q74)
+    q63, q66, q67, q68, q69, q71, q72, q73, q74, q75)
 }

@@ -257,6 +257,39 @@ class PipelineReuseSpec extends SparkSpec {
     assert((survivorsFull & Set(1L, 2L, 3L, 4L, 5L)) === survivors1)
   }
 
+  test("minhashLshAppend == full recompute minus old-only pairs; old index never re-mined") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "north south east west upward downward leftward rightward inward outward"
+    val d = "red orange yellow green blue indigo violet crimson amber teal"
+    val batch1 = Seq((1L, a), (2L, a), (3L, b), (4L, b)).toDF("doc_id", "text")
+    // 11 joins 1's near-dup group (new×old), 12/13 pair with each
+    // other only (new×new), 14 pairs with nothing
+    val batch2 = Seq((11L, a), (12L, d), (13L, d),
+      (14L, "entirely unshared vocabulary in this appended document here"))
+      .toDF("doc_id", "text")
+    def mine(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashLsh(docs, "doc_id", "text", shingleSize = 3,
+          numHashes = 16, bands = 8, threshold = 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+    val old = mine(batch1)
+    val full = mine(batch1.unionByName(batch2))
+    val idx = Dedup.minhashIndex(batch1, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    val inc = Dedup.minhashLshAppend(idx, batch2, "text", threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    idx.release()
+    // every incremental pair touches the new batch, with verified
+    // jaccard identical to the full recompute's
+    assert(inc.forall { case (i, j, _) => i > 10L || j > 10L })
+    assert(inc === full.filter { case (i, j, _) => i > 10L || j > 10L })
+    // and the decomposition a batch-append warehouse runs is exact
+    assert(old ++ inc === full)
+    // the mismatched-parameter guard: an index built at different
+    // LSH parameters must refuse... by construction the params ride
+    // the index, so the append can't diverge — assert they're baked
+    assert(idx.numHashes === 16 && idx.bands === 8 && idx.shingleSize === 3)
+  }
+
   test("LongLongMap matches a reference map under random ops (incl. negative keys)") {
     val rnd = new scala.util.Random(42)
     val m = new LongLongMap(16) // tiny: forces several grows
