@@ -67,16 +67,20 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var times = (0 until reps).flatMap(_ => runOnce(fn))
-      var failed = times.length != reps
+      val failed = times.length != reps
       // load-suspect retry: a wide spread on a deterministic local
       // computation means at least one rep was disturbed; extra reps
       // give min more chances to land on an undisturbed execution.
+      // Best-effort only — a failing EXTRA rep must not reclassify a
+      // query whose initial reps all succeeded (the valid times stand;
+      // we just stop retrying).
       var extra = 0
-      while (!failed && times.nonEmpty && extra < maxExtraReps &&
+      var retryBroke = false
+      while (!failed && !retryBroke && extra < maxExtraReps &&
              (times.max - times.min) > 0.5 * times.min) {
         runOnce(fn) match {
           case Some(t) => times = times :+ t
-          case None    => failed = true
+          case None    => retryBroke = true
         }
         extra += 1
       }

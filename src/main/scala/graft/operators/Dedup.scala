@@ -403,10 +403,35 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 32): MinhashIndex = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = hashedShingled(docs, idCol, textCol, shingleSize)
+    // materialize the shingle cache eagerly: an append's one job reads
+    // it through TWO subplans (bucket derivation + verify), and a
+    // cache first touched by concurrent subplans populates under a
+    // race — each leg would redo the corpus text shingling the index
+    // exists to amortize (the measured ngram lesson above)
+    sh.count()
     MinhashIndex(
       signatureBuckets(minhashSignatures(sh, idCol, numHashes), idCol,
         numHashes, bands),
       sh, idCol, shingleSize, numHashes, bands)
+  }
+
+  /** Reconstruct a [[MinhashIndex]] from frames written to storage by
+    * a prior session (the cross-session read-back path the index
+    * exists for): `buckets` must carry (idCol, band, bucket) and
+    * `shingles` (idCol, sh) as produced by [[minhashIndex]], and the
+    * LSH parameters must be the ones the index was built with — they
+    * are baked into the returned handle so appends cannot diverge.
+    * Schema is validated here; parameter fidelity is the caller's
+    * storage contract (persist them next to the frames). */
+  def minhashIndexFromFrames(buckets: DataFrame, shingles: DataFrame,
+      idCol: String, shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 32): MinhashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    Seq(idCol, "band", "bucket").foreach(c => require(
+      buckets.columns.contains(c), s"index buckets frame lacks column $c"))
+    Seq(idCol, "sh").foreach(c => require(
+      shingles.columns.contains(c), s"index shingles frame lacks column $c"))
+    MinhashIndex(buckets, shingles, idCol, shingleSize, numHashes, bands)
   }
 
   /** Incremental near-dup pair mining for batch-append corpora: mine
@@ -444,6 +469,11 @@ object Dedup {
     val nParts = partsFor(shNew.count() * index.bands, newBatch.sparkSession)
     val newBuckets = signatureBuckets(sigsNew, idCol, index.numHashes, index.bands)
       .repartition(nParts, col("band"), col("bucket")).persist()
+    // eager: THREE subplans of the one downstream job read this cache
+    // (semi-join build side, union leg, join side a) — unmaterialized,
+    // each would recompute the signature aggregation under the
+    // concurrent-first-touch race. Batch-sized, so the action is cheap.
+    newBuckets.count()
     val hitOld = index.buckets.join(
       newBuckets.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
     val allBuckets = hitOld.unionByName(newBuckets)

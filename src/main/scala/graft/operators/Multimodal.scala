@@ -97,13 +97,21 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       // ImageIO's plugin registry scan happens once per JVM on first
-      // use — this touch keeps it out of the first row's latency
+      // use — this touch keeps it out of the first row's latency.
+      // setUseCache(false): the default wraps every read in a
+      // disk-backed FileCacheImageInputStream (a temp file per row!)
+      // even though the payload is already fully in memory.
+      javax.imageio.ImageIO.setUseCache(false)
       javax.imageio.ImageIO.getReaderFormatNames()
       rows.map { m =>
         val img =
+          // NonFatal, not just IOException: plugin readers throw
+          // RuntimeExceptions (CMMException, IllegalArgumentException,
+          // ArrayIndexOutOfBounds...) on crafted/truncated payloads,
+          // and those must also land in the format_ok=false row
           try Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(m.payload)))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         img match {
           case Some(i) =>
             val w = i.getWidth; val h = i.getHeight

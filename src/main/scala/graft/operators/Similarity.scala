@@ -401,12 +401,15 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(first(col("embedding")).as("embedding"),
           max(cosine(col("embedding"), col("__ce"))).as("__best"))
-        .withColumn("__d2", pow(lit(1.0) - col("__best"), 2))
+        // nanvl per ROW, not a corpus-wide guard: a single zero-norm
+        // embedding (NaN cosine) would otherwise poison the Σd² and
+        // silently disable d²-weighted sampling for every good vector;
+        // zeroing just the degenerate row excludes it from sampling
+        // (it is never a useful centroid) and leaves the rest weighted
+        .withColumn("__d2", nanvl(pow(lit(1.0) - col("__best"), 2), lit(0.0)))
         .persist()
       // sum over zero rows is SQL null (empty corpus → NPE on getDouble)
-      // and a zero-norm embedding makes a NaN cosine whose NaN sumD2
-      // turns the sampling predicate permanently false — treat both
-      // like exact coverage and let the top-up supply any remainder
+      // — treat it like exact coverage; the top-up supplies any remainder
       val sumRow = d2.agg(sum(col("__d2"))).head()
       val sumD2 = if (sumRow.isNullAt(0)) 0.0 else sumRow.getDouble(0)
       val picked =

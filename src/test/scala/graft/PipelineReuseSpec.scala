@@ -214,6 +214,22 @@ class PipelineReuseSpec extends SparkSpec {
       (3L, Array(1.0, 0.0)), (4L, Array(0.0, 1.0)))
       .toDF("vec_id", "embedding")
     assert(Similarity.kMeansParallelSeed(degenerate, k = 3).count() === 3)
+    // one zero-norm row among many good vectors must NOT poison the
+    // corpus-wide Σd² (NaN is zeroed per row): the seed still spans
+    // both planted clusters, so one Lloyd pass separates them
+    val mixed = ((0 until 20).map(i => (i.toLong, Array(1.0 + i * 0.001, 0.0))) ++
+      (20 until 40).map(i => (i.toLong, Array(0.0, 1.0 + i * 0.001))) :+
+      (99L, Array(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val seed = Similarity.kMeansParallelSeed(mixed, k = 2)
+    assert(seed.count() === 2)
+    val good = mixed.where(col("vec_id") < 40)
+    val centroids = Similarity.kMeans(good, k = 2, iters = 1, seed = Some(seed))
+    val cells = Similarity.assignCells(good, centroids, "vid", "ve", "cell", 1)
+      .withColumn("cluster", when(col("vid") < 20, 0).otherwise(1))
+      .groupBy("cluster").agg(countDistinct("cell").as("n"))
+      .select("n").as[Long].collect()
+    assert(cells.toSeq === Seq(1L, 1L))
   }
 
   test("incremental minhashLsh + connectedComponents across appended batches: old pairs persist, old survivors stable") {
@@ -288,6 +304,27 @@ class PipelineReuseSpec extends SparkSpec {
     // LSH parameters must refuse... by construction the params ride
     // the index, so the append can't diverge — assert they're baked
     assert(idx.numHashes === 16 && idx.bands === 8 && idx.shingleSize === 3)
+
+    // cross-session story: the index frames written to storage and
+    // read back through the public factory append identically
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val idx2 = Dedup.minhashIndex(batch1, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    idx2.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    idx2.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    idx2.release()
+    val readBack = Dedup.minhashIndexFromFrames(
+      spark.read.parquet(s"$dir/buckets"), spark.read.parquet(s"$dir/shingles"),
+      "doc_id", shingleSize = 3, numHashes = 16, bands = 8)
+    val incRb = Dedup.minhashLshAppend(readBack, batch2, "text", threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incRb === inc)
+    // and the factory refuses frames missing the contract columns
+    intercept[IllegalArgumentException] {
+      Dedup.minhashIndexFromFrames(
+        spark.read.parquet(s"$dir/buckets").drop("bucket"),
+        spark.read.parquet(s"$dir/shingles"), "doc_id", 3, 16, 8)
+    }
   }
 
   test("LongLongMap matches a reference map under random ops (incl. negative keys)") {
