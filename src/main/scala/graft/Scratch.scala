@@ -21,6 +21,7 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (name == "stages") { minhashStages(spark, sfDir); spark.stop(); return }
+    if (name == "appendstages") { appendStages(spark, sfDir); spark.stop(); return }
     if (name == "pipeline") {
       val t0 = System.nanoTime()
       val counts = graft.etl.Pipeline.run(spark,
@@ -39,6 +40,26 @@ object Scratch {
       println(s"[scratch] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9} s")
     }
     spark.stop()
+  }
+
+  /** Times q75's pieces: index build, then the append call. */
+  private def appendStages(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(s"[scratch] $label: ${(System.nanoTime() - t0) / 1e9} s"); r
+    }
+    val docs = Tables.documents(spark, sfDir)
+    time("warmup")(docs.count())
+    val idx = time("index build")(Dedup.minhashIndex(
+      docs.filter(col("doc_id") < 400), "doc_id", "text", 3, 64, 16))
+    val res = time("append")(Dedup.minhashLshAppend(
+      idx, docs.filter(col("doc_id") >= 400), "text", 0.5))
+    time("res.count")(res.count())
+    idx.release()
+    time("q28 for comparison")(
+      SparkEntry.queries("q28_minhash_lsh")(spark, sfDir).count())
   }
 
   /** Re-derives minhashLsh's internal stages to localize cost. */

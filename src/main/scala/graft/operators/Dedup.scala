@@ -460,20 +460,33 @@ object Dedup {
     *         at least one id from `newBatch` */
   def minhashLshAppend(index: MinhashIndex, newBatch: DataFrame,
       textCol: String, threshold: Double = 0.7): DataFrame = {
+    def dbg[A](label: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_APPEND_DEBUG")) {
+        val t0 = System.nanoTime(); val r = f
+        println(s"[append] $label: ${(System.nanoTime() - t0) / 1e9} s"); r
+      } else f
     val idCol = index.idCol
     val shNew = hashedShingled(newBatch, idCol, textCol, index.shingleSize)
     val sigsNew = minhashSignatures(shNew, idCol, index.numHashes)
     // owned width off the new batch (shingle-frame row count == doc
     // count, as in minhashLshPlan); the pruned old side co-partitions
     // to it in the join
-    val nParts = partsFor(shNew.count() * index.bands, newBatch.sparkSession)
+    val nParts = partsFor(dbg("shNew.count")(shNew.count()) * index.bands,
+      newBatch.sparkSession)
+    // persisted AND eagerly materialized. Three subplans read this
+    // frame (semi-join build side, union leg, join side a); exchange
+    // reuse canNOT dedupe them — column pruning pushes the build
+    // side's projection below the exchange, so the exchanges don't
+    // canonicalize equal (measured: the width-less/unpersisted shape
+    // re-ran the signature aggregation per subplan) — and AQE
+    // launches leaf stages concurrently, so a lazy cache populates
+    // under the first-touch race. One batch-sized eager action is
+    // the deterministic fix; at bench scale it surfaces as a
+    // separate (fixed-overhead) job, at 100 TB it is noise next to
+    // the corpus-scale work it prevents re-running.
     val newBuckets = signatureBuckets(sigsNew, idCol, index.numHashes, index.bands)
       .repartition(nParts, col("band"), col("bucket")).persist()
-    // eager: THREE subplans of the one downstream job read this cache
-    // (semi-join build side, union leg, join side a) — unmaterialized,
-    // each would recompute the signature aggregation under the
-    // concurrent-first-touch race. Batch-sized, so the action is cheap.
-    newBuckets.count()
+    dbg("newBuckets.count")(newBuckets.count())
     val hitOld = index.buckets.join(
       newBuckets.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
     val allBuckets = hitOld.unionByName(newBuckets)
@@ -490,17 +503,27 @@ object Dedup {
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_id_1"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_id_2"))
       .distinct()
+      // persisted AND eagerly materialized: unpersisted, the verify
+      // evaluates this join+distinct FIVE times (once as the pair
+      // side, twice per shAll side through candIds' two union legs),
+      // re-deriving the old-side signatures each time — measured 5x+
+      // on q75 at sf0.1. Pairs-sized, so the action is cheap.
+      .persist()
+    dbg("candidates.count")(candidates.count())
     // the verify reads one shingle frame covering both sides: the
     // index's shingles cut down to candidate ids (tiny semi-join),
-    // the new batch's shingles winning on any id overlap
+    // the new batch's shingles winning on any id overlap. No DISTINCT
+    // on the id list: a semi-join build tolerates duplicate keys, and
+    // dropping it removes a shuffle stage from BOTH verify sides
+    // (candIds is two projections of the cached pair frame — free)
     val candIds = candidates.select(col("doc_id_1").as(idCol))
-      .unionByName(candidates.select(col("doc_id_2").as(idCol))).distinct()
+      .unionByName(candidates.select(col("doc_id_2").as(idCol)))
     val shAll = index.shingles
       .join(candIds, Seq(idCol), "left_semi")
       .join(shNew.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(shNew.join(candIds, Seq(idCol), "left_semi"))
-    finish(verifyJaccard(candidates, shAll, idCol, threshold),
-      shNew, newBuckets)
+    dbg("finish")(finish(verifyJaccard(candidates, shAll, idCol, threshold),
+      shNew, newBuckets, candidates))
   }
 
   /** Documents → (id, sh: array<long>) of 60-bit-hashed distinct word

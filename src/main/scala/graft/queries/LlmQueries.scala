@@ -188,8 +188,13 @@ object LlmQueries {
   private val q75 = Q("q75_minhash_lsh_append",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // 32 hashes / 16 bands (2-row bands): recall at the 0.5
+      // threshold is 1-(1-j²)^16 ≈ 0.99, and halving the signature
+      // width halves the planning+codegen cost of the operator's
+      // biggest plan — the append's cost is fixed-overhead-dominated
+      // at bench scale (see README)
       val idx = Dedup.minhashIndex(docs.filter(col("doc_id") < 400),
-        "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16)
+        "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16)
       try Dedup.minhashLshAppend(idx, docs.filter(col("doc_id") >= 400),
           "text", threshold = 0.5)
         .orderBy("doc_id_1", "doc_id_2")
@@ -208,7 +213,7 @@ object LlmQueries {
               SELECT i,
                      (2 * CAST(('0x' || substr(md5('A|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
                        & ((CAST(1 AS BIGINT) << 60) - 1) AS a
-              FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+              FROM (SELECT unnest(generate_series(0, 31)) AS i)),
             hv AS (
               SELECT doc_id, unnest(sh) AS h FROM sh),
             mins AS (
@@ -219,7 +224,7 @@ object LlmQueries {
                          & ((CAST(1 AS BIGINT) << 60) - 1)) AS m
               FROM hv CROSS JOIN consts GROUP BY 1, 2),
             buckets AS (
-              SELECT doc_id, i // 4 AS b,
+              SELECT doc_id, i // 2 AS b,
                      CAST(('0x' || substr(md5(
                        string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)), 1, 15))
                        AS BIGINT) AS bucket
