@@ -933,16 +933,12 @@ object Dedup {
       .where(size(tokens(col(textCol))) >= cache.shingleSize).select(col(idCol))
     val missing = shingleable
       .join(cache.frame.select(col(idCol)), Seq(idCol), "left_anti").limit(1)
-    require(missing.isEmpty,
-      "test corpus contains docs absent from the superset ShingleCache — " +
-        "the cache was built over a different (or narrower) corpus")
     // content sentinel: the id check cannot see a same-ids-DIFFERENT-
     // text substitution (a re-ingested corpus under stable ids), so
     // one doc's shingles are recomputed from test's own text and
     // compared against the cache row. A single-row spot check, not a
-    // proof — but a global text change fails it with near-certainty,
-    // and it costs two tiny jobs. (The per-row HOF here is fine: it
-    // runs on exactly one row.)
+    // proof — but a global text change fails it with near-certainty.
+    // (The per-row HOF here is fine: it runs on exactly one row.)
     val sentinel = test
       .where(size(tokens(col(textCol))) >= cache.shingleSize)
       .orderBy(col(idCol)).limit(1)
@@ -953,7 +949,17 @@ object Dedup {
     val mismatch = sentinel.join(
         cache.frame.select(col(idCol), col("sh")), Seq(idCol))
       .where(col("__expect") =!= array_sort(col("sh"))).limit(1)
-    require(mismatch.isEmpty,
+    // ONE probe action for both checks (each tiny job still pays the
+    // full fixed job cost, and this runs on q61's bench hot path):
+    // the union's legs are both limit-1 probes, tagged so the error
+    // message stays precise
+    val bad = missing.select(lit("missing").as("__why"))
+      .unionByName(mismatch.select(lit("content").as("__why")))
+      .limit(1).collect().headOption.map(_.getString(0))
+    require(!bad.contains("missing"),
+      "test corpus contains docs absent from the superset ShingleCache — " +
+        "the cache was built over a different (or narrower) corpus")
+    require(!bad.contains("content"),
       "superset ShingleCache content does not match the test corpus's " +
         "text (same ids, different text?) — refusing to reuse it")
     val testSh = cache.frame.join(shingleable, Seq(idCol), "left_semi")
