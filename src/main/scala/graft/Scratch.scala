@@ -52,8 +52,10 @@ object Scratch {
     }
     val docs = Tables.documents(spark, sfDir)
     time("warmup")(docs.count())
+    // parameters must mirror q75's (32 hashes / 16 bands) or the
+    // profile localizes a plan the query does not run
     val idx = time("index build")(Dedup.minhashIndex(
-      docs.filter(col("doc_id") < 400), "doc_id", "text", 3, 64, 16))
+      docs.filter(col("doc_id") < 400), "doc_id", "text", 3, 32, 16))
     val res = time("append")(Dedup.minhashLshAppend(
       idx, docs.filter(col("doc_id") >= 400), "text", 0.5))
     time("res.count")(res.count())

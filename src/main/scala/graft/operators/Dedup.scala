@@ -460,10 +460,12 @@ object Dedup {
     *         at least one id from `newBatch` */
   def minhashLshAppend(index: MinhashIndex, newBatch: DataFrame,
       textCol: String, threshold: Double = 0.7): DataFrame = {
+    // stage timing for profiling (Scratch appendstages); logged, not
+    // printed, so capture configuration applies
     def dbg[A](label: String)(f: => A): A =
       if (sys.env.contains("GRAFT_APPEND_DEBUG")) {
         val t0 = System.nanoTime(); val r = f
-        println(s"[append] $label: ${(System.nanoTime() - t0) / 1e9} s"); r
+        log.info(s"[append] $label: ${(System.nanoTime() - t0) / 1e9} s"); r
       } else f
     val idCol = index.idCol
     val shNew = hashedShingled(newBatch, idCol, textCol, index.shingleSize)
@@ -951,11 +953,13 @@ object Dedup {
       .where(col("__expect") =!= array_sort(col("sh"))).limit(1)
     // ONE probe action for both checks (each tiny job still pays the
     // full fixed job cost, and this runs on q61's bench hot path):
-    // the union's legs are both limit-1 probes, tagged so the error
-    // message stays precise
+    // the union's legs are both limit-1 probes, tagged, and BOTH tags
+    // are collected (≤ 2 rows) so the missing-docs defect keeps
+    // precedence when both checks fail — a limit(1) over the union
+    // would pick a leg nondeterministically
     val bad = missing.select(lit("missing").as("__why"))
       .unionByName(mismatch.select(lit("content").as("__why")))
-      .limit(1).collect().headOption.map(_.getString(0))
+      .collect().map(_.getString(0)).toSet
     require(!bad.contains("missing"),
       "test corpus contains docs absent from the superset ShingleCache — " +
         "the cache was built over a different (or narrower) corpus")
