@@ -22,6 +22,8 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     if (name == "stages") { minhashStages(spark, sfDir); spark.stop(); return }
     if (name == "appendstages") { appendStages(spark, sfDir); spark.stop(); return }
+    if (name == "q61stages") { pipelineStages(spark, sfDir); spark.stop(); return }
+    if (name == "q61jobs") { pipelineJobs(spark, sfDir); spark.stop(); return }
     if (name == "pipeline") {
       val t0 = System.nanoTime()
       val counts = graft.etl.Pipeline.run(spark,
@@ -40,6 +42,97 @@ object Scratch {
       println(s"[scratch] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9} s")
     }
     spark.stop()
+  }
+
+  /** Job-level timeline of one warm q61 run: every Spark job's span
+    * plus the driver-side gaps between jobs (plan/codegen/drain time —
+    * the fixed cost the job timings don't show). */
+  private def pipelineJobs(spark: SparkSession, sfDir: String): Unit = {
+    import scala.collection.mutable.ArrayBuffer
+    val jobs = ArrayBuffer.empty[(Int, Long, Long, String)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      private val starts =
+        scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        starts.put(e.jobId, (e.time, desc))
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        starts.remove(e.jobId).foreach { case (t0, desc) =>
+          jobs.synchronized { jobs += ((e.jobId, t0, e.time, desc)) }
+        }
+    }
+    // warm run first so the timeline isn't first-compile noise
+    SparkEntry.queries("q61_corpus_pipeline")(spark, sfDir).count()
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.currentTimeMillis()
+    SparkEntry.queries("q61_corpus_pipeline")(spark, sfDir).count()
+    val tEnd = System.currentTimeMillis()
+    spark.sparkContext.removeSparkListener(listener)
+    Thread.sleep(500)
+    var cursor = t0
+    jobs.sortBy(_._2).foreach { case (id, s, e, desc) =>
+      val gap = s - cursor
+      if (gap > 30) println(f"[scratch]   (driver gap ${gap / 1e3}%.2f s)")
+      println(f"[scratch] job $id%3d ${(e - s) / 1e3}%6.2f s  " +
+        f"@${(s - t0) / 1e3}%6.2f  ${desc.take(90)}")
+      cursor = math.max(cursor, e)
+    }
+    if (tEnd > cursor) println(f"[scratch]   (tail gap ${(tEnd - cursor) / 1e3}%.2f s)")
+    println(f"[scratch] total ${(tEnd - t0) / 1e3}%.2f s, ${jobs.size} jobs")
+  }
+
+  /** Times q61's internal phases with explicit actions to localize
+    * the pipeline's fixed cost (each phase is forced with a count so
+    * the numbers attribute to phases, unlike the fused real run). */
+  private def pipelineStages(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    import graft.operators.{CorpusPipeline, Dedup, Packing, Sampling}
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(s"[scratch] $label: ${(System.nanoTime() - t0) / 1e9} s"); r
+    }
+    val docs = Tables.documents(spark, sfDir)
+    time("warmup")(docs.count())
+    // one full pass first so phase timings below are codegen-warm
+    time("full q61 cold")(SparkEntry.queries("q61_corpus_pipeline")(spark, sfDir).count())
+    val shingles = Dedup.shingleCache(docs, "doc_id", "text")
+    val quality = docs.where(qualityScore(col("text")) >= 0.2).persist()
+    time("quality")(quality.count())
+    val exact = Dedup.exactByKey(quality, fingerprint(col("text")), "doc_id").persist()
+    time("exact_dedup")(exact.count())
+    val pairs = Dedup.simhashNearDupPairs(exact, "doc_id", "text",
+      bits = 48, maxHamming = 3).persist()
+    time("simhash pairs")(pairs.count())
+    val cc = time("connectedComponents")(Dedup.connectedComponents(pairs))
+    val nearDup = Dedup.dedupByClusters(exact, cc, "doc_id").persist()
+    time("dedupByClusters")(nearDup.count())
+    val cont = Dedup.contaminationFromSuperset(
+      docs.filter(col("doc_id") < 10), nearDup, "doc_id", "text", shingles)
+    val contaminated = cont.where(col("contamination_pct") > 0.0).select("doc_id")
+    val clean = nearDup.join(contaminated, Seq("doc_id"), "left_anti").persist()
+    time("decontaminate")(clean.count())
+    val mixed = Sampling.mixtureSample(clean, col("source"), col("doc_id"),
+      Map("src0" -> 0.5), 1.0).persist()
+    time("mixture")(mixed.count())
+    val (trainDocs, holdout) = Sampling.hashSplit(mixed,
+      concat(col("doc_id"), lit("|holdout")), 0.1)
+    val packed = Packing.packSequences(trainDocs.withColumn("n_tokens",
+      tokenCount(col("text")).cast("long")), "doc_id", "n_tokens", 1024)
+    time("pack+materialize train")(graft.operators.Checkpoints.materialize(packed).count())
+    time("materialize holdout")(graft.operators.Checkpoints.materialize(holdout).count())
+    shingles.release()
+    Seq(quality, exact, pairs, nearDup, clean, mixed)
+      .foreach(_.unpersist(blocking = false))
+    time("full q61 run 1")(SparkEntry.queries("q61_corpus_pipeline")(spark, sfDir).count())
+    time("full q61 run 2")(SparkEntry.queries("q61_corpus_pipeline")(spark, sfDir).count())
   }
 
   /** Times q75's pieces: index build, then the append call. */

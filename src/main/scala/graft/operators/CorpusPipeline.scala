@@ -66,11 +66,17 @@ object CorpusPipeline {
         org.apache.spark.sql.graft.ObservationBridge
           .drainListeners(p.sparkSession, awaitMillis)
       }
-      staged.map { case (name, obs, p) =>
+      val resolved = staged.map { case (name, obs, p) =>
         val observed = scala.util.Try(
             org.apache.spark.sql.graft.ObservationBridge.rowOrEmpty(obs))
           .toOption.flatten.filter(_.length > 0)
-        name -> observed.map(_.getLong(0)).getOrElse(p.count())
+        (name, observed.map(_.getLong(0)), p)
+      }
+      if (sys.env.contains("GRAFT_PIPELINE_DEBUG"))
+        println(s"[pipeline] observed=${resolved.count(_._2.isDefined)} " +
+          s"fallback=${resolved.count(_._2.isEmpty)}")
+      resolved.map { case (name, observed, p) =>
+        name -> observed.getOrElse(p.count())
       }.toList
     }
     def release(): Unit = staged.foreach { case (_, obs, p) =>

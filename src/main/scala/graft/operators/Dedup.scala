@@ -703,7 +703,18 @@ object Dedup {
     * local-contraction phase run an in-memory union-find.
     *
     * Execution, two phases (the "filtering" scheme of the distributed
-    * CC literature — contract locally, iterate globally):
+    * CC literature — contract locally, iterate globally), preceded by
+    * a bounded fast path:
+    *
+    *  0. DRIVER FAST PATH: when the symmetric edge count is at most
+    *     `driverMaxEdges` (default 2^22 ≈ 128 MB of primitive-long
+    *     tuples), the pair graph is collected and resolved by one
+    *     driver-side union-find. The gate is on the PAIR GRAPH, not
+    *     the corpus — near-dup pair lists are tiny relative to their
+    *     corpus, so this is the common case even at 100 TB — and the
+    *     label map comes back as a LocalRelation that broadcasts into
+    *     the downstream corpus join. Min-id roots keep the labels
+    *     bit-identical to the loop's fixed point.
     *
     *  1. LOCAL CONTRACTION: each partition of the symmetrized edge
     *     list runs an in-memory union-find (path-compressed, min-id
@@ -742,7 +753,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, id1: String = "doc_id_1",
       id2: String = "doc_id_2", maxIters: Int = 40,
-      rowsPerPartition: Long = 2000000L): DataFrame = {
+      rowsPerPartition: Long = 2000000L,
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
     val sess = pairs.sparkSession
     import sess.implicits._
     // integral ids only — a silent cast of string ids would NULL them
@@ -765,9 +777,59 @@ object Dedup {
       .distinct().persist()
     // the count sizes the loop's shuffle width AND materializes the
     // persisted symmetric edge set the contraction reads
+    val symCount = sym.count()
+    // singleton handling shared by both execution paths: ids seen ONLY
+    // in self-pairs come back as their own clusters (one filter pass
+    // over the pair list + a tiny anti-join)
+    def attachLoners(labeled: DataFrame, intermediates: DataFrame*): DataFrame = {
+      val loners = fwdAll.where(col("a") === col("b"))
+        .select(col("a").as("id")).distinct()
+        .join(labeled.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster_id"))
+      finish(labeled.unionByName(loners), intermediates: _*)
+    }
+    // PHASE 0 — bounded driver fast path. The gate is on the PAIR
+    // GRAPH, not the corpus: a near-dup pair list over a 100 TB corpus
+    // is routinely a few million edges, and when it fits the bound
+    // (default 4M symmetric edges ≈ 128 MB of primitive tuples) a
+    // driver-side union-find replaces the whole iterative loop — no
+    // per-round checkpoint jobs, no convergence confirmation round.
+    // The emitted label map is a LocalRelation, which is exactly the
+    // plan you want downstream: a tiny cluster map broadcast into the
+    // corpus-sized dedup join. Min-id roots make the labels identical
+    // to the loop's fixed point. Above the bound, the distributed
+    // phases below are the scale path.
+    if (symCount <= driverMaxEdges) {
+      val collected = sym.as[(Long, Long)].collect()
+      sym.unpersist(blocking = false)
+      val parent = new LongLongMap()
+      def findRoot(x: Long): Long = {
+        var r = x
+        var p = parent.getOrDefault(r, r)
+        while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+        var c = x // path compression
+        while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+        r
+      }
+      collected.foreach { case (x, y) =>
+        val rx = findRoot(x); val ry = findRoot(y)
+        if (rx < ry) parent.put(ry, rx)
+        else if (ry < rx) parent.put(rx, ry)
+      }
+      // second pass emits (id, root) once per distinct id; the seen
+      // map stores 1 against a 0 default, so ANY key value is safe
+      val seen = new LongLongMap()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def emit(x: Long): Unit =
+        if (seen.getOrDefault(x, 0L) == 0L) {
+          seen.put(x, 1L); out += ((x, findRoot(x)))
+        }
+      collected.foreach { case (x, y) => emit(x); emit(y) }
+      return attachLoners(out.toSeq.toDF("id", "cluster_id"))
+    }
     val nParts = math.max(1L, math.min(
       sess.sparkContext.defaultParallelism.toLong,
-      (sym.count() + rowsPerPartition - 1) / rowsPerPartition)).toInt
+      (symCount + rowsPerPartition - 1) / rowsPerPartition)).toInt
     // phase 1: per-partition union-find → spanning star edges.
     // Hash-partitioning on `a` co-locates each node's edge fan before
     // contracting (better fold), but ANY partitioning is correct.
@@ -866,13 +928,7 @@ object Dedup {
           "component diameter exceeds the budget; raise maxIters")
     }
     val labeled = labels._1.select(col("id"), col("label").as("cluster_id"))
-    // ids seen ONLY in self-pairs come back as their own singleton
-    // clusters (one filter pass over the pair list + a tiny anti-join)
-    val loners = fwdAll.where(col("a") === col("b"))
-      .select(col("a").as("id")).distinct()
-      .join(labeled.select("id"), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("cluster_id"))
-    val out = finish(labeled.unionByName(loners), edges)
+    val out = attachLoners(labeled, edges)
     Checkpoints.drop(labels._1, labels._2)
     out
   }

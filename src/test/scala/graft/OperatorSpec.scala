@@ -147,10 +147,17 @@ class OperatorSpec extends SparkSpec {
       // pointer jumping to converge inside the round budget
       .prepended((30, (1L until 30L).map(i => (i, i + 1))))
     cases.foreach { case (n, edges) =>
+      // default gate → driver fast path; driverMaxEdges = 0 forces the
+      // distributed loop — BOTH must equal the reference union-find,
+      // pinning the two execution paths to identical labels
       val got = Dedup.connectedComponents(
           edges.toDF("doc_id_1", "doc_id_2"))
         .as[(Long, Long)].collect().toMap
       assert(got === unionFind(n, edges), s"graph n=$n edges=$edges")
+      val gotLoop = Dedup.connectedComponents(
+          edges.toDF("doc_id_1", "doc_id_2"), driverMaxEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(gotLoop === unionFind(n, edges), s"loop path: n=$n edges=$edges")
     }
   }
 
@@ -161,7 +168,10 @@ class OperatorSpec extends SparkSpec {
     // loop must merge them across partition boundaries (the path the
     // tiny single-partition fixtures never exercise)
     val edges = (1L until 400L).map(i => (i, i + 1)).toDF("doc_id_1", "doc_id_2")
-    val cc = Dedup.connectedComponents(edges, rowsPerPartition = 100)
+    // driverMaxEdges = 0: the point of this test is the DISTRIBUTED
+    // path — without it the 400-edge graph would take the driver gate
+    val cc = Dedup.connectedComponents(edges, rowsPerPartition = 100,
+      driverMaxEdges = 0)
     assert(cc.count() === 400L)
     assert(cc.where(col("cluster_id") =!= 1L).isEmpty)
   }

@@ -28,6 +28,13 @@ class PipelineReuseSpec extends SparkSpec {
     val selfOnly = Seq((7L, 7L)).toDF("doc_id_1", "doc_id_2")
     assert(Dedup.connectedComponents(selfOnly).as[(Long, Long)]
       .collect().toMap === Map(7L -> 7L))
+    // same contracts on the DISTRIBUTED loop path (driverMaxEdges = -1
+    // keeps even the empty-edge degenerate case off the driver gate)
+    assert(Dedup.connectedComponents(pairs, driverMaxEdges = -1)
+      .as[(Long, Long)].collect().toMap
+      === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 9L))
+    assert(Dedup.connectedComponents(selfOnly, driverMaxEdges = -1)
+      .as[(Long, Long)].collect().toMap === Map(7L -> 7L))
   }
 
   test("contaminationFromSuperset equals direct contamination; refuses a narrower cache") {
