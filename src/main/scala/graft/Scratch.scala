@@ -55,8 +55,7 @@ object Scratch {
         scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
       override def onJobStart(
           e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val desc = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        val desc = e.stageInfos.lastOption.map(_.name)
           .orElse(Option(e.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("?")

@@ -81,4 +81,53 @@ object Packing {
           :+ StructField("pack_fill", LongType, nullable = false)))
       .drop("__pack_h", "__pack_bucket")
   }
+
+  /** Sliding-window document chunking — packing's complement: where
+    * [[packSequences]] merges SHORT documents up to a budget, this
+    * splits LONG documents into `maxTokens`-token windows that stride
+    * by `maxTokens - overlap` (consecutive chunks share `overlap`
+    * tokens, preserving context across the cut — the standard
+    * pretraining treatment of over-long documents, cf. the reference's
+    * chunked-insert batching of over-long rows at
+    * etl_staging_loader.py:1261, re-expressed over token windows).
+    *
+    * Whitespace tokens ([[graft.functions.TextFunctions.tokens]] —
+    * the library-wide convention, so chunk token counts agree with
+    * [[packSequences]] budgets downstream). A document of `n` tokens
+    * yields `1 + ceil((n - maxTokens) / step)` chunks (one when
+    * `n <= maxTokens`, including empty docs — chunking is total, no
+    * rows vanish); the last chunk may be shorter, never empty, and
+    * every token appears in at least one chunk.
+    *
+    * Execution: one map pass — `sequence` + `explode` + `slice`, all
+    * codegen'd builtins, ZERO shuffles at any corpus size. Fan-out is
+    * bounded by n/step per document, so partition row counts grow by
+    * that factor; chunk counts are a pure function of each row, so
+    * the output is deterministic under any partitioning. Appends
+    * (chunk_id, chunk_text, n_tokens); callers typically re-derive
+    * ids as (id, chunk_id) downstream. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    Seq("chunk_id", "chunk_text", "n_tokens", "__toks", "__n").foreach(c =>
+      require(!docs.columns.contains(c), s"input already has a column $c"))
+    val step = (maxTokens - overlap).toLong
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val nChunks = when(col("__n") <= maxTokens, lit(1L))
+      .otherwise(ceil((col("__n") - lit(maxTokens)).cast("double") / step)
+        .cast("long") + 1L)
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1L)))
+      .withColumn("n_tokens",
+        least(col("chunk_id") * step + maxTokens, col("__n"))
+          - col("chunk_id") * step)
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(col("__toks"), (col("chunk_id") * step + 1L).cast("int"),
+          col("n_tokens").cast("int"))))
+      .drop("__toks", "__n")
+  }
 }

@@ -681,6 +681,35 @@ object LlmQueries {
                    CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
             FROM walk GROUP BY 1 ORDER BY 1"""))
 
+  /** q76 — sliding-window document chunking
+    * ([[graft.operators.Packing.chunkDocuments]]): 64-token windows
+    * striding by 48 (16-token overlap). Packing's complement for
+    * OVER-long documents; one map pass, zero shuffles at any scale.
+    * Chunk membership is a pure per-row function, so the oracle
+    * replays every window bound, token count, and the chunk text
+    * itself value-for-value. */
+  private val q76 = Q("q76_chunk_documents",
+    (s, d) => {
+      Packing.chunkDocuments(Tables.documents(s, d).select("doc_id", "text"),
+          "doc_id", "text", maxTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+            n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+            c AS (SELECT doc_id, toks, n,
+                         CASE WHEN n <= 64 THEN 1
+                              ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END AS k
+                  FROM n),
+            e AS (SELECT doc_id, toks, n,
+                         unnest(generate_series(0, k - 1)) AS chunk_id
+                  FROM c)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(least(chunk_id * 48 + 64, n) - chunk_id * 48 AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(toks, chunk_id * 48 + 1,
+                                              least(chunk_id * 48 + 64, n)), ' ') AS chunk_text
+            FROM e ORDER BY doc_id, chunk_id"""))
+
   /** q53 — TF-IDF top-3 terms per document (smoothed idf, scikit
     * convention), the relevance-weighting member of the text-analysis
     * family. Ranked by the raw score with term-ascending tie-break on
@@ -1460,5 +1489,5 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
-    q63, q66, q67, q68, q69, q71, q72, q73, q74, q75)
+    q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76)
 }

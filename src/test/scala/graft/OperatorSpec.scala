@@ -317,6 +317,67 @@ class OperatorSpec extends SparkSpec {
     assert(packed.exceptAll(resharded).isEmpty && resharded.exceptAll(packed).isEmpty)
   }
 
+  test("chunking: window bounds, overlap, totality, reconstruction, degenerate docs") {
+    import graft.operators.Packing
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(100)), // 100 tokens → windows [1,10],[9,18],...,
+      (2L, words(10)),  // exactly one window
+      (3L, words(3)),   // shorter than the window
+      (4L, ""),         // empty text still yields one chunk
+      (5L, words(11))   // one token past the window → 2 chunks
+    ).toDF("doc_id", "text")
+    val chunked = Packing.chunkDocuments(docs, "doc_id", "text",
+      maxTokens = 10, overlap = 2).persist()
+
+    // chunk counts: 1 + ceil((n - max) / step) for long docs, 1 otherwise
+    val counts = chunked.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 13L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+
+    // every chunk except a doc's last has exactly maxTokens tokens,
+    // and token counts agree with the rendered text
+    val bad = chunked
+      .withColumn("m", max(col("chunk_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .where(col("chunk_id") < col("m") && col("n_tokens") =!= 10)
+    assert(bad.isEmpty)
+    assert(chunked.where(
+      size(graft.functions.TextFunctions.tokens(col("chunk_text")))
+        =!= col("n_tokens")).isEmpty)
+
+    // overlap: consecutive chunks of doc 1 share exactly 2 tokens —
+    // dropping the first `overlap` tokens of every non-first chunk
+    // and concatenating reconstructs the original token stream
+    val rebuilt = chunked.where(col("doc_id") === 1L)
+      .select("chunk_id", "chunk_text")
+      .orderBy("chunk_id").as[(Long, String)].collect()
+      .map { case (cid, txt) =>
+        val ts = txt.split(" ").toSeq
+        if (cid == 0L) ts else ts.drop(2)
+      }.reduce(_ ++ _)
+    assert(rebuilt === (1 to 100).map(i => s"w$i"))
+
+    // empty doc: one empty chunk, token convention size(split("")) = 1
+    val empty = chunked.where(col("doc_id") === 4L)
+      .select("chunk_id", "n_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(empty === Seq((0L, 1L, "")))
+
+    // zero-overlap chunking partitions the tokens exactly
+    val noOverlap = Packing.chunkDocuments(docs.where(col("doc_id") === 1L),
+        "doc_id", "text", maxTokens = 10)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(noOverlap === 100L)
+
+    // guards: bad window config, column collisions
+    intercept[IllegalArgumentException](
+      Packing.chunkDocuments(docs, "doc_id", "text", 10, 10))
+    intercept[IllegalArgumentException](
+      Packing.chunkDocuments(chunked, "doc_id", "chunk_text", 10, 2))
+    chunked.unpersist(blocking = false)
+  }
+
   test("corpus pipeline composes: gates monotone, dups+contamination removed, packs capped") {
     import graft.operators.CorpusPipeline
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
