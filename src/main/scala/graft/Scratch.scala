@@ -73,8 +73,10 @@ object Scratch {
     val t0 = System.currentTimeMillis()
     SparkEntry.queries("q61_corpus_pipeline")(spark, sfDir).count()
     val tEnd = System.currentTimeMillis()
-    spark.sparkContext.removeSparkListener(listener)
+    // drain the async listener bus BEFORE detaching, or the terminal
+    // job's end event is lost and its span misreports as driver time
     Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
     var cursor = t0
     jobs.sortBy(_._2).foreach { case (id, s, e, desc) =>
       val gap = s - cursor

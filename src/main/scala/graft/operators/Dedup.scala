@@ -460,12 +460,14 @@ object Dedup {
     *         at least one id from `newBatch` */
   def minhashLshAppend(index: MinhashIndex, newBatch: DataFrame,
       textCol: String, threshold: Double = 0.7): DataFrame = {
-    // stage timing for profiling (Scratch appendstages); logged, not
-    // printed, so capture configuration applies
+    // stage timing for profiling (Scratch appendstages). WARN level:
+    // the profiling harness itself runs at root level WARN, so an
+    // info-level line would be silenced in the only path that sets
+    // the env var
     def dbg[A](label: String)(f: => A): A =
       if (sys.env.contains("GRAFT_APPEND_DEBUG")) {
         val t0 = System.nanoTime(); val r = f
-        log.info(s"[append] $label: ${(System.nanoTime() - t0) / 1e9} s"); r
+        log.warn(s"[append] $label: ${(System.nanoTime() - t0) / 1e9} s"); r
       } else f
     val idCol = index.idCol
     val shNew = hashedShingled(newBatch, idCol, textCol, index.shingleSize)
@@ -707,14 +709,18 @@ object Dedup {
     * a bounded fast path:
     *
     *  0. DRIVER FAST PATH: when the symmetric edge count is at most
-    *     `driverMaxEdges` (default 2^22 ≈ 128 MB of primitive-long
-    *     tuples), the pair graph is collected and resolved by one
-    *     driver-side union-find. The gate is on the PAIR GRAPH, not
-    *     the corpus — near-dup pair lists are tiny relative to their
-    *     corpus, so this is the common case even at 100 TB — and the
-    *     label map comes back as a LocalRelation that broadcasts into
-    *     the downstream corpus join. Min-id roots keep the labels
-    *     bit-identical to the loop's fixed point.
+    *     `driverMaxEdges` (default 2^21), the pair graph is collected
+    *     and resolved by one driver-side union-find. The gate is on
+    *     the PAIR GRAPH, not the corpus — near-dup pair lists are
+    *     tiny relative to their corpus, so this is the common case
+    *     even at 100 TB — and the label map comes back as a
+    *     LocalRelation that broadcasts into the downstream corpus
+    *     join. Min-id roots keep the labels bit-identical to the
+    *     loop's fixed point. Driver heap at the default gate: ~2M
+    *     specialized tuples collected (~80 MB) plus the union-find
+    *     map, the label buffer (≤ 2 entries/edge), and the
+    *     LocalRelation rows — budget a few hundred MB; lower (or
+    *     zero) the bound on a small driver.
     *
     *  1. LOCAL CONTRACTION: each partition of the symmetrized edge
     *     list runs an in-memory union-find (path-compressed, min-id
@@ -754,7 +760,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, id1: String = "doc_id_1",
       id2: String = "doc_id_2", maxIters: Int = 40,
       rowsPerPartition: Long = 2000000L,
-      driverMaxEdges: Long = 1L << 22): DataFrame = {
+      driverMaxEdges: Long = 1L << 21): DataFrame = {
     val sess = pairs.sparkSession
     import sess.implicits._
     // integral ids only — a silent cast of string ids would NULL them
@@ -791,9 +797,9 @@ object Dedup {
     // PHASE 0 — bounded driver fast path. The gate is on the PAIR
     // GRAPH, not the corpus: a near-dup pair list over a 100 TB corpus
     // is routinely a few million edges, and when it fits the bound
-    // (default 4M symmetric edges ≈ 128 MB of primitive tuples) a
-    // driver-side union-find replaces the whole iterative loop — no
-    // per-round checkpoint jobs, no convergence confirmation round.
+    // (see scaladoc for the driver-heap budget) a driver-side
+    // union-find replaces the whole iterative loop — no per-round
+    // checkpoint jobs, no convergence confirmation round.
     // The emitted label map is a LocalRelation, which is exactly the
     // plan you want downstream: a tiny cluster map broadcast into the
     // corpus-sized dedup join. Min-id roots make the labels identical

@@ -96,8 +96,9 @@ object Packing {
     * [[packSequences]] budgets downstream). A document of `n` tokens
     * yields `1 + ceil((n - maxTokens) / step)` chunks (one when
     * `n <= maxTokens`, including empty docs — chunking is total, no
-    * rows vanish); the last chunk may be shorter, never empty, and
-    * every token appears in at least one chunk.
+    * rows vanish; NULL text is treated as empty, not dropped); the
+    * last chunk may be shorter, never empty, and every token appears
+    * in at least one chunk.
     *
     * Execution: one map pass — `sequence` + `explode` + `slice`, all
     * codegen'd builtins, ZERO shuffles at any corpus size. Fan-out is
@@ -106,7 +107,7 @@ object Packing {
     * the output is deterministic under any partitioning. Appends
     * (chunk_id, chunk_text, n_tokens); callers typically re-derive
     * ids as (id, chunk_id) downstream. */
-  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+  def chunkDocuments(docs: DataFrame, textCol: String,
       maxTokens: Int, overlap: Int = 0): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
@@ -114,7 +115,10 @@ object Packing {
     Seq("chunk_id", "chunk_text", "n_tokens", "__toks", "__n").foreach(c =>
       require(!docs.columns.contains(c), s"input already has a column $c"))
     val step = (maxTokens - overlap).toLong
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // coalesce keeps chunking TOTAL: tokens(NULL) is NULL, whose
+    // explode would silently delete the row
+    val toks = graft.functions.TextFunctions.tokens(
+      coalesce(col(textCol), lit("")))
     val nChunks = when(col("__n") <= maxTokens, lit(1L))
       .otherwise(ceil((col("__n") - lit(maxTokens)).cast("double") / step)
         .cast("long") + 1L)

@@ -691,7 +691,7 @@ object LlmQueries {
   private val q76 = Q("q76_chunk_documents",
     (s, d) => {
       Packing.chunkDocuments(Tables.documents(s, d).select("doc_id", "text"),
-          "doc_id", "text", maxTokens = 64, overlap = 16)
+          "text", maxTokens = 64, overlap = 16)
         .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("chunk_text"))
         .orderBy("doc_id", "chunk_id")
     },

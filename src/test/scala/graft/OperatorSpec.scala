@@ -325,15 +325,18 @@ class OperatorSpec extends SparkSpec {
       (2L, words(10)),  // exactly one window
       (3L, words(3)),   // shorter than the window
       (4L, ""),         // empty text still yields one chunk
-      (5L, words(11))   // one token past the window → 2 chunks
+      (5L, words(11)),  // one token past the window → 2 chunks
+      (6L, null.asInstanceOf[String]) // NULL text: total, not dropped
     ).toDF("doc_id", "text")
-    val chunked = Packing.chunkDocuments(docs, "doc_id", "text",
+    val chunked = Packing.chunkDocuments(docs, "text",
       maxTokens = 10, overlap = 2).persist()
 
-    // chunk counts: 1 + ceil((n - max) / step) for long docs, 1 otherwise
+    // chunk counts: 1 + ceil((n - max) / step) for long docs, 1
+    // otherwise — including the empty and NULL degenerate docs
     val counts = chunked.groupBy("doc_id").count()
       .as[(Long, Long)].collect().toMap
-    assert(counts === Map(1L -> 13L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    assert(counts === Map(1L -> 13L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 1L))
 
     // every chunk except a doc's last has exactly maxTokens tokens,
     // and token counts agree with the rendered text
@@ -366,15 +369,15 @@ class OperatorSpec extends SparkSpec {
 
     // zero-overlap chunking partitions the tokens exactly
     val noOverlap = Packing.chunkDocuments(docs.where(col("doc_id") === 1L),
-        "doc_id", "text", maxTokens = 10)
+        "text", maxTokens = 10)
       .agg(sum("n_tokens")).as[Long].head()
     assert(noOverlap === 100L)
 
     // guards: bad window config, column collisions
     intercept[IllegalArgumentException](
-      Packing.chunkDocuments(docs, "doc_id", "text", 10, 10))
+      Packing.chunkDocuments(docs, "text", 10, 10))
     intercept[IllegalArgumentException](
-      Packing.chunkDocuments(chunked, "doc_id", "chunk_text", 10, 2))
+      Packing.chunkDocuments(chunked, "chunk_text", 10, 2))
     chunked.unpersist(blocking = false)
   }
 
