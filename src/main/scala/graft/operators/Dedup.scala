@@ -952,18 +952,40 @@ object Dedup {
   /** Train/test contamination check — the decontamination step of an
     * evaluation pipeline: for each test document, how much of it
     * already appears in the training corpus, measured as the fraction
-    * of its distinct shingles present anywhere in train. Execution:
-    * the train corpus reduces to a distinct shingle-hash set (one
-    * uniform-hash shuffle — at 100 TB this set is the vocabulary of
-    * shingles, far smaller than the corpus), test shingles left-join
-    * it as a presence marker, and one aggregate per test doc folds
-    * count + hit count. Docs with fewer words than `shingleSize`
-    * produce no shingles and drop out (nothing to contaminate).
+    * of its distinct shingles present anywhere in train.
+    *
+    * Execution follows the side asymmetry, which the CALLER declares
+    * because both orientations are real and plan statistics cannot
+    * tell them apart (both sides are often filters of one source,
+    * whose non-CBO stats don't reduce):
+    *
+    *  - `largeTrain = false` (default) — the [[CorpusPipeline]]
+    *    orientation: train is the SMALL eval benchmark, test is the
+    *    corpus being decontaminated. Train reduces to its distinct
+    *    shingle vocabulary (trivial at eval-set size; broadcasts
+    *    under AQE into the presence join); the only corpus-scale
+    *    work is the scan+explode and the unavoidable per-test-doc
+    *    aggregate.
+    *  - `largeTrain = true` — the audit orientation: test is a small
+    *    held-out set checked against a 100 TB train corpus. The TEST
+    *    vocabulary semi-join-prunes the exploded train shingles
+    *    BEFORE any train-wide aggregation (a broadcast join under
+    *    AQE at eval-set sizes), so the corpus-vocabulary distinct
+    *    the default shape would pay never happens — the surviving
+    *    hashes (⊆ test vocabulary) are tiny. The test shingles are
+    *    consumed twice (vocabulary + presence join): small by this
+    *    orientation's definition.
+    *
+    * Both shapes produce identical values (the prune cannot change
+    * any test shingle's membership verdict). Docs with fewer words
+    * than `shingleSize` produce no shingles and drop out (nothing to
+    * contaminate).
     * Returns (idCol, n_shingles, n_contaminated, contamination_pct).
     */
   def contamination(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3,
-      sharedTest: Option[ShingleCache] = None): DataFrame = {
+      sharedTest: Option[ShingleCache] = None,
+      largeTrain: Boolean = false): DataFrame = {
     // the test side may reuse a caller-owned [[ShingleCache]] over the
     // test corpus (exploding the cached per-doc distinct-shingle arrays
     // is value-identical to re-shingling the raw text)
@@ -975,7 +997,7 @@ object Dedup {
         .select(col(idCol), explode(wordShingles(col(textCol), shingleSize)).as("s"))
         .select(col(idCol), md5Long(col("s")).as("h"))
     }
-    contaminationOf(train, testSh, idCol, textCol, shingleSize)
+    contaminationOf(train, testSh, idCol, textCol, shingleSize, largeTrain)
   }
 
   /** [[contamination]] where the test side reuses a [[ShingleCache]]
@@ -1030,17 +1052,26 @@ object Dedup {
         "text (same ids, different text?) — refusing to reuse it")
     val testSh = cache.frame.join(shingleable, Seq(idCol), "left_semi")
       .select(col(idCol), explode(col("sh")).as("h"))
-    contaminationOf(train, testSh, idCol, textCol, cache.shingleSize)
+    // superset composition is the small-train orientation by design
+    contaminationOf(train, testSh, idCol, textCol, cache.shingleSize,
+      largeTrain = false)
   }
 
   /** Shared tail of the contamination family: reduce train to its
     * distinct shingle vocabulary, presence-mark the (id, h) test
     * shingles against it, fold per test doc. */
   private def contaminationOf(train: DataFrame, testSh: DataFrame,
-      idCol: String, textCol: String, shingleSize: Int): DataFrame = {
-    val trainSh = spread(train, idCol)
+      idCol: String, textCol: String, shingleSize: Int,
+      largeTrain: Boolean): DataFrame = {
+    val rawTrainSh = spread(train, idCol)
       .select(explode(wordShingles(col(textCol), shingleSize)).as("s"))
       .select(md5Long(col("s")).as("h"))
+    // largeTrain: the test vocabulary prunes the corpus-side fan
+    // BEFORE the distinct, so no train-vocabulary-scale shuffle ever
+    // runs (see scaladoc for the orientation contract)
+    val trainSh = (if (largeTrain)
+        rawTrainSh.join(testSh.select(col("h")).distinct(), Seq("h"), "left_semi")
+      else rawTrainSh)
       .distinct()
       .withColumn("__hit", lit(1))
     testSh.join(trainSh, Seq("h"), "left")

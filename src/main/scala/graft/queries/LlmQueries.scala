@@ -843,14 +843,16 @@ object LlmQueries {
   /** q60 — train/test contamination: fraction of each test doc's
     * distinct shingles already present anywhere in the train corpus
     * (sources src0/src1 held out as "test"; the rest is "train").
-    * The decontamination gate of an eval pipeline. */
+    * The decontamination gate of an eval pipeline. Train here is the
+    * corpus side, so this runs the `largeTrain` audit orientation —
+    * the oracle value-gates the vocabulary-pruned plan. */
   private val q60 = Q("q60_contamination",
     (s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.contamination(
           docs.where(!col("source").isin("src0", "src1")),
           docs.where(col("source").isin("src0", "src1")),
-          "doc_id", "text", shingleSize = 3)
+          "doc_id", "text", shingleSize = 3, largeTrain = true)
         .orderBy("doc_id")
     },
     Some("""WITH sh AS (

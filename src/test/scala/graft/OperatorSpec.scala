@@ -237,6 +237,12 @@ class OperatorSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
     assert(cont(0) === ((1L, 2L, 2L, 100.0)))
     assert(cont(1) === ((2L, 3L, 0L, 0.0)))
+    // the largeTrain audit orientation (test-vocabulary prune before
+    // any train-wide aggregation) must produce identical values
+    val pruned = Dedup.contamination(train, test, "doc_id", "text",
+        shingleSize = 3, largeTrain = true)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(pruned.toSeq === cont.toSeq)
   }
 
   test("tfidf: corpus-wide terms rank below distinctive ones; values match by hand") {
