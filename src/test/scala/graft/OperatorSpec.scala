@@ -387,6 +387,16 @@ class OperatorSpec extends SparkSpec {
     chunked.unpersist(blocking = false)
   }
 
+  test("chunkDocuments plans zero exchanges over a real scan (pure map pass)") {
+    import graft.operators.Packing
+    // parquet-backed input so the assertion covers the scan-based
+    // plan, not a trivial LocalTableScan
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Packing.chunkDocuments(docs, "text", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("corpus pipeline composes: gates monotone, dups+contamination removed, packs capped") {
     import graft.operators.CorpusPipeline
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
