@@ -54,6 +54,53 @@ object Sampling {
     df.where(md5Long(key.cast("string")) < cut)
   }
 
+  /** Temperature-flattened mixture sampling — the domain-mixing rule
+    * used when rates are DERIVED from stratum sizes instead of chosen
+    * by hand: stratum `s` is kept with a rate making its expected
+    * share of the sample proportional to `n_s^alpha` (`alpha = 1`
+    * reproduces natural proportions — every rate is exactly `frac`;
+    * `alpha → 0` flattens toward uniform shares, up-weighting small
+    * strata), scaled so the expected total is `frac` of the corpus.
+    * Rates clip at 1.0 (a small stratum whose flattened share exceeds
+    * its size is kept whole; the total then lands slightly under
+    * `frac`, it is NOT redistributed — redistribution would make a
+    * stratum's rate depend on other strata's clipping, breaking the
+    * one-pass determinism contract).
+    *
+    * Execution: ONE tiny aggregate (#strata rows — same driver-side
+    * class as a k-means centroid collect) fixes the per-stratum
+    * counts; the weights `n^alpha`, their source-ASC-ordered sum, and
+    * the rates `min(1, frac·total·w_s / (sumW·n_s))` are computed on
+    * the driver in that exact expression order (an external replay
+    * must follow it operation-for-operation — IEEE doubles make it
+    * then bit-reproducible), and the membership test is
+    * [[mixtureSample]]'s pure md5 filter: no shuffle of the corpus at
+    * any scale. NULL strata take rate 0 (dropped).
+    * Returns (sampled frame, the derived stratum → rate map). */
+  def temperatureMixture(df: DataFrame, strata: Column, key: Column,
+      alpha: Double = 0.5, frac: Double = 0.5): (DataFrame, Map[String, Double]) = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val counts = df.groupBy(strata.cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__s").isNotNull)
+      .orderBy("__s").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    // sqrt for the 0.5 default: IEEE-exact where pow is only ≤1-ulp,
+    // so an external sqrt-based replay is bit-identical (a pow ulp
+    // could flip a draw only on an exact threshold collision — ~n/2^60
+    // — but exact beats negligible)
+    val ws = counts.map { case (_, n) =>
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    }
+    val sumW = ws.sum // left-to-right over source-ASC order — pinned
+    val rates = counts.zip(ws).map { case ((s, n), w) =>
+      s -> math.min(1.0, frac * total.toDouble * w / (sumW * n.toDouble))
+    }.toMap
+    (mixtureSample(df, strata, key, rates, defaultRate = 0.0), rates)
+  }
+
   /** Token-budget sampling: walk each stratum in md5-of-key order and
     * keep documents while the running TOKEN total stays within
     * `budget` — corpus mixing specified in token mass (how training

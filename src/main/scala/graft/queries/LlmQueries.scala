@@ -710,6 +710,52 @@ object LlmQueries {
                                               least(chunk_id * 48 + 64, n)), ' ') AS chunk_text
             FROM e ORDER BY doc_id, chunk_id"""))
 
+  /** q77 — temperature-flattened mixture sampling
+    * ([[graft.operators.Sampling.temperatureMixture]], alpha = 0.5):
+    * rates derived from stratum sizes so sample shares track
+    * `n^alpha`, over a deliberately SKEWED derived stratum (the
+    * testdata's sources are uniform, which would degenerate every
+    * rate to `frac`). The oracle recomputes the weights, the
+    * source-ordered weight sum, the exact rate expression, and the
+    * md5 draws — the whole derivation replays value-for-value. */
+  private val q77 = Q("q77_temperature_mixture",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket",
+          when(col("doc_id") % 4 === 0, lit("minor")).otherwise(lit("major")))
+      val (sampled, rates) = Sampling.temperatureMixture(
+        docs, col("bucket"), col("doc_id"), alpha = 0.5, frac = 0.5)
+      val rateCol = rates.toSeq.sortBy(_._1)
+        .foldLeft(lit(null).cast("double")) { case (acc, (b, r)) =>
+          when(col("bucket") === b, lit(r)).otherwise(acc)
+        }
+      sampled.groupBy("bucket")
+        .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("sum_ids"))
+        .withColumn("rate", round(rateCol, 6))
+        .select("bucket", "n_sampled", "sum_ids", "rate")
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN 'minor' ELSE 'major' END AS bucket
+              FROM documents),
+            c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+                         sum(sqrt(CAST(n AS DOUBLE)) ORDER BY bucket) AS sumw
+                  FROM c),
+            r AS (SELECT c.bucket, c.n,
+                         least(1.0, ((0.5 * t.total) * sqrt(CAST(c.n AS DOUBLE)))
+                                    / (t.sumw * CAST(c.n AS DOUBLE))) AS rate
+                  FROM c, t),
+            s AS (SELECT b.doc_id, b.bucket, r.rate
+                  FROM b JOIN r ON b.bucket = r.bucket
+                  WHERE CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        < CAST(trunc(rate * 1152921504606846976) AS BIGINT))
+            SELECT bucket, count(*) AS n_sampled,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   round(max(rate), 6) AS rate
+            FROM s GROUP BY 1 ORDER BY 1"""))
+
   /** q53 — TF-IDF top-3 terms per document (smoothed idf, scikit
     * convention), the relevance-weighting member of the text-analysis
     * family. Ranked by the raw score with term-ascending tie-break on
@@ -1491,5 +1537,5 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
-    q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76)
+    q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77)
 }

@@ -245,6 +245,37 @@ class OperatorSpec extends SparkSpec {
     assert(pruned.toSeq === cont.toSeq)
   }
 
+  test("temperatureMixture: alpha=1 is natural rates, alpha<1 flattens, clip keeps whole stratum") {
+    import graft.operators.Sampling
+    // skewed strata: 'a' 500 rows, 'b' 4500 rows
+    val df = (1L to 5000L).map(i => (i, if (i <= 500) "a" else "b"))
+      .toDF("id", "src")
+    // alpha = 1: every stratum keeps exactly frac (natural mixing)
+    val (nat, natRates) = Sampling.temperatureMixture(
+      df, col("src"), col("id"), alpha = 1.0, frac = 0.3)
+    assert(natRates === Map("a" -> 0.3, "b" -> 0.3))
+    assert(nat.exceptAll(Sampling.mixtureSample(df, col("src"), col("id"),
+      natRates)).isEmpty)
+    // alpha = 0.5: hand-computed rates — w_a=sqrt(500), w_b=sqrt(4500),
+    // rate_s = min(1, frac*total*w_s/(sumW*n_s))
+    val (flat, rates) = Sampling.temperatureMixture(
+      df, col("src"), col("id"), alpha = 0.5, frac = 0.3)
+    val (wa, wb) = (math.sqrt(500.0), math.sqrt(4500.0))
+    val sumW = wa + wb
+    assert(rates("a") === math.min(1.0, 0.3 * 5000.0 * wa / (sumW * 500.0)))
+    assert(rates("b") === math.min(1.0, 0.3 * 5000.0 * wb / (sumW * 4500.0)))
+    // flattening: the small stratum's rate rises above natural, the
+    // big one's falls below
+    assert(rates("a") > 0.3 && rates("b") < 0.3)
+    assert(flat.count() > 0)
+    // clip: with frac near 1, the small stratum's flattened share
+    // exceeds its size — rate pins at 1.0 and the stratum is whole
+    val (whole, clipRates) = Sampling.temperatureMixture(
+      df, col("src"), col("id"), alpha = 0.5, frac = 0.9)
+    assert(clipRates("a") === 1.0)
+    assert(whole.where(col("src") === "a").count() === 500L)
+  }
+
   test("tfidf: corpus-wide terms rank below distinctive ones; values match by hand") {
     import graft.operators.Tfidf
     // "common" is in all 3 docs (df=3); each doc has one distinctive term
