@@ -949,6 +949,39 @@ object Dedup {
       clusters.where(col("id") =!= col("cluster_id")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Dedup-aware train/holdout split: a per-document hash split
+    * ([[graft.operators.Sampling.hashSplit]]) leaks whenever two
+    * near-duplicates land on opposite sides — the eval set then
+    * contains paraphrases of training documents and overstates the
+    * model. The fix is to draw the split on the near-dup CLUSTER, not
+    * the document: every member of a connected component shares its
+    * cluster label's md5 draw, so a cluster lands whole on one side.
+    * Docs in no pair keep their own id as the split key (the labels
+    * frame only covers ids that appear in a pair), which degrades
+    * exactly to the per-document split for the unclustered corpus.
+    *
+    * Execution: [[connectedComponents]] over the pair list (tiny
+    * relative to the corpus — driver fast path at the default bound),
+    * then ONE left join of the corpus against the label frame
+    * (broadcastable for the same reason; AQE decides) and a pure
+    * codegen'd md5 filter. No corpus shuffle at any scale. Appends
+    * `split_key` (the drawn label) and `side` ('train'/'holdout');
+    * deterministic and engine-replayable like every split here. */
+  def clusterAwareSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      holdoutFrac: Double, id1: String = "doc_id_1", id2: String = "doc_id_2"): DataFrame = {
+    require(holdoutFrac >= 0.0 && holdoutFrac <= 1.0,
+      s"holdoutFrac must be in [0,1], got $holdoutFrac")
+    val labels = connectedComponents(pairs, id1, id2)
+      .select(col("id").as("__lbl_id"), col("cluster_id").as("__cluster"))
+    val cut = (holdoutFrac * (1L << 60)).toLong
+    docs.join(labels, docs(idCol).cast("long") === col("__lbl_id"), "left")
+      .withColumn("split_key", coalesce(col("__cluster"), docs(idCol).cast("long")))
+      .withColumn("side",
+        when(md5Long(col("split_key").cast("string")) < cut, lit("holdout"))
+          .otherwise(lit("train")))
+      .drop("__lbl_id", "__cluster")
+  }
+
   /** Train/test contamination check — the decontamination step of an
     * evaluation pipeline: for each test document, how much of it
     * already appears in the training corpus, measured as the fraction

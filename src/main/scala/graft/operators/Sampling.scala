@@ -101,6 +101,43 @@ object Sampling {
     (mixtureSample(df, strata, key, rates, defaultRate = 0.0), rates)
   }
 
+  /** Epoch-repetition mixture: the generalization of
+    * [[mixtureSample]] to rates ABOVE 1 — training mixtures commonly
+    * repeat small high-quality sources for several epochs ("books ×3,
+    * wiki ×2.5, web ×0.4") rather than only downsampling. A rate `r`
+    * emits `floor(r)` full copies of every row plus one more copy iff
+    * the row's md5 draw falls below `frac(r)`, so the expected row
+    * multiplicity is exactly `r` and membership of the extra copy is
+    * the SAME deterministic draw as every sampler here (a row's fate
+    * never depends on other rows; rates at or below 1 degrade to
+    * [[mixtureSample]] exactly — same draw, same cut).
+    *
+    * Execution: both the copy floor and the fractional cut compile to
+    * per-stratum literal when-chains, and the repetition is one
+    * codegen'd `explode(sequence)` — a pure map at any corpus size, no
+    * shuffle, no state. Appends `epoch` (1-based copy index; salt
+    * downstream shuffle keys with it so repeated copies don't
+    * co-locate). Strata absent from `rates` use `defaultRate`; NULL
+    * strata likewise (they fail every equality test in the chain). */
+  def repeatByRate(df: DataFrame, strata: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0.0),
+      "all rates must be >= 0")
+    def floorOf(r: Double) = math.floor(r).toLong
+    def cutOf(r: Double) = ((r - math.floor(r)) * Scale).toLong
+    val base = rates.foldLeft(lit(floorOf(defaultRate))) {
+      case (acc, (s, r)) => when(strata === s, lit(floorOf(r))).otherwise(acc)
+    }
+    val cut = rates.foldLeft(lit(cutOf(defaultRate))) {
+      case (acc, (s, r)) => when(strata === s, lit(cutOf(r))).otherwise(acc)
+    }
+    val copies = base +
+      when(md5Long(key.cast("string")) < cut, lit(1L)).otherwise(lit(0L))
+    df.withColumn("epoch", explode(
+      when(copies >= 1L, sequence(lit(1L), copies, lit(1L)))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Token-budget sampling: walk each stratum in md5-of-key order and
     * keep documents while the running TOKEN total stays within
     * `budget` — corpus mixing specified in token mass (how training

@@ -2,8 +2,8 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.{CorpusPipeline, Dedup, Multimodal, Packing, Quality, Sampling,
-  Similarity, Stats, Tfidf}
+import graft.operators.{CorpusPipeline, Dedup, LangModel, Multimodal, Packing, Quality,
+  Sampling, Similarity, Stats, Tfidf}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator coverage (dedup, similarity, text
@@ -754,6 +754,130 @@ object LlmQueries {
             SELECT bucket, count(*) AS n_sampled,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                    round(max(rate), 6) AS rate
+            FROM s GROUP BY 1 ORDER BY 1"""))
+
+  /** q80 — unigram LM quality scoring
+    * ([[graft.operators.LangModel]]): train MLE token probabilities
+    * on the FULL corpus, score the first 200 docs by tf-weighted mean
+    * token log-probability — the CCNet-style quality gate. The oracle
+    * replays tokenization, the vocabulary counts, `ln(n/total)`, and
+    * the per-doc weighted mean; scores round to 6dp on both sides
+    * (the one tolerated float reduction, same as q53's tfidf). */
+  private val q80 = Q("q80_unigram_lm_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val lm = LangModel.unigramLm(docs, "text")
+      LangModel.lmScore(docs.where(col("doc_id") < 200), "doc_id", "text", lm)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            cnt AS (SELECT token, sum(tf) AS n FROM tf GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt),
+            lm AS (SELECT token, ln(CAST(n AS DOUBLE) / total) AS log_p FROM cnt, tot),
+            sc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                          sum(tf.tf * lm.log_p) / sum(tf.tf) AS lp
+                   FROM tf JOIN lm USING (token)
+                   WHERE tf.doc_id < 200 GROUP BY 1)
+            SELECT doc_id, n_tokens, round(lp, 6) AS avg_logp
+            FROM sc ORDER BY doc_id"""))
+
+  /** q79 — epoch-repetition mixture
+    * ([[graft.operators.Sampling.repeatByRate]]): upsampling rates
+    * above 1 ('minor' ×2.5 — every doc twice, half a third time) next
+    * to a fractional downsample ('major' ×0.4) in one pass. The
+    * oracle replays the copy floor, the fractional-cut md5 draw, and
+    * the generate_series expansion value-for-value; the checksum
+    * `sum(doc_id·epoch)` pins each copy's epoch index, not just the
+    * multiplicities. */
+  private val q79 = Q("q79_epoch_repeat",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket",
+          when(col("doc_id") % 5 === 0, lit("minor")).otherwise(lit("major")))
+      Sampling.repeatByRate(docs, col("bucket"), col("doc_id"),
+          Map("minor" -> 2.5, "major" -> 0.4), defaultRate = 0.0)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("doc_id").as("n_docs"),
+          sum("doc_id").as("sum_ids"),
+          sum(col("doc_id") * col("epoch")).as("epoch_checksum"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'minor' ELSE 'major' END AS bucket
+              FROM documents),
+            r AS (
+              SELECT doc_id, bucket,
+                     CASE bucket WHEN 'minor' THEN 2 ELSE 0 END
+                     + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                            < CASE bucket
+                                WHEN 'minor' THEN CAST(trunc(0.5 * 1152921504606846976) AS BIGINT)
+                                ELSE CAST(trunc(0.4 * 1152921504606846976) AS BIGINT) END
+                       THEN 1 ELSE 0 END AS copies
+              FROM b),
+            e AS (
+              SELECT doc_id, bucket,
+                     unnest(generate_series(1, CAST(copies AS INTEGER))) AS epoch
+              FROM r)
+            SELECT bucket, count(*) AS n_rows,
+                   count(DISTINCT doc_id) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(doc_id * epoch) AS BIGINT) AS epoch_checksum
+            FROM e GROUP BY 1 ORDER BY 1"""))
+
+  /** q78 — dedup-aware train/holdout split
+    * ([[graft.operators.Dedup.clusterAwareSplit]]): exact-dup pairs
+    * (content-fingerprint self-join) chained into connected
+    * components, then the holdout draw taken on the CLUSTER label so
+    * near-duplicates can never straddle the split. Dups are planted
+    * in chains (every 9th doc re-keyed +20000, every 18th ALSO
+    * +40000) so 3-doc components exercise transitivity. Because the
+    * pair graph here is cliques-per-fingerprint, the oracle replays
+    * the closure as a window min over the content key — no recursive
+    * CTE — then replays every md5 draw on the label. */
+  private val q78 = Q("q78_cluster_split",
+    (s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val dup1 = base.filter(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+      val dup2 = base.filter(col("doc_id") % 18 === 0)
+        .withColumn("doc_id", col("doc_id") + 40000)
+      val docs = base.unionByName(dup1).unionByName(dup2)
+      val fp = docs.select(col("doc_id"), md5(col("text")).as("__f"))
+      val pairs = fp.as("a").join(fp.as("b"),
+          col("a.__f") === col("b.__f") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      Dedup.clusterAwareSplit(docs, "doc_id", pairs, holdoutFrac = 0.25)
+        .groupBy("side")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("split_key").as("n_clusters"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("side")
+    },
+    Some("""WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000, text FROM documents WHERE doc_id % 9 = 0
+              UNION ALL
+              SELECT doc_id + 40000, text FROM documents WHERE doc_id % 18 = 0),
+            lbl AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS split_key
+              FROM all_docs),
+            s AS (
+              SELECT doc_id, split_key,
+                     CASE WHEN CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT)
+                          < CAST(trunc(0.25 * 1152921504606846976) AS BIGINT)
+                     THEN 'holdout' ELSE 'train' END AS side
+              FROM lbl)
+            SELECT side, count(*) AS n_docs,
+                   count(DISTINCT split_key) AS n_clusters,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
             FROM s GROUP BY 1 ORDER BY 1"""))
 
   /** q53 — TF-IDF top-3 terms per document (smoothed idf, scikit
@@ -1537,5 +1661,5 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
-    q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77)
+    q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
 }

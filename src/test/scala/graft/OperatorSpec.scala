@@ -118,6 +118,34 @@ class OperatorSpec extends SparkSpec {
     assert(kept.toSeq === expected)
   }
 
+  test("clusterAwareSplit: cluster members co-locate, singletons match hashSplit, no leakage") {
+    import graft.operators.{Dedup, Sampling}
+    // chain 1-2-3 plus pair 10-11; 4..9 unclustered
+    val docs = (1L to 11L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_id_1", "doc_id_2")
+    val split = Dedup.clusterAwareSplit(docs, "doc_id", pairs, holdoutFrac = 0.5)
+    val rows = split.select("doc_id", "split_key", "side")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // every cluster member carries the min-id label and ONE side
+    assert(Seq(1L, 2L, 3L).map(rows(_)._1).distinct === Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(rows(_)._2).distinct.size === 1)
+    assert(Seq(10L, 11L).map(rows(_)._1).distinct === Seq(10L))
+    assert(Seq(10L, 11L).map(rows(_)._2).distinct.size === 1)
+    // no cluster straddles the split (the leakage property, directly)
+    assert(split.groupBy("split_key").agg(countDistinct("side").as("k"))
+      .where(col("k") > 1).isEmpty)
+    // unclustered docs degrade to the per-document hash split exactly
+    val single = (4L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val (tr, ho) = Sampling.hashSplit(single, col("doc_id").cast("string"), 0.5)
+    val expTrain = tr.select("doc_id").as[Long].collect().toSet
+    val expHold = ho.select("doc_id").as[Long].collect().toSet
+    (4L to 9L).foreach { i =>
+      assert(rows(i)._1 === i)
+      assert(rows(i)._2 === (if (expHold(i)) "holdout" else "train"))
+      assert(expTrain(i) !== expHold(i))
+    }
+  }
+
   test("connectedComponents equals union-find on random graphs; chains converge (pointer jump)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
@@ -274,6 +302,66 @@ class OperatorSpec extends SparkSpec {
       df, col("src"), col("id"), alpha = 0.5, frac = 0.9)
     assert(clipRates("a") === 1.0)
     assert(whole.where(col("src") === "a").count() === 500L)
+  }
+
+  test("repeatByRate: integer rates copy exactly, fractional rates match the mixtureSample draw") {
+    import graft.operators.Sampling
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "up" else "down"))
+      .toDF("id", "src")
+    val out = Sampling.repeatByRate(df, col("src"), col("id"),
+      Map("up" -> 3.0, "down" -> 0.5), defaultRate = 0.0)
+    // rate 3.0: every row exactly three copies, epochs 1..3
+    val up = out.where(col("src") === "up")
+    assert(up.count() === 3000L)
+    assert(up.groupBy("id").agg(collect_set("epoch").as("e"))
+      .where(size(col("e")) =!= 3).isEmpty)
+    // rate 0.5 (below 1): identical membership to mixtureSample at 0.5,
+    // single copy each
+    val down = out.where(col("src") === "down")
+    val expected = Sampling.mixtureSample(df.where(col("src") === "down"),
+      col("src"), col("id"), Map("down" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(down.select("id").as[Long].collect().toSet === expected)
+    assert(down.groupBy("id").count().where(col("count") =!= 1).isEmpty)
+    // rate 2.5: multiplicity is 2 or 3, mean tracks 2.5
+    val mid = Sampling.repeatByRate(df.where(col("src") === "up"), col("src"),
+      col("id"), Map("up" -> 2.5))
+    val perDoc = mid.groupBy("id").count().select("count").as[Long].collect()
+    assert(perDoc.forall(c => c == 2L || c == 3L))
+    val mean = perDoc.sum.toDouble / perDoc.length
+    assert(mean > 2.3 && mean < 2.7)
+    // defaultRate 0: strata outside the map vanish
+    assert(Sampling.repeatByRate(df, col("src"), col("id"),
+      Map("up" -> 1.0), defaultRate = 0.0)
+      .where(col("src") === "down").isEmpty)
+  }
+
+  test("unigramLm/lmScore: hand-computed probabilities, tf weighting, OOV floor") {
+    import graft.operators.LangModel
+    // corpus: 10 tokens total — a:5, b:3, c:2
+    val train = Seq((1L, "a a a b b"), (2L, "a a b c c")).toDF("doc_id", "text")
+    val lm = LangModel.unigramLm(train, "text")
+    val probs = lm.select("token", "log_p").as[(String, Double)].collect().toMap
+    assert(probs("a") === math.log(5.0 / 10.0))
+    assert(probs("b") === math.log(3.0 / 10.0))
+    assert(probs("c") === math.log(2.0 / 10.0))
+    // score doc 1 by hand: (3·ln.5 + 2·ln.3)/5
+    val scores = LangModel.lmScore(train, "doc_id", "text", lm)
+      .select("doc_id", "n_tokens", "avg_logp")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(scores(1L)._1 === 5L)
+    assert(math.abs(scores(1L)._2 - (3 * math.log(0.5) + 2 * math.log(0.3)) / 5) < 1e-12)
+    // OOV: unseen token takes the floor, not a null/crash
+    val oov = LangModel.lmScore(Seq((9L, "a zzz")).toDF("doc_id", "text"),
+        "doc_id", "text", lm, oovLogProb = math.log(1e-10))
+      .select("avg_logp").as[Double].head()
+    assert(math.abs(oov - (math.log(0.5) + math.log(1e-10)) / 2) < 1e-12)
+    // quality ordering: all-rare-token doc scores below all-common-token doc
+    val cmp = LangModel.lmScore(
+        Seq((10L, "a a a a"), (11L, "c c c c")).toDF("doc_id", "text"),
+        "doc_id", "text", lm)
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(cmp(10L) > cmp(11L))
   }
 
   test("tfidf: corpus-wide terms rank below distinctive ones; values match by hand") {
