@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
 import graft.operators.{CorpusPipeline, Dedup, LangModel, Multimodal, Packing, Quality,
-  Sampling, Similarity, Stats, Tfidf}
+  Sampling, Similarity, Stats, Tfidf, Tokenizer}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator coverage (dedup, similarity, text
@@ -755,6 +755,33 @@ object LlmQueries {
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                    round(max(rate), 6) AS rate
             FROM s GROUP BY 1 ORDER BY 1"""))
+
+  /** q81 — BPE pair counting
+    * ([[graft.operators.Tokenizer.bpePairCounts]]): adjacent
+    * character-pair frequencies weighted by word frequency — the
+    * statistic a BPE tokenizer-training merge iteration maximizes.
+    * Top-30 with a full (count DESC, pair ASC) tie-break so the
+    * ranking is deterministic; the oracle replays the word-frequency
+    * compression and the per-position pair explosion via substr. */
+  private val q81 = Q("q81_bpe_pair_counts",
+    (s, d) => {
+      Tokenizer.bpePairCounts(Tables.documents(s, d), "text")
+        .orderBy(desc("n"), asc("s1"), asc("s2"))
+        .limit(30)
+    },
+    Some("""WITH toks AS (
+              SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+            wf AS (SELECT w, count(*) AS freq FROM toks
+                   WHERE length(w) > 1 GROUP BY 1),
+            pos AS (SELECT w, freq,
+                           unnest(generate_series(1, length(w) - 1)) AS i
+                    FROM wf),
+            pairs AS (SELECT substr(w, i, 1) AS s1, substr(w, i + 1, 1) AS s2,
+                             freq
+                      FROM pos)
+            SELECT s1, s2, CAST(sum(freq) AS BIGINT) AS n
+            FROM pairs GROUP BY 1, 2
+            ORDER BY n DESC, s1, s2 LIMIT 30"""))
 
   /** q80 — unigram LM quality scoring
     * ([[graft.operators.LangModel]]): train MLE token probabilities
@@ -1661,5 +1688,6 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
-    q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+    q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
+    q81)
 }

@@ -336,6 +336,15 @@ class OperatorSpec extends SparkSpec {
       .where(col("src") === "down").isEmpty)
   }
 
+  test("bpePairCounts: frequency-weighted adjacent pairs, single-char words carry none") {
+    import graft.operators.Tokenizer
+    // 'abab' freq 2 → per occurrence pairs ab,ba,ab; 'cd' freq 1; 'x' dropped
+    val docs = Seq((1L, "abab cd"), (2L, "abab x")).toDF("doc_id", "text")
+    val got = Tokenizer.bpePairCounts(docs, "text")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(("a", "b") -> 4L, ("b", "a") -> 2L, ("c", "d") -> 1L))
+  }
+
   test("unigramLm/lmScore: hand-computed probabilities, tf weighting, OOV floor") {
     import graft.operators.LangModel
     // corpus: 10 tokens total — a:5, b:3, c:2
