@@ -525,6 +525,16 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  test("repeatByRate plans zero exchanges over a real scan (pure map pass)") {
+    import graft.operators.Sampling
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Sampling.repeatByRate(docs,
+        when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")),
+        col("doc_id"), Map("a" -> 2.5, "b" -> 0.4))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("corpus pipeline composes: gates monotone, dups+contamination removed, packs capped") {
     import graft.operators.CorpusPipeline
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
