@@ -33,6 +33,23 @@ object Scratch {
       println(s"[scratch] pipeline done in ${(System.nanoTime() - t0) / 1e9} s")
       spark.stop(); return
     }
+    if (name == "dump") {
+      // dump ONE query + its oracle SQL for a single-query
+      // scripts/oracle_check.py pass: Scratch dump <qname> [sfDir]
+      val qname = args(1)
+      val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+      val out = s"/tmp/verify_one/$qname"
+      SparkEntry.queries(qname)(spark, dir)
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      val sql = SparkEntry.oracleSql(qname)
+        .flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                   case '\r' => "\\r"; case '\t' => "\\t"
+                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/tmp/verify_one/oracle_sql.json"),
+        s"""{"$qname": "$sql"}""")
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     val df = fn(spark, sfDir)
     df.explain("formatted")

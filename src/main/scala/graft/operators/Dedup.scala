@@ -1224,4 +1224,50 @@ object Dedup {
         .select("doc_id_1", "doc_id_2", "hamming"),
       sigs)
   }
+
+  /** Cross-document duplicated n-gram SPANS — the exact-substring
+    * dedup family (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22), re-expressed relationally
+    * instead of via a suffix array: a word position is *duplicated*
+    * when its k-shingle hash occurs in at least `minDocs` DISTINCT
+    * documents, and maximal runs of consecutive duplicated positions
+    * merge into one span per run (gaps-and-islands). Any substring of
+    * ≥ `shingleSize` words shared verbatim by `minDocs` documents is
+    * covered by exactly one reported span; `span_end` extends to the
+    * last word of the last duplicated shingle. Within-document
+    * repeats alone do NOT mark a position (distinct-doc frequency,
+    * not raw frequency) — the operator targets cross-document
+    * contamination, the kind that inflates eval scores and wastes
+    * training compute.
+    *
+    * Execution, scale-first: one posexplode pass hashes positional
+    * shingles in codegen ([[graft.functions.ShinglesExpr]]), the
+    * distinct-doc frequency is a (hash)-keyed aggregate, duplicated
+    * positions survive a LEFT SEMI join against the (much smaller)
+    * duplicated-hash set, and the island merge is one per-document
+    * WindowExec plus a final aggregate. No driver state, no
+    * suffix-array-sized memory: every stage shuffles on a uniform
+    * key (hash, then doc id) and the semi join's build side shrinks
+    * with `minDocs`. Returns (idCol, span_start, span_end, n_grams)
+    * with word positions 0-based inclusive. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minDocs: Int = 2): DataFrame = {
+    val pos = spread(docs, idCol)
+      .select(col(idCol), posexplode(posWordShingles(col(textCol), shingleSize)))
+      .select(col(idCol), col("pos").as("p"), md5Long(col("col")).as("h"))
+    val dupHashes = pos.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") >= minDocs)
+      .select("h")
+    val dup = pos.join(dupHashes, Seq("h"), "left_semi")
+    // gaps-and-islands: consecutive duplicated positions share
+    // (p − row_number) — one window pass keyed on the doc id only
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    dup.withColumn("__isl", col("p") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + lit(shingleSize - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__isl")
+  }
 }

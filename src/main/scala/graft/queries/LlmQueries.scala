@@ -1686,8 +1686,42 @@ object LlmQueries {
               FROM lineitem WHERE l_extendedprice IS NOT NULL)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** q82 — cross-document duplicated SPANS
+    * ([[graft.operators.Dedup.duplicatedSpans]]): the exact-substring
+    * dedup statistic (Lee et al. ACL'22) — every maximal run of
+    * 5-gram shingles shared verbatim by ≥ 2 documents, as explicit
+    * [start_word, end_word] spans. Distinct from q33/q28 (whole-doc
+    * set similarity): this finds the COPIED PASSAGE inside otherwise
+    * different documents — the unit an exact-substring dedup pass
+    * would cut. All-integer output; the oracle replays shingle-hash →
+    * distinct-doc frequency → island merge value-for-value. */
+  private val q82 = Q("q82_duplicated_spans",
+    (s, d) => {
+      Dedup.duplicatedSpans(Tables.documents(s, d).select("doc_id", "text"),
+          "doc_id", "text", shingleSize = 5, minDocs = 2)
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""WITH ws AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+            hs AS (
+              SELECT doc_id, i - 1 AS p,
+                     CAST(('0x' || substr(md5(array_to_string(
+                            list_slice(ws, i, i + 4), ' ')), 1, 15)) AS BIGINT) AS h
+              FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i)
+              WHERE len(ws) >= 5),
+            dfc AS (SELECT h FROM (
+                      SELECT h, count(DISTINCT doc_id) AS df FROM hs GROUP BY 1)
+                    WHERE df >= 2),
+            dup AS (SELECT doc_id, p FROM hs WHERE h IN (SELECT h FROM dfc)),
+            isl AS (SELECT doc_id, p,
+                           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+                    FROM dup)
+            SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+                   CAST(max(p) + 4 AS BIGINT) AS span_end,
+                   count(*) AS n_grams
+            FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81)
+    q81, q82)
 }

@@ -1027,6 +1027,29 @@ class OperatorSpec extends SparkSpec {
     assert(lambdas.isEmpty)
   }
 
+  test("duplicatedSpans: island merge, two-island docs, within-doc repeats excluded") {
+    // d1/d2 share the substring "r s t u" (two 3-shingles: rst, stu);
+    // d5 contains rst and stu at NON-adjacent positions (two islands);
+    // d4 repeats one shingle WITHIN itself only (must not mark — the
+    // frequency is distinct-doc, not raw); d3 shares nothing
+    val docs = Seq(
+      (1L, "p q r s t u v"),
+      (2L, "z z r s t u z"),
+      (3L, "m n o"),
+      (4L, "k k k k k"),
+      (5L, "r s t X X s t u")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", shingleSize = 3, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // d1: rst@2 stu@3 adjacent → one span [2, 3+2] of 2 grams; d2 same
+    // positions; d5: rst@0, stu@5 → two 1-gram spans [0,2] and [5,7]
+    assert(out === Seq(
+      (1L, 2L, 5L, 2L),
+      (2L, 2L, 5L, 2L),
+      (5L, 0L, 2L, 1L),
+      (5L, 5L, 7L, 1L)))
+  }
+
   test("shared shingle cache serves several operators and stays caller-owned") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq((1L, base), (2L, base), (3L, base + " extra trailing words here"),
