@@ -32,25 +32,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** The events table stores `ts` as parquet INT64 TIMESTAMP(NANOS),
-    * which Spark's TimestampType (µs) cannot represent directly — the
-    * vanilla scan fails with PARQUET_TYPE_ILLEGAL. Read nanos as long
-    * (legacy conf, runtime-settable) and truncate to micros, matching
-    * DuckDB's own ns→µs truncation so oracle comparisons agree.
+  /** The events table's `ts` column has shipped in two physical
+    * encodings across testdata generations, and this reader normalizes
+    * both to session-zoned TimestampType (µs) so every downstream
+    * consumer sees one type:
     *
-    * The conf intentionally stays set on the session rather than being
-    * restored after schema resolution: FileSourceScanExec re-reads the
-    * session conf when building each task's hadoop conf at EXECUTION
-    * time, so a scoped set-restore around this (lazy) read would make
-    * the returned frame fail later, far from the cause. The visible
-    * effect — other nanos-typed parquet columns read as long instead
-    * of erroring — is acceptable for this engine and documented here.
+    *  - parquet INT64 TIMESTAMP(NANOS): Spark's TimestampType (µs)
+    *    cannot represent it — the vanilla scan fails with
+    *    PARQUET_TYPE_ILLEGAL. Read nanos as long (legacy conf,
+    *    runtime-settable) and truncate to micros, matching DuckDB's
+    *    own ns→µs truncation so oracle comparisons agree. The conf
+    *    intentionally stays set on the session rather than being
+    *    restored after schema resolution: FileSourceScanExec re-reads
+    *    the session conf when building each task's hadoop conf at
+    *    EXECUTION time, so a scoped set-restore around this (lazy)
+    *    read would make the returned frame fail later, far from the
+    *    cause.
+    *  - parquet TIMESTAMP(MICROS) isAdjustedToUTC=false: Spark scans
+    *    it as TIMESTAMP_NTZ; cast to TimestampType. The sessions here
+    *    all pin spark.sql.session.timeZone=UTC, so the cast reads the
+    *    wall-clock as UTC — the same instant DuckDB's naive-timestamp
+    *    read produces.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
