@@ -39,6 +39,72 @@ object LangModel {
     out
   }
 
+  /** Bigram formation as a pure codegen'd HOF — no window, no
+    * shuffle: `a[i] ++ " " ++ a[i+1]` for i in [0, n-2]. Documents
+    * with fewer than two tokens yield an empty array (Spark's
+    * `sequence(0, -1)` would throw on the naive form). */
+  private def bigrams(textCol: org.apache.spark.sql.Column) = {
+    val a = tokens(textCol)
+    when(size(a) >= 2,
+      transform(sequence(lit(0), size(a) - 2),
+        i => concat_ws(" ", element_at(a, i + 1), element_at(a, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train an add-k-smoothed bigram model: for each observed bigram
+    * `(w1 w2)`, `log_p = ln((c(w1,w2)+k) / (c(w1·)+k·V))` where
+    * `c(w1·)` is the context count (bigrams starting with `w1`) and
+    * `V` the unigram vocabulary size. Returns
+    * (bigram model (bigram, log_p), context counts (w1, cn), V) —
+    * the scorer needs all three to price UNSEEN bigrams: a seen
+    * context prices an unseen continuation at `k/(c(w1·)+kV)`, an
+    * unseen context degrades to the uniform `1/V`.
+    *
+    * Scale shape mirrors [[unigramLm]]: the model is bigram-types-
+    * sized (≪ corpus); training is one HOF explode + two token-keyed
+    * aggregates (the context counts reduce the bigram table, not the
+    * corpus). V is a driver-side scalar — one countDistinct row, the
+    * same class of tiny action as a centroid collect. */
+  def bigramLm(docs: DataFrame, textCol: String, k: Double = 0.5)
+      : (DataFrame, DataFrame, Long) = {
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    val bg = docs.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .persist()
+    val ctx = bg.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(sum("c2").as("cn"))
+      .localCheckpoint()
+    val vocab = docs.select(explode(tokens(col(textCol))).as("token"))
+      .agg(countDistinct("token")).head().getLong(0)
+    val model = bg.join(ctx, split(col("bigram"), " ").getItem(0) === col("w1"))
+      .select(col("bigram"),
+        log((col("c2") + k) / (col("cn") + k * vocab)).as("log_p"))
+      .localCheckpoint()
+    bg.unpersist(blocking = false)
+    (model, ctx, vocab)
+  }
+
+  /** Score documents under a [[bigramLm]]: per-document bigram count
+    * and mean bigram log-probability, with the two smoothing fallbacks
+    * priced exactly as trained — unseen bigram in a seen context:
+    * `ln(k/(c(w1·)+kV))`; unseen context: `ln(1/V)`. The document
+    * compresses to (doc, bigram, tf) BEFORE the model joins, so join
+    * input is distinct pairs, not positions; both joins are
+    * model-sized (broadcastable for real vocabularies). */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, ctx: DataFrame, vocab: Long, k: Double = 0.5): DataFrame = {
+    val tf = docs.select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("tf"))
+    val lp = coalesce(col("log_p"),
+      log(lit(k) / (coalesce(col("cn").cast("double"), lit(0.0)) + k * vocab)))
+    tf.join(model.select("bigram", "log_p"), Seq("bigram"), "left")
+      .join(ctx.select(col("w1"), col("cn")),
+        split(col("bigram"), " ").getItem(0) === col("w1"), "left")
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_bigrams"),
+        (sum(col("tf") * lp) / sum("tf")).as("avg_logp"))
+  }
+
   /** Score: per-document token count and mean token log-probability
     * under `lm` (a [[unigramLm]] frame, or any (token, log_p) model —
     * scoring docs the model never saw is the point: train on a clean

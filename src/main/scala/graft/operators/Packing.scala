@@ -134,4 +134,38 @@ object Packing {
           col("n_tokens").cast("int"))))
       .drop("__toks", "__n")
   }
+
+  /** Deterministic shard assignment + within-shard order — the final
+    * write layout of a training corpus: `numShards` output shards,
+    * each internally shuffled (training-order randomization), with
+    * both the shard AND the position a pure function of the row's key:
+    * `shard = md5Long(key) mod numShards`, `shard_pos` = 1-based rank
+    * of (salted md5, key) within the shard. The salt decorrelates the
+    * position draw from the shard draw (they come from the same md5
+    * otherwise: within a shard, raw md5Long is congruent mod
+    * numShards, which is fine for RANK but leaves position correlated
+    * with any other consumer of the same hash).
+    *
+    * A seeded global `orderBy(rand)` gives none of this: the
+    * assignment would depend on partitioning, be unverifiable
+    * externally, and change when the corpus grows. Here a grown corpus
+    * only INSERTS rows into shard orders — existing relative order is
+    * stable (the basis for reshard-free incremental appends).
+    *
+    * Execution: the rank is row_number over a shard-partitioned
+    * window — exactly the one shuffle (by shard) the physical write
+    * needs anyway, so ordering is free at write time. Shard sizes
+    * concentrate near n/numShards (md5 uniformity); no shard can
+    * skew, because the key space is pre-hashed. */
+  def shardAssign(docs: DataFrame, key: org.apache.spark.sql.Column,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    Seq("shard", "shard_pos").foreach(c =>
+      require(!docs.columns.contains(c), s"input already has a column $c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+      .orderBy(md5Long(concat(key.cast("string"), lit("|pos"))), key)
+    docs
+      .withColumn("shard", pmod(md5Long(key.cast("string")), lit(numShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
 }

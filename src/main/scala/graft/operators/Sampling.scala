@@ -157,6 +157,41 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    * & Spirakis 2006, "Weighted random sampling with a reservoir"):
+    * each row draws `u` md5-uniform in (0,1] from its key and scores
+    * `u^(1/w)`; the top-`n` scores are distributed as a weighted
+    * sample without replacement. The implementation orders by the
+    * monotone-equivalent `ln(u)/w` (descending) — one log and one
+    * divide instead of pow, the better cross-engine parity surface —
+    * with the key as tiebreak.
+    *
+    * Determinism contract as every sampler here: a row's score
+    * depends only on its own (key, weight), so the draw is replayable
+    * externally and stable under corpus growth (new rows can push old
+    * ones out of the top-n — that is the semantics of a fixed-size
+    * sample — but never REORDER survivors). Rows with NULL or
+    * non-positive weight are excluded (no defensible score).
+    *
+    * Execution: `orderBy(score).limit(n)` plans TakeOrdered — each
+    * partition keeps its local top-n, the driver merges
+    * O(partitions·n) — no corpus shuffle; the rank window then runs
+    * over n rows only. Appends `sample_rank` (1-based). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    // +1 keeps u in (0,1]: a zero draw would hit ln(0), which Spark
+    // nulls and other engines -inf — an avoidable parity cliff
+    val u = (md5Long(key.cast("string")) + 1L).cast("double") / lit(Scale.toDouble)
+    val es = log(u) / weight
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("__es", es)
+      .orderBy(col("__es").desc, key)
+      .limit(n)
+      .withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("__es").desc, key)).cast("long"))
+      .drop("__es")
+  }
+
   /** Exact `n`-per-stratum sample, ranked by md5-of-key (with the key
     * itself as tiebreak, so the ordering is total given unique keys).
     * Plans as row_number ≤ n over a per-stratum window: Spark inserts

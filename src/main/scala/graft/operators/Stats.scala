@@ -60,6 +60,48 @@ object Stats {
       .select("bin", "bin_lo", "n")
   }
 
+  /** Token-distribution drift between two corpus slices — the check a
+    * training-data pipeline runs when a new crawl batch lands: has the
+    * vocabulary distribution moved, and which tokens moved it?
+    * KL(P‖Q) with add-k smoothing over the JOINT vocabulary V:
+    * `p_t=(c_P(t)+k)/(N_P+kV)`, likewise q_t, contribution
+    * `p_t·ln(p_t/q_t)` (smoothing makes every term finite — a token
+    * absent from one side is the interesting case, not an error).
+    *
+    * Returns the top `topN` tokens by contribution (desc, token asc —
+    * rounded to 9 so the sort key itself is engine-portable) with each
+    * side's count and the corpus-total `total_kl` repeated per row.
+    * Execution: one token-keyed count per side (map-side combined),
+    * a full outer join of two vocabulary-sized frames, one scalar
+    * aggregate for the total — nothing driver-side but three scalars
+    * (N_P, N_Q, V), the same tiny-action class as a centroid collect.
+    * Skewed hot tokens ride AQE like every token-keyed exchange here. */
+  def klDrift(docs: DataFrame, textCol: String, pSide: Column,
+      k: Double = 0.5, topN: Int = 20): DataFrame = {
+    require(k > 0.0 && topN > 0, s"need k>0, topN>0; got k=$k topN=$topN")
+    import graft.functions.TextFunctions.tokens
+    val toks = docs.select(pSide.as("__p"), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(sum(when(col("__p"), 1L).otherwise(0L)).as("c_p"),
+        sum(when(!col("__p"), 1L).otherwise(0L)).as("c_q"))
+      .persist()
+    val Array(nP, nQ, v) = counts
+      .agg(sum("c_p"), sum("c_q"), count(lit(1))).head()
+      .toSeq.map(x => x.asInstanceOf[Long]).toArray
+    val p = (col("c_p") + k) / lit(nP + k * v)
+    val q = (col("c_q") + k) / lit(nQ + k * v)
+    val contrib = counts.withColumn("kl_term", round(p * log(p / q), 9))
+    val total = contrib.agg(round(sum("kl_term"), 6).as("total_kl"))
+    val out = contrib
+      .orderBy(col("kl_term").desc, col("token"))
+      .limit(topN)
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("c_p"), col("c_q"), col("kl_term"), col("total_kl"))
+      .localCheckpoint()
+    counts.unpersist(blocking = false)
+    out
+  }
+
   /** Sketch-based profile: approximate distinct keys (HLL++, `rsd`
     * relative error) and approximate percentiles (`acc` accuracy =
     * 1/precision; error ≤ 1/acc of rank) per group. */

@@ -44,4 +44,90 @@ object Tokenizer {
       .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(sum("freq").as("n"))
   }
+
+  /** Characters of `w` as a symbol array (dropping Java split's
+    * trailing empty element). */
+  private def charSyms(w: Column): Column =
+    slice(split(w, ""), lit(1), length(w))
+
+  /** Frequency-weighted adjacent pair counts over a (syms, freq)
+    * vocabulary frame — [[bpePairCounts]] generalized to mid-training
+    * vocabularies whose symbols are already multi-character. */
+  private def pairCountsOf(vocab: DataFrame): DataFrame = {
+    val s = col("syms")
+    val pairs = zip_with(
+      slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+      (a, b) => struct(a.as("s1"), b.as("s2")))
+    vocab.where(size(s) >= 2)
+      .select(col("freq"), explode(pairs).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum("freq").as("n"))
+  }
+
+  /** One greedy-leftmost merge pass of `(a, b) → ab` over a symbol
+    * array, as a single HOF fold: append each symbol, except that a
+    * symbol `b` arriving while the accumulator ends in `a` replaces
+    * that `a` with the merged `ab`. Left-to-right with the merged
+    * symbol ineligible for immediate re-merging — exactly BPE's
+    * non-overlapping leftmost application ("aaa" under (a,a) becomes
+    * [aa, a], never [a, aa]). `try_element_at` keeps the empty-
+    * accumulator probe null (→ no merge) instead of an ANSI
+    * out-of-bounds error. HOF lambdas run interpreted, but every
+    * caller applies this to VOCABULARY-sized frames, never the
+    * corpus. */
+  private def mergePass(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(try_element_at(acc, lit(-1)) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** BPE training (Sennrich et al. ACL 2016): `nMerges` rounds of
+    * count-pairs → take the most frequent (ties: n desc, s1 asc, s2
+    * asc — a pinned total order, so training is deterministic) →
+    * merge it everywhere. Returns (merge list in learned order with
+    * its winning count, final (w, freq, syms) vocabulary).
+    *
+    * Scale shape: the corpus collapses to the word-frequency table
+    * once ([[wordFreq]] — the only corpus-scale stage); every round
+    * then runs one vocabulary-sized aggregate plus a 1-row argmax
+    * collect — the same driver-round pattern as the k-means and CC
+    * loops, with the per-round frame localCheckpointed so lineage
+    * doesn't nest `nMerges` HOF folds deep. */
+  def learnBpe(docs: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var vocab = wordFreq(docs, textCol)
+      .select(col("w"), col("freq"), charSyms(col("w")).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    for (_ <- 1 to nMerges if !exhausted) {
+      val top = pairCountsOf(vocab)
+        .orderBy(col("n").desc, col("s1"), col("s2")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((a, b, n))
+        val next = vocab.withColumn("syms", mergePass(col("syms"), a, b))
+          .localCheckpoint()
+        vocab.unpersist(blocking = false)
+        vocab = next
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** Apply a learned merge list to arbitrary words (the tokenizer's
+    * ENCODE step): fold the merges in learned order, each as one
+    * [[mergePass]]. Appends `syms` — the word's subword tokens.
+    * Callers encode a vocabulary frame (distinct words), never raw
+    * token instances: the fold is per distinct word, and corpus
+    * statistics ride the frequency column. */
+  def encodeBpe(words: DataFrame, wCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(words.withColumn("syms", charSyms(col(wCol)))) {
+      case (df, (a, b)) => df.withColumn("syms", mergePass(col("syms"), a, b))
+    }
 }

@@ -2,8 +2,8 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.{CorpusPipeline, Dedup, LangModel, Multimodal, Packing, Quality,
-  Sampling, Similarity, Stats, Tfidf, Tokenizer}
+import graft.operators.{CorpusPipeline, Dedup, HeavyHitters, LangModel, Multimodal,
+  Packing, Quality, Sampling, Similarity, Stats, Tfidf, Tokenizer}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator coverage (dedup, similarity, text
@@ -1720,8 +1720,188 @@ object LlmQueries {
                    count(*) AS n_grams
             FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start"""))
 
+  /** q83 — add-k-smoothed bigram LM
+    * ([[graft.operators.LangModel.bigramLm]]/`bigramScore`): the
+    * second-order companion of q80's unigram filter — sequence
+    * plausibility, not just vocabulary plausibility (word salad with
+    * common words fools a unigram LM; its bigrams are still rare).
+    * Bigram formation is a pure codegen'd HOF (no window/shuffle);
+    * the oracle rebuilds counts, contexts, vocabulary, and the
+    * smoothed `ln((c+k)/(cn+kV))` value-for-value. */
+  private val q83 = Q("q83_bigram_lm",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val (model, ctx, v) = LangModel.bigramLm(docs, "text", k = 0.5)
+      LangModel.bigramScore(docs.where(col("doc_id") < 200), "doc_id", "text",
+          model, ctx, v, k = 0.5)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS a FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(generate_series(1, len(a) - 1),
+                                                i -> a[i] || ' ' || a[i + 1])) AS bigram
+                   FROM t),
+            c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1),
+            ctx AS (SELECT str_split(bigram, ' ')[1] AS w1, sum(c2) AS cn
+                    FROM c2 GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v FROM
+                    (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)),
+            lm AS (SELECT bigram, ln((c2 + 0.5) / (cn + 0.5 * v)) AS log_p
+                   FROM c2 JOIN ctx ON str_split(bigram, ' ')[1] = w1, v),
+            tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg
+                   WHERE doc_id < 200 GROUP BY 1, 2),
+            sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                          sum(tf * log_p) / sum(tf) AS lp
+                   FROM tf JOIN lm USING (bigram) GROUP BY 1)
+            SELECT doc_id, n_bigrams, round(lp, 6) AS avg_logp
+            FROM sc ORDER BY doc_id"""))
+
+  /** q84 — exact top-k frequent tokens via the bounded-memory
+    * Misra-Gries candidate pass ([[graft.operators.HeavyHitters]]):
+    * the candidate exchange is O(partitions·capacity) regardless of
+    * vocabulary size, the rescore is exact, and the operator PROVES
+    * completeness (k-th count > n/capacity) or falls back to the full
+    * aggregation. The oracle is the plain exact top-k — equality IS
+    * the exactness claim. */
+  private val q84 = Q("q84_heavy_hitters",
+    (s, d) => {
+      HeavyHitters.topKTokens(Tables.documents(s, d).select("text"), "text",
+          k = 30, capacity = 2048)
+        .orderBy("rank")
+    },
+    Some("""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+            c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+            r AS (SELECT row_number() OVER (ORDER BY n DESC, token) AS rank,
+                         token, n
+                  FROM c)
+            SELECT rank, token, n FROM r WHERE rank <= 30 ORDER BY rank"""))
+
+  /** q85 — token-distribution drift between corpus slices
+    * ([[graft.operators.Stats.klDrift]]): smoothed KL(en ‖ rest) with
+    * the top-20 driving tokens — the ingest-batch check for "did this
+    * crawl's vocabulary move". kl_term is rounded to 9 BEFORE the
+    * sort, so the ordering key itself is engine-portable. */
+  private val q85 = Q("q85_kl_drift",
+    (s, d) => {
+      Stats.klDrift(Tables.documents(s, d).select("text", "lang"), "text",
+          col("lang") === "en", k = 0.5, topN = 20)
+        .orderBy(col("kl_term").desc, col("token"))
+    },
+    Some("""WITH toks AS (SELECT (lang = 'en') AS p,
+                                 unnest(str_split(text, ' ')) AS token
+                          FROM documents),
+            c AS (SELECT token,
+                         CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS c_p,
+                         CAST(sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT) AS c_q
+                  FROM toks GROUP BY 1),
+            s AS (SELECT CAST(sum(c_p) AS BIGINT) AS np,
+                         CAST(sum(c_q) AS BIGINT) AS nq,
+                         CAST(count(*) AS BIGINT) AS v
+                  FROM c),
+            kt AS (SELECT token, c_p, c_q,
+                          round(((c_p + 0.5) / (np + 0.5 * v))
+                                * ln(((c_p + 0.5) / (np + 0.5 * v))
+                                     / ((c_q + 0.5) / (nq + 0.5 * v))), 9) AS kl_term
+                   FROM c, s),
+            tot AS (SELECT round(sum(kl_term), 6) AS total_kl FROM kt)
+            SELECT token, c_p, c_q, kl_term, total_kl
+            FROM kt, tot ORDER BY kl_term DESC, token LIMIT 20"""))
+
+  /** q86 — deterministic shard assignment
+    * ([[graft.operators.Packing.shardAssign]]): the training-corpus
+    * write layout — md5-assigned shard, salted-md5 within-shard
+    * order — verified through per-shard counts plus a position
+    * checksum `sum(doc_id·pos)` that pins every rank, not just the
+    * multiset. */
+  private val q86 = Q("q86_shard_assign",
+    (s, d) => {
+      Packing.shardAssign(Tables.documents(s, d).select("doc_id"),
+          col("doc_id"), numShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum(col("doc_id") * col("shard_pos")).as("pos_checksum"))
+        .orderBy("shard")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 8 AS shard,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pos'), 1, 15)) AS BIGINT)
+                     AS ph
+                 FROM documents),
+            r AS (SELECT doc_id, shard,
+                         row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS pos
+                  FROM h)
+            SELECT shard, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(doc_id * pos) AS BIGINT) AS pos_checksum
+            FROM r GROUP BY 1 ORDER BY 1"""))
+
+  /** q87 — deterministic weighted sampling without replacement
+    * ([[graft.operators.Sampling.weightedSample]], Efraimidis-
+    * Spirakis): top-50 by `ln(u)/w` with `w = n_chars` — longer
+    * documents proportionally likelier, every draw md5-replayable.
+    * Plans TakeOrdered (per-partition top-n, no corpus shuffle). */
+  private val q87 = Q("q87_weighted_sample",
+    (s, d) => {
+      Sampling.weightedSample(
+          Tables.documents(s, d).select("doc_id", "n_chars", "source"),
+          col("doc_id"), col("n_chars").cast("double"), n = 50)
+        .select(col("sample_rank"), col("doc_id"), col("n_chars"), col("source"))
+        .orderBy("sample_rank")
+    },
+    Some("""WITH u AS (SELECT doc_id, n_chars, source,
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                     / 1152921504606846976.0 AS u
+                 FROM documents WHERE n_chars > 0),
+            e AS (SELECT doc_id, n_chars, source, ln(u) / n_chars AS es FROM u),
+            r AS (SELECT row_number() OVER (ORDER BY es DESC, doc_id) AS sample_rank,
+                         doc_id, n_chars, source
+                  FROM e)
+            SELECT sample_rank, doc_id, n_chars, source
+            FROM r WHERE sample_rank <= 50 ORDER BY sample_rank"""))
+
+  /** q88 — BPE encode ([[graft.operators.Tokenizer.encodeBpe]]): apply
+    * a declared merge table — (e,r), (i,n), (o,w), this corpus's own
+    * top-3 sequential merges, pinned as literals so the query is
+    * scale-independent — to the word-frequency vocabulary, and report
+    * the top-30 subword tokens by corpus mass. The oracle replays the
+    * greedy-leftmost fold itself via `list_reduce` (the merged symbol
+    * is ineligible for immediate re-merge — "aaa" under (a,a) is
+    * [aa,a]), so the ENCODING, not just its statistics, is gated.
+    * Training ([[graft.operators.Tokenizer.learnBpe]], a driver-round
+    * argmax loop) is spec-gated — per-round argmax is not
+    * SQL-expressible. */
+  private val q88 = Q("q88_bpe_encode",
+    (s, d) => {
+      val vocab = Tokenizer.wordFreq(Tables.documents(s, d).select("text"), "text")
+      Tokenizer.encodeBpe(vocab, "w", Seq("e" -> "r", "i" -> "n", "o" -> "w"))
+        .select(col("freq"), explode(col("syms")).as("subword"))
+        .groupBy("subword").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("subword")).limit(30)
+    },
+    Some {
+      def merge(inp: String, a: String, b: String) =
+        s"""SELECT freq, str_split(list_reduce(syms, (acc, x) -> CASE
+           |  WHEN str_split(acc, chr(31))[-1] = '$a' AND x = '$b'
+           |  THEN array_to_string(list_append(list_slice(str_split(acc, chr(31)), 1,
+           |         len(str_split(acc, chr(31))) - 1), '$a$b'), chr(31))
+           |  ELSE acc || chr(31) || x END), chr(31)) AS syms FROM $inp""".stripMargin
+      s"""WITH wf AS (SELECT w, count(*) AS freq FROM
+         |         (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+         |         WHERE len(w) > 1 GROUP BY 1),
+         |s0 AS (SELECT freq, str_split(w, '') AS syms FROM wf),
+         |s1 AS (${merge("s0", "e", "r")}),
+         |s2 AS (${merge("s1", "i", "n")}),
+         |s3 AS (${merge("s2", "o", "w")})
+         |SELECT subword, CAST(sum(freq) AS BIGINT) AS n FROM
+         |  (SELECT freq, unnest(syms) AS subword FROM s3)
+         |GROUP BY 1 ORDER BY n DESC, subword LIMIT 30""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82)
+    q81, q82, q83, q84, q85, q86, q87, q88)
 }

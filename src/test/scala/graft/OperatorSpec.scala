@@ -1121,4 +1121,156 @@ class OperatorSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  // --- heavy hitters (q84) -------------------------------------------------
+
+  private def md5Long60(s: String): Long =
+    java.lang.Long.parseLong(Md5ModExpr.md5Hex(s).take(15), 16)
+
+  test("heavyHitters proven path: MG candidates + rescore equal the exact top-k") {
+    import graft.operators.HeavyHitters
+    // head-heavy corpus: the bound k-th·capacity > n holds, so the
+    // operator must take the proven (collected) path
+    val texts = Seq.fill(20)("hot hot hot warm warm cool") ++
+      Seq("u1 u2 u3 u4 u5", "u6 u7 u8 u9")
+    val docs = texts.toDF("text").repartition(4)
+    val out = HeavyHitters.topKTokens(docs, "text", k = 3, capacity = 50)
+    assert(out.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "expected the proven/collected path for a head-heavy corpus")
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "hot", 60L), (2L, "warm", 40L), (3L, "cool", 20L)))
+  }
+
+  test("heavyHitters fallback: long-tail corpus fails the bound, full rescore still exact") {
+    import graft.operators.HeavyHitters
+    // 200 singletons + one mild hitter: 3rd count = 1, 1·capacity < n
+    val texts = (1 to 200).map(i => s"tok$i") :+ "hot hot hot hot hot"
+    val docs = texts.toDF("text").repartition(4)
+    val out = HeavyHitters.topKTokens(docs, "text", k = 3, capacity = 8)
+    assert(!out.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "expected the full-aggregation fallback when the bound fails")
+    val got = out.collect().map(r => (r.getString(1), r.getLong(2)))
+    // exact top-3 under (n desc, token asc): hot(5), then the two
+    // lexicographically-smallest singletons
+    assert(got.toSeq === Seq(("hot", 5L), ("tok1", 1L), ("tok10", 1L)))
+  }
+
+  // --- bigram LM (q83) -----------------------------------------------------
+
+  test("bigram LM prices seen, unseen-bigram, and unseen-context exactly as trained") {
+    import graft.operators.LangModel
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val (model, ctx, v) = LangModel.bigramLm(train, "text", k = 0.5)
+    assert(v === 2L) // vocabulary {a, b}
+    // c2: "a b"->2, "b a"->1; ctx: a->2, b->1
+    val score = LangModel.bigramScore(
+      Seq((10L, "a b c"), (11L, "c d")).toDF("doc_id", "text"),
+      "doc_id", "text", model, ctx, v, k = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 10: seen "a b" = ln(2.5/3); unseen "b c" in seen ctx b = ln(0.5/2)
+    val d10 = (math.log(2.5 / 3.0) + math.log(0.5 / 2.0)) / 2.0
+    // doc 11: unseen ctx c -> uniform ln(k/(0+kV)) = ln(1/V)
+    val d11 = math.log(0.5 / 1.0)
+    assert(score(0)._1 === 10L && score(0)._2 === 2L)
+    assert(math.abs(score(0)._3 - d10) < 1e-12)
+    assert(score(1)._1 === 11L && score(1)._2 === 1L)
+    assert(math.abs(score(1)._3 - d11) < 1e-12)
+  }
+
+  // --- shard assignment (q86) ----------------------------------------------
+
+  test("shardAssign: md5 shard function, dense 1-based ranks, append keeps relative order") {
+    import graft.operators.Packing
+    val a = Packing.shardAssign((1L to 100L).toDF("doc_id"), col("doc_id"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.length === 100)
+    // shard is the pinned md5 function of the key
+    a.foreach { case (id, shard, _) =>
+      assert(shard === java.lang.Math.floorMod(md5Long60(id.toString), 4L)) }
+    // ranks are dense 1..n_s per shard
+    a.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq) }
+    // growing the corpus only INSERTS into shard orders: relative
+    // order of surviving pairs never flips
+    val b = Packing.shardAssign((1L to 120L).toDF("doc_id"), col("doc_id"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val posB = b.map(r => (r._1, r._2) -> r._3).toMap
+    for ((s, rows) <- a.groupBy(_._2);
+         List(x, y) <- rows.sortBy(_._3).map(_._1).toList.sliding(2))
+      assert(posB((x, s)) < posB((y, s)),
+        s"append flipped order of $x, $y in shard $s")
+  }
+
+  // --- weighted sampling (q87) ---------------------------------------------
+
+  test("weightedSample replays the Efraimidis-Spirakis draw; zero/null weights excluded") {
+    import graft.operators.Sampling
+    val rows = Seq((1L, Option(10.0)), (2L, Option(100.0)), (3L, Option(1.0)),
+      (4L, Option(50.0)), (5L, Option(0.0)), (6L, Option.empty[Double]))
+    val df = rows.toDF("doc_id", "w")
+    val got = Sampling.weightedSample(df, col("doc_id"), col("w"), n = 3)
+      .select("sample_rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // replicate the score in plain Scala: ln((md5_60(id)+1)/2^60)/w
+    val expected = rows.collect { case (id, Some(w)) if w > 0 =>
+      (id, math.log((md5Long60(id.toString) + 1).toDouble / (1L << 60).toDouble) / w)
+    }.sortBy { case (id, es) => (-es, id) }.take(3).zipWithIndex
+      .map { case ((id, _), i) => (i + 1L, id) }
+    assert(got.toSeq === expected)
+  }
+
+  // --- BPE training + encoding (q88) ---------------------------------------
+
+  test("learnBpe: argmax rounds, merge application, early exhaustion") {
+    import graft.operators.Tokenizer
+    val docs = Seq("aa ab aa").toDF("text")
+    // wordFreq: aa->2, ab->1. Round 1 pairs: (a,a)=2, (a,b)=1 -> merge
+    // (a,a); round 2: only (a,b) -> merge (a,b); round 3: no pairs
+    // left -> training exhausts at 2 merges though 5 were asked
+    val (merges, vocab) = Tokenizer.learnBpe(docs, "text", nMerges = 5)
+    assert(merges === Seq(("a", "a", 2L), ("a", "b", 1L)))
+    val syms = vocab.orderBy("w").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(syms === Map("aa" -> List("aa"), "ab" -> List("ab")))
+  }
+
+  test("encodeBpe: greedy-leftmost, merged symbol not immediately re-merged") {
+    import graft.operators.Tokenizer
+    val words = Seq("aaa", "aab", "ba", "a").toDF("w")
+    val enc = Tokenizer.encodeBpe(words, "w", Seq("a" -> "a", "a" -> "b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // "aaa" under (a,a): leftmost pair merges, the product "aa" does
+    // not chain-merge with the 3rd 'a' -> [aa, a]
+    assert(enc("aaa") === List("aa", "a"))
+    // "aab": (a,a) first -> [aa, b]; then (a,b) finds no bare 'a'
+    assert(enc("aab") === List("aa", "b"))
+    assert(enc("ba") === List("b", "a"))
+    assert(enc("a") === List("a"))
+  }
+
+  // --- KL drift (q85) ------------------------------------------------------
+
+  test("klDrift: hand-computed smoothed terms, absent-side tokens finite") {
+    import graft.operators.Stats
+    val docs = Seq(("a a b", true), ("a c", false)).toDF("text", "p")
+    val out = Stats.klDrift(docs, "text", col("p"), k = 0.5, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // counts: a (2,1), b (1,0), c (0,1); N_P=3, N_Q=2, V=3
+    def term(cp: Long, cq: Long): Double = {
+      val p = (cp + 0.5) / (3 + 0.5 * 3); val q = (cq + 0.5) / (2 + 0.5 * 3)
+      BigDecimal(p * math.log(p / q)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byTok = out.map(r => r._1 -> r._4).toMap
+    assert(out.length === 3 && out.forall(r => !r._4.isNaN && !r._4.isInfinite))
+    for ((t, cp, cq) <- Seq(("a", 2L, 1L), ("b", 1L, 0L), ("c", 0L, 1L)))
+      assert(math.abs(byTok(t) - term(cp, cq)) < 2e-9, s"token $t")
+    val totalKl = out.head._5
+    assert(math.abs(totalKl -
+      BigDecimal(Seq(("a", 2L, 1L), ("b", 1L, 0L), ("c", 0L, 1L))
+        .map { case (_, cp, cq) => term(cp, cq) }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+  }
 }
