@@ -39,17 +39,15 @@ object LangModel {
     out
   }
 
-  /** Bigram formation as a pure codegen'd HOF — no window, no
-    * shuffle: `a[i] ++ " " ++ a[i+1]` for i in [0, n-2]. Documents
-    * with fewer than two tokens yield an empty array (Spark's
-    * `sequence(0, -1)` would throw on the naive form). */
-  private def bigrams(textCol: org.apache.spark.sql.Column) = {
-    val a = tokens(textCol)
-    when(size(a) >= 2,
-      transform(sequence(lit(0), size(a) - 2),
-        i => concat_ws(" ", element_at(a, i + 1), element_at(a, i + 2))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Bigram formation — [[graft.functions.TextFunctions.posWordShingles]]
+    * with n=2: the NATIVE codegen'd shingler, not a `transform` lambda.
+    * A HOF here would not only run interpreted itself — being merged
+    * by CollapseProject into adjacent aggregates, it would knock the
+    * whole corpus-scale stage out of whole-stage codegen (the q88
+    * lesson). Documents with fewer than two tokens yield an empty
+    * array. */
+  private def bigrams(textCol: org.apache.spark.sql.Column) =
+    graft.functions.TextFunctions.posWordShingles(textCol, 2)
 
   /** Train an add-k-smoothed bigram model: for each observed bigram
     * `(w1 w2)`, `log_p = ln((c(w1,w2)+k) / (c(w1·)+k·V))` where

@@ -124,10 +124,19 @@ object Tokenizer {
     * [[mergePass]]. Appends `syms` — the word's subword tokens.
     * Callers encode a vocabulary frame (distinct words), never raw
     * token instances: the fold is per distinct word, and corpus
-    * statistics ride the frequency column. */
+    * statistics ride the frequency column.
+    *
+    * The input is materialized (localCheckpoint) before the folds:
+    * left lazy, CollapseProject merges the HOF fold chain into the
+    * caller's vocabulary AGGREGATE as result expressions, and the
+    * CodegenFallback lambdas then knock the whole corpus-scale
+    * aggregation stage out of whole-stage codegen — measured 14×
+    * slower end-to-end at sf0.1. The barrier costs one vocabulary-
+    * sized action (the input's contracted scale). */
   def encodeBpe(words: DataFrame, wCol: String,
       merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(words.withColumn("syms", charSyms(col(wCol)))) {
+    merges.foldLeft(
+      words.localCheckpoint().withColumn("syms", charSyms(col(wCol)))) {
       case (df, (a, b)) => df.withColumn("syms", mergePass(col("syms"), a, b))
     }
 }
