@@ -1249,6 +1249,45 @@ class OperatorSpec extends SparkSpec {
     assert(enc("a") === List("a"))
   }
 
+  test("weightedSample plans TakeOrdered over a real scan (no global sort exchange)") {
+    import graft.operators.Sampling
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Sampling.weightedSample(docs, col("doc_id"),
+        col("n_chars").cast("double"), n = 10)
+      .queryExecution.executedPlan.toString
+    // per-partition top-n + driver merge, never a corpus range-shuffle
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("rangepartitioning"), plan.take(800))
+  }
+
+  test("shardAssign plans exactly the one write shuffle (by shard) over a real scan") {
+    import graft.operators.Packing
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val out = Packing.shardAssign(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), col("doc_id"), 8)
+    // materialize through the frame's OWN QueryExecution so the
+    // adaptive plan finalizes (inputPlan predates EnsureRequirements
+    // and would not show the ENSURE_REQUIREMENTS exchange); query
+    // stages are LEAF nodes, so descend into each stage's plan
+    // explicitly (Result stage wraps the tail, Shuffle stages wrap
+    // each exchange)
+    out.collect()
+    // collect itself descends through non-leaf nodes (an exchange's
+    // child subtree is visited anyway); only the leaf-like wrappers
+    // need explicit recursion
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+      case s: ShuffleExchangeExec => Seq(s)
+      case q: QueryStageExec => exchanges(q.plan)
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+    }.flatten
+    val ex = exchanges(out.queryExecution.executedPlan)
+    assert(ex.length === 1, out.queryExecution.executedPlan.toString.take(800))
+    assert(ex.head.outputPartitioning.toString.contains("shard"),
+      ex.head.outputPartitioning.toString)
+  }
+
   // --- KL drift (q85) ------------------------------------------------------
 
   test("klDrift: hand-computed smoothed terms, absent-side tokens finite") {
