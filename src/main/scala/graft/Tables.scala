@@ -56,13 +56,18 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      // fail HERE, at the reader, on a third encoding — a blind cast
+      // would null unparseable values and surface as an oracle
+      // mismatch far from the cause
+      case other => throw new IllegalArgumentException(
+        s"unsupported events.ts encoding: ${other.catalogString}")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")

@@ -43,14 +43,25 @@ object HeavyHitters {
 
     val toks = docs.select(explode(tokens(col(textCol))).as("token"))
 
+    // the completeness bound needs the total token count n; the MG
+    // pass walks every token anyway, so it tallies n as a side effect
+    // (one accumulator add per partition) instead of a dedicated
+    // third corpus scan. Task retries/speculation can only OVERcount
+    // the accumulator, which only makes the bound HARDER to prove —
+    // an overcount never admits a wrong top-k, it at worst forces the
+    // exact fallback.
+    val tokenTally = spark.sparkContext.longAccumulator("graft.hh.tokens")
+
     // MG sketch per partition: capacity counters, decrement-on-full.
     // The decrement sweep is O(capacity) but fires at most n_p/capacity
     // times (each sweep retires ≥ capacity count mass), so the pass
     // stays O(n_p) per partition with O(capacity) heap.
     val candidates = toks.as[String].mapPartitions { it =>
       val m = new java.util.HashMap[String, Long](capacity * 2)
+      var seen = 0L
       while (it.hasNext) {
         val t = it.next()
+        seen += 1L
         val cur = m.get(t)
         if (cur != 0L) m.put(t, cur + 1L)
         else if (m.size < capacity) m.put(t, 1L)
@@ -62,6 +73,7 @@ object HeavyHitters {
           }
         }
       }
+      tokenTally.add(seen)
       import scala.jdk.CollectionConverters._
       m.keySet().iterator().asScala
     }.toDF("token").distinct()
@@ -76,13 +88,15 @@ object HeavyHitters {
 
     val candCounts = toks.join(broadcast(candidates), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("n"))
+    // this collect executes the MG pass (filling tokenTally) and the
+    // rescore in one job
     val top = ranked(candCounts).collect()
 
     // completeness bound: strictly above n/capacity ⇒ no non-candidate
-    // token can reach the k-th slot
-    val nTotal = docs.agg(sum(size(tokens(col(textCol)))).cast("long")).head()
-      .getLong(0)
-    val proven = top.length == k && top.last.getLong(2) * capacity.toLong > nTotal
+    // token can reach the k-th slot. Fewer than k candidates (incl.
+    // the empty corpus) skips the bound entirely and falls back.
+    val proven = top.length == k &&
+      top.last.getLong(2) * capacity.toLong > tokenTally.value
     if (proven) {
       spark.createDataFrame(spark.sparkContext.parallelize(top.toSeq, 1),
         top.head.schema)

@@ -69,17 +69,21 @@ object LangModel {
     val bg = docs.select(explode(bigrams(col(textCol))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c2"))
       .persist()
-    val ctx = bg.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
-      .agg(sum("c2").as("cn"))
-      .localCheckpoint()
-    val vocab = docs.select(explode(tokens(col(textCol))).as("token"))
-      .agg(countDistinct("token")).head().getLong(0)
-    val model = bg.join(ctx, split(col("bigram"), " ").getItem(0) === col("w1"))
-      .select(col("bigram"),
-        log((col("c2") + k) / (col("cn") + k * vocab)).as("log_p"))
-      .localCheckpoint()
-    bg.unpersist(blocking = false)
-    (model, ctx, vocab)
+    // try/finally, not materialize-with-intermediates: the vocabulary
+    // collect between the two checkpoints must also release bg on its
+    // error path
+    try {
+      val ctx = Checkpoints.materialize(
+        bg.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+          .agg(sum("c2").as("cn")))
+      val vocab = docs.select(explode(tokens(col(textCol))).as("token"))
+        .agg(countDistinct("token")).head().getLong(0)
+      val model = Checkpoints.materialize(
+        bg.join(ctx, split(col("bigram"), " ").getItem(0) === col("w1"))
+          .select(col("bigram"),
+            log((col("c2") + k) / (col("cn") + k * vocab)).as("log_p")))
+      (model, ctx, vocab)
+    } finally bg.unpersist(blocking = false)
   }
 
   /** Score documents under a [[bigramLm]]: per-document bigram count

@@ -152,6 +152,13 @@ object Packing {
     * only INSERTS rows into shard orders — existing relative order is
     * stable (the basis for reshard-free incremental appends).
     *
+    * Both guarantees hold GIVEN UNIQUE NON-NULL KEYS (the same
+    * contract [[graft.operators.Sampling.stratifiedSample]] pins):
+    * duplicate keys draw identical (salt, key) sort pairs, leaving
+    * their relative ranks to partitioning luck, and a null key hashes
+    * to a null shard. Pass the corpus's document id, not a derived
+    * attribute.
+    *
     * Execution: the rank is row_number over a shard-partitioned
     * window — exactly the one shuffle (by shard) the physical write
     * needs anyway, so ordering is free at write time. Shard sizes

@@ -170,8 +170,10 @@ object Sampling {
     * depends only on its own (key, weight), so the draw is replayable
     * externally and stable under corpus growth (new rows can push old
     * ones out of the top-n — that is the semantics of a fixed-size
-    * sample — but never REORDER survivors). Rows with NULL or
-    * non-positive weight are excluded (no defensible score).
+    * sample — but never REORDER survivors). Rows with NULL,
+    * non-positive, or NaN weight are excluded (no defensible score —
+    * and Spark's NaN ordering sorts NaN ABOVE every real score, so an
+    * un-excluded 0/0 weight would silently seize the top ranks).
     *
     * Execution: `orderBy(score).limit(n)` plans TakeOrdered — each
     * partition keeps its local top-n, the driver merges
@@ -179,11 +181,13 @@ object Sampling {
     * over n rows only. Appends `sample_rank` (1-based). */
   def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    Seq("sample_rank", "__es").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column $c"))
     // +1 keeps u in (0,1]: a zero draw would hit ln(0), which Spark
     // nulls and other engines -inf — an avoidable parity cliff
     val u = (md5Long(key.cast("string")) + 1L).cast("double") / lit(Scale.toDouble)
     val es = log(u) / weight
-    df.where(weight.isNotNull && weight > 0)
+    df.where(weight.isNotNull && !isnan(weight.cast("double")) && weight > 0)
       .withColumn("__es", es)
       .orderBy(col("__es").desc, key)
       .limit(n)

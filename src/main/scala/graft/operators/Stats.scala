@@ -85,21 +85,28 @@ object Stats {
       .agg(sum(when(col("__p"), 1L).otherwise(0L)).as("c_p"),
         sum(when(!col("__p"), 1L).otherwise(0L)).as("c_q"))
       .persist()
-    val Array(nP, nQ, v) = counts
-      .agg(sum("c_p"), sum("c_q"), count(lit(1))).head()
-      .toSeq.map(x => x.asInstanceOf[Long]).toArray
-    val p = (col("c_p") + k) / lit(nP + k * v)
-    val q = (col("c_q") + k) / lit(nQ + k * v)
-    val contrib = counts.withColumn("kl_term", round(p * log(p / q), 9))
-    val total = contrib.agg(round(sum("kl_term"), 6).as("total_kl"))
-    val out = contrib
-      .orderBy(col("kl_term").desc, col("token"))
-      .limit(topN)
-      .crossJoin(broadcast(total))
-      .select(col("token"), col("c_p"), col("c_q"), col("kl_term"), col("total_kl"))
-      .localCheckpoint()
-    counts.unpersist(blocking = false)
-    out
+    // try/finally so the scalar collect's error path also releases
+    // the count cache, not just the materialization's
+    try {
+      val scalars = counts.agg(sum("c_p"), sum("c_q"), count(lit(1))).head()
+      if (scalars.isNullAt(0)) counts.limit(0)
+        .select(col("token"), col("c_p"), col("c_q"),
+          lit(0.0).as("kl_term"), lit(0.0).as("total_kl"))
+      else {
+        val Array(nP, nQ, v) =
+          scalars.toSeq.map(x => x.asInstanceOf[Long]).toArray
+        val p = (col("c_p") + k) / lit(nP + k * v)
+        val q = (col("c_q") + k) / lit(nQ + k * v)
+        val contrib = counts.withColumn("kl_term", round(p * log(p / q), 9))
+        val total = contrib.agg(round(sum("kl_term"), 6).as("total_kl"))
+        Checkpoints.materialize(contrib
+          .orderBy(col("kl_term").desc, col("token"))
+          .limit(topN)
+          .crossJoin(broadcast(total))
+          .select(col("token"), col("c_p"), col("c_q"),
+            col("kl_term"), col("total_kl")))
+      }
+    } finally counts.unpersist(blocking = false)
   }
 
   /** Sketch-based profile: approximate distinct keys (HLL++, `rsd`

@@ -1155,6 +1155,14 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === Seq(("hot", 5L), ("tok1", 1L), ("tok10", 1L)))
   }
 
+  test("heavyHitters and klDrift are total on an empty corpus") {
+    import graft.operators.{HeavyHitters, Stats}
+    val empty = Seq.empty[(String, Boolean)].toDF("text", "p")
+    assert(HeavyHitters.topKTokens(empty, "text", k = 3, capacity = 8)
+      .collect().isEmpty)
+    assert(Stats.klDrift(empty, "text", col("p")).collect().isEmpty)
+  }
+
   // --- bigram LM (q83) -----------------------------------------------------
 
   test("bigram LM prices seen, unseen-bigram, and unseen-context exactly as trained") {
@@ -1207,17 +1215,23 @@ class OperatorSpec extends SparkSpec {
   test("weightedSample replays the Efraimidis-Spirakis draw; zero/null weights excluded") {
     import graft.operators.Sampling
     val rows = Seq((1L, Option(10.0)), (2L, Option(100.0)), (3L, Option(1.0)),
-      (4L, Option(50.0)), (5L, Option(0.0)), (6L, Option.empty[Double]))
+      (4L, Option(50.0)), (5L, Option(0.0)), (6L, Option.empty[Double]),
+      (7L, Option(Double.NaN)))
     val df = rows.toDF("doc_id", "w")
     val got = Sampling.weightedSample(df, col("doc_id"), col("w"), n = 3)
       .select("sample_rank", "doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    // replicate the score in plain Scala: ln((md5_60(id)+1)/2^60)/w
+    // replicate the score in plain Scala: ln((md5_60(id)+1)/2^60)/w.
+    // Scala's NaN > 0 is false, so the NaN-weight row drops here like
+    // the operator's isnan filter drops it there (without the filter,
+    // Spark's NaN-sorts-largest would put id 7 at rank 1)
     val expected = rows.collect { case (id, Some(w)) if w > 0 =>
       (id, math.log((md5Long60(id.toString) + 1).toDouble / (1L << 60).toDouble) / w)
     }.sortBy { case (id, es) => (-es, id) }.take(3).zipWithIndex
       .map { case ((id, _), i) => (i + 1L, id) }
     assert(got.toSeq === expected)
+    intercept[IllegalArgumentException](Sampling.weightedSample(
+      df.withColumn("sample_rank", lit(1L)), col("doc_id"), col("w"), 3))
   }
 
   // --- BPE training + encoding (q88) ---------------------------------------
