@@ -1155,6 +1155,80 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === Seq(("hot", 5L), ("tok1", 1L), ("tok10", 1L)))
   }
 
+  test("heavyHitters equals the exact top-k on random corpora, both capacity regimes") {
+    import graft.operators.HeavyHitters
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val corpusGen = for {
+      nDocs <- Gen.choose(1, 15)
+      docs <- Gen.listOfN(nDocs, Gen.listOf(Gen.frequency(
+        5 -> Gen.const("hot"), 3 -> Gen.oneOf("warm", "cool"),
+        2 -> Gen.choose(1, 40).map(i => s"t$i"))).map(_.mkString(" ")))
+    } yield docs
+    val cases = (1 to 5).flatMap(i =>
+      corpusGen(Gen.Parameters.default, Seed(i.toLong)))
+    for (texts <- cases; capacity <- Seq(4, 256)) {
+      val k = 3
+      // reference mirrors tokens(): Spark split keeps empty strings,
+      // so an empty doc contributes one "" token
+      val counts = texts.flatMap(_.split(" ", -1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val expected = counts.sortBy { case (t, n) => (-n, t) }.take(k)
+      val got = HeavyHitters.topKTokens(texts.toDF("text"), "text", k, capacity)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      // capacity 4 usually fails the bound (fallback), 256 proves —
+      // EITHER path must equal the exact answer
+      assert(got === expected, s"capacity=$capacity texts=$texts")
+    }
+  }
+
+  test("encodeBpe equals a reference greedy fold on random words and merge chains") {
+    import graft.operators.Tokenizer
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def refPass(syms: List[String], a: String, b: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    val wordsGen = Gen.listOfN(25,
+      Gen.choose(0, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+    for (seed <- 1 to 4) {
+      val words = wordsGen(Gen.Parameters.default, Seed(seed.toLong)).get.distinct
+      // a realistic chain: second merge may consume the first's output
+      val merges = Seq("a" -> "b", "ab" -> "c", "c" -> "c")
+      val got = Tokenizer.encodeBpe(words.toDF("w"), "w", merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      words.foreach { w =>
+        val expected = merges.foldLeft(w.map(_.toString).toList) {
+          case (syms, (a, b)) => refPass(syms, a, b)
+        }
+        assert(got(w) === expected, s"word '$w'")
+      }
+    }
+  }
+
+  test("klDrift total is a true KL (non-negative) on random corpora") {
+    import graft.operators.Stats
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(12, for {
+      txt <- Gen.listOf(Gen.oneOf("x", "y", "z", "w", "v")).map(_.mkString(" "))
+      p <- Gen.oneOf(true, false)
+    } yield (txt, p))
+    for (seed <- 1 to 4) {
+      val docs = gen(Gen.Parameters.default, Seed(seed.toLong)).get
+      val out = Stats.klDrift(docs.toDF("text", "p"), "text", col("p"), topN = 5)
+        .collect()
+      // both smoothed distributions normalize over the JOINT
+      // vocabulary, so the total is a genuine KL divergence —
+      // non-negative up to the per-term rounding
+      out.headOption.foreach(r =>
+        assert(r.getDouble(4) >= -1e-6, s"total_kl=${r.getDouble(4)}"))
+    }
+  }
+
   test("heavyHitters and klDrift are total on an empty corpus") {
     import graft.operators.{HeavyHitters, Stats}
     val empty = Seq.empty[(String, Boolean)].toDF("text", "p")
