@@ -150,6 +150,90 @@ object Similarity {
       assigned)
   }
 
+  /** Deterministic SRP hyperplane matrix: `planes(i)(d)` maps an
+    * md5 draw of `"salt|i|d"` into (-1, 1] — a pure function of
+    * (salt, i, d), so a SQL oracle derives the IDENTICAL matrix from
+    * the same md5 formula and every signature bit replays exactly.
+    * (True Gaussian planes estimate angles marginally better; md5-
+    * uniform components keep the engine-portability contract every
+    * hash in this library honors, and SRP's guarantee only needs the
+    * planes to be symmetric around zero.) */
+  def srpPlanes(bits: Int, dim: Int, salt: String = "srp"): Array[Array[Double]] = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+    val scale = (1L << 60).toDouble
+    Array.tabulate(bits, dim) { (i, d) =>
+      val h = java.lang.Long.parseLong(
+        graft.functions.Md5ModExpr.md5Hex(s"$salt|$i|$d").take(15), 16)
+      ((h + 1).toDouble / scale) * 2 - 1
+    }
+  }
+
+  /** Signed-random-projection signatures (Charikar STOC'02 — the
+    * cosine-space simhash): `bits`-bit signature per vector via the
+    * native codegen [[graft.functions.SrpSignExpr]]; hamming distance
+    * between signatures estimates the angle (`P[bit flips] = θ/π`).
+    * One map pass, no shuffle. Returns (idCol, srp). */
+  def srpSignatures(vectors: DataFrame, idCol: String, embCol: String,
+      planes: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    vectors.select(col(idCol), ColumnBridge.column(graft.functions.SrpSignExpr(
+      ColumnBridge.expression(toDouble(col(embCol))), planes)).as("srp"))
+  }
+
+  /** SRP near-duplicate pairs: pigeonhole banding over the signature
+    * (split into `maxHamming + 1` chunks — a pair within the hamming
+    * budget must agree on ≥ 1 chunk, FULL recall at the signature
+    * level, same guarantee as the text simhash banding) → exact
+    * hamming verify (`bit_count(xor)`) → exact cosine verify. The
+    * corpus×corpus product is never formed; candidates are an equi
+    * join on (band, chunk). Embeddings ride along with the signature
+    * frame so verification needs no extra join; that frame is
+    * persisted across the self-join sides and released on return.
+    *
+    * vs [[nearDupPairs]] (IVF cells): SRP needs NO centroid build and
+    * its bucket count adapts to the data (2^chunkBits per band), the
+    * better fit when the corpus has no usable cluster structure;
+    * IVF cells cut candidate volume harder when it does. */
+  def srpNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      bits: Int = 16, maxHamming: Int = 3, minCosine: Double = 0.25,
+      salt: String = "srp"): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    val chunkBits = bits / bands
+    val mask = (1L << chunkBits) - 1
+    val dim = 1024 // planes cover any realistic dim; dot runs over the common prefix
+    val planes = srpPlanes(bits, dim, salt)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sigs = corpus.select(col(idCol).as("vid"),
+        toDouble(col(embCol)).as("ve"))
+      .withColumn("srp", ColumnBridge.column(graft.functions.SrpSignExpr(
+        ColumnBridge.expression(col("ve")), planes)))
+      .persist()
+    val chunks = sigs.select(col("vid"), col("ve"), col("srp"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("srp"), b * chunkBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "chunk")
+    val candidates = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("vec_id_1"), col("a.srp").as("__s1"),
+        col("a.ve").as("__e1"),
+        col("b.vid").as("vec_id_2"), col("b.srp").as("__s2"),
+        col("b.ve").as("__e2"))
+      .distinct() // a pair can agree on several bands
+    Checkpoints.materialize(
+      candidates
+        .withColumn("hamming",
+          bit_count(col("__s1").bitwiseXOR(col("__s2"))).cast("long"))
+        .where(col("hamming") <= maxHamming)
+        .withColumn("cosine", round(cosine(col("__e1"), col("__e2")), 6))
+        .where(col("cosine") >= minCosine)
+        .select("vec_id_1", "vec_id_2", "hamming", "cosine"),
+      sigs)
+  }
+
   /** Product quantization (Jégou, Douze, Schmid: "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011): vectors compress to
     * `m` small codes — one per subspace — and queries score the whole

@@ -1900,8 +1900,42 @@ object LlmQueries {
          |GROUP BY 1 ORDER BY n DESC, subword LIMIT 30""".stripMargin
     })
 
+  /** q89 — SRP hyperplane-LSH near-dup pairs
+    * ([[graft.operators.Similarity.srpNearDupPairs]], Charikar
+    * STOC'02): the cosine-space simhash — 16-bit signed-random-
+    * projection signatures via the native codegen
+    * [[graft.functions.SrpSignExpr]], pigeonhole banding (hamming ≤ 3
+    * ⇒ agreement on ≥ 1 of 4 chunks, full signature-level recall),
+    * exact hamming + exact cosine verification. Unlike q31's IVF
+    * cells, SRP needs no centroid build — the right bucket family
+    * when the corpus has no usable cluster structure. The oracle
+    * derives the identical md5 plane matrix and replays every
+    * signature bit, both verifications included. */
+  private val q89 = Q("q89_srp_near_dups",
+    (s, d) => {
+      Similarity.srpNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          bits = 16, maxHamming = 3, minCosine = 0.25)
+        .orderBy("vec_id_1", "vec_id_2")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sig AS (SELECT vec_id, v,
+              (SELECT CAST(sum(CASE WHEN list_dot_product(v,
+                  list_transform(generate_series(0, 63), d ->
+                    ((CAST(('0x' || substr(md5('srp|' || i || '|' || d), 1, 15)) AS BIGINT) + 1)
+                     / 1152921504606846976.0) * 2 - 1)) > 0
+                THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT)
+               FROM unnest(generate_series(0, 15)) AS t(i)) AS sig
+              FROM e)
+            SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+              AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+            ORDER BY vec_id_1, vec_id_2"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

@@ -1229,6 +1229,67 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  // --- SRP hyperplane LSH (q89) --------------------------------------------
+
+  test("SRP signatures match a plain-Scala reference bit-for-bit, both eval paths") {
+    import graft.operators.Similarity
+    val planes = Similarity.srpPlanes(bits = 16, dim = 8)
+    val vecs = Seq(
+      (1L, Array(0.5, -0.25, 1.0, 0.0, -1.0, 0.75, 0.1, -0.9)),
+      (2L, Array(-0.5, 0.25, -1.0, 0.0, 1.0, -0.75, -0.1, 0.9)), // negated -> complement
+      (3L, Array.fill(8)(0.0)))                                  // zero vector -> all bits 0
+    def refSig(v: Array[Double]): Long =
+      planes.zipWithIndex.foldLeft(0L) { case (sig, (p, i)) =>
+        var dot = 0.0
+        for (d <- v.indices) dot += v(d) * p(d)
+        if (dot > 0.0) sig | (1L << i) else sig
+      }
+    // codegen path (through the frame)
+    val got = Similarity.srpSignatures(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", planes)
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    vecs.zip(got).foreach { case ((id, v), (gid, sig)) =>
+      assert(gid === id && sig === refSig(v), s"vec $id") }
+    // negation flips every bit whose dot is nonzero; with no exact-zero
+    // dots the signatures are complements within the 16-bit mask
+    assert((got(0)._2 ^ got(1)._2) === 0xFFFFL)
+    assert(got(2)._2 === 0L)
+    // interpreted path (direct eval, no codegen)
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val expr = graft.functions.SrpSignExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vecs.head._2, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)), planes)
+    assert(expr.nullSafeEval(ArrayData.toArrayData(vecs.head._2)) ===
+      refSig(vecs.head._2))
+  }
+
+  test("SRP banding has full signature-level recall (every hamming<=max pair found)") {
+    import graft.operators.Similarity
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(30, Gen.listOfN(8,
+      Gen.choose(-1.0, 1.0)).map(_.toArray))
+    val vecs = gen(Gen.Parameters.default, Seed(7L)).get.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val planes = Similarity.srpPlanes(bits = 16, dim = 8)
+    // a Seq, not a Map: a for-comprehension over a Map would yield a
+    // Map and silently collapse pairs sharing a first id
+    val sigs = Similarity.srpSignatures(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", planes)
+      .as[(Long, Long)].collect().toSeq
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    // minCosine = -1 disables the cosine verify: the assertion is the
+    // BANDING's pigeonhole recall, exactly the candidate set
+    val got = Similarity.srpNearDupPairs(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", bits = 16, maxHamming = 3, minCosine = -1.0)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("heavyHitters and klDrift are total on an empty corpus") {
     import graft.operators.{HeavyHitters, Stats}
     val empty = Seq.empty[(String, Boolean)].toDF("text", "p")
