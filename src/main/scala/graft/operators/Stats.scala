@@ -109,6 +109,49 @@ object Stats {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** Zipf fit of the token frequency distribution — the corpus-health
+    * statistic (natural language follows `freq ∝ rank^(-s)` with
+    * s ≈ 1; machine-generated or template text bends the curve, so
+    * the fitted slope is a cheap whole-corpus quality signal).
+    * Ordinary least squares of `ln(freq)` on `ln(rank)` in CLOSED
+    * form — `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` — rather
+    * than `regr_slope`, whose streaming-update internals differ
+    * across engines; the closed form is the same four sums in any
+    * engine, and the output rounds before comparison. Returns one row
+    * (n_types, n_tokens, zipf_slope, zipf_intercept, r2).
+    *
+    * Execution: one token-keyed count (map-side combined), one
+    * rank window over the VOCABULARY (frequency table, ≪ corpus),
+    * one scalar aggregate. */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+    val xy = ranked.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("freq").cast("double")).as("y"),
+      col("freq"))
+    xy.agg(count(lit(1)).as("n_types"), sum("freq").as("n_tokens"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_types"), col("n_tokens"),
+        round((col("n_types") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_types") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        round((col("sy") - ((col("n_types") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_types") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+          / col("n_types"), 6).as("zipf_intercept"),
+        round(pow(col("n_types") * col("sxy") - col("sx") * col("sy"), 2)
+          / ((col("n_types") * col("sxx") - col("sx") * col("sx"))
+            * (col("n_types") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+  }
+
   /** Sketch-based profile: approximate distinct keys (HLL++, `rsd`
     * relative error) and approximate percentiles (`acc` accuracy =
     * 1/precision; error ≤ 1/acc of rank) per group. */

@@ -1934,8 +1934,89 @@ object LlmQueries {
               AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
             ORDER BY vec_id_1, vec_id_2"""))
 
+  /** q90 — Zipf fit ([[graft.operators.Stats.zipfFit]]): OLS of
+    * ln(freq) on ln(rank) over the vocabulary — the whole-corpus
+    * quality signal (natural text slopes near −1; template/generated
+    * text bends the curve). Closed-form sums, not `regr_slope`, so
+    * both engines compute the same four aggregates and the rounded
+    * outputs hash-match. */
+  private val q90 = Q("q90_zipf_fit",
+    (s, d) => Stats.zipfFit(Tables.documents(s, d).select("text"), "text"),
+    Some("""WITH c AS (SELECT token, count(*) AS freq FROM
+              (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+              GROUP BY 1),
+            r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+                  FROM c),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(freq) AS BIGINT) AS n_tokens,
+                         sum(ln(CAST(rank AS DOUBLE))) AS sx,
+                         sum(ln(CAST(freq AS DOUBLE))) AS sy,
+                         sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS sxy,
+                         sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx,
+                         sum(ln(CAST(freq AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS syy
+                  FROM r)
+            SELECT n AS n_types, n_tokens,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+                     AS zipf_intercept,
+                   round(pow(n * sxy - sx * sy, 2)
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+            FROM s"""))
+
+  private val q91Runs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q91 — the STREAMING execution path under the oracle gate: stage
+    * the documents with a deterministic ingest timestamp, run
+    * [[graft.streaming.CorpusStream.sourceQualityWindows]] as an
+    * actual Structured Streaming query (AvailableNow → memory sink —
+    * state store, watermark and all), and hash-compare the sink
+    * against batch SQL. q43/q47 gate the batch form of windowing;
+    * this gates the streaming ENGINE path itself — the
+    * streaming==batch equivalence the specs assert, now also held to
+    * the external oracle. Sink names are counter-unique so bench
+    * repetitions don't collide. */
+  private val q91 = Q("q91_stream_quality_windows",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q91_").toString
+      Tables.documents(s, d)
+        .withColumn("ts",
+          timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L))
+        .select("doc_id", "ts", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(dir)
+      val sink = s"q91_sink_${q91Runs.incrementAndGet()}"
+      val q = graft.streaming.CorpusStream.sourceQualityWindows(
+          graft.streaming.CorpusStream.readStream(s, dir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("source"), col("n_docs"), col("avg_quality"),
+          col("n_low_quality"), col("n_tokens"))
+        .orderBy("window_start", "source")
+    },
+    Some("""WITH docs AS (SELECT *,
+                   to_timestamp((1700000000000 + doc_id * 60000) / 1000.0) AS ts,
+                   round(least(len(str_split(text, ' ')) / 60.0, 1.0) * 0.4
+                       + (len(list_distinct(str_split(text, ' '))) * 1.0
+                          / len(str_split(text, ' '))) * 0.3
+                       + (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                          * 1.0 / greatest(length(text), 1)) * 0.3, 6) AS q
+                 FROM documents)
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+                   source, count(*) AS n_docs,
+                   round(avg(q), 6) AS avg_quality,
+                   CAST(sum(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_low_quality,
+                   CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM docs GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }
