@@ -1270,4 +1270,50 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .drop("__isl")
   }
+
+  /** Line-level corpus dedup (the CCNet pre-pass, Wenzek et al.
+    * LREC'20): split every document on `sep`, drop each line whose
+    * normalized content already occurred at a lexicographically
+    * earlier (id, position) anywhere in the corpus, and reassemble
+    * the surviving lines in document order. This is the step that
+    * strips boilerplate (headers, cookie banners, navigation) that
+    * repeats across a crawl — whole-document dedup never sees it
+    * because the surrounding text differs.
+    *
+    * Returns (idCol, textCol [cleaned], n_lines_in, n_lines_kept);
+    * a document whose every line is duplicated elsewhere comes back
+    * with empty text, not dropped — removal is a caller policy.
+    *
+    * Execution, scale-first: the survivor-per-content min is a
+    * (content-hash)-keyed aggregate whose map-side partial combine
+    * collapses a million-fold-repeated boilerplate line BEFORE the
+    * wire (the same skew argument as [[exactByKey]]); the keep flag
+    * then joins the tiny distinct-content survivor list back on the
+    * UNIQUE (id, position) key — deliberately not on the hot content
+    * hash, so no join partition inherits the boilerplate's skew.
+    * Reassembly is one id-keyed aggregate. No window over content,
+    * no driver state. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = spread(docs, idCol)
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))))
+      .select(col(idCol), col("pos"), col("col").as("__line"),
+        md5Long(lower(trim(col("col")))).as("__fp"))
+    // one row per distinct content: the earliest (id, pos) claiming it
+    val firsts = lines
+      .groupBy(col("__fp"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(col("__first").getField(idCol).as(idCol),
+        col("__first").getField("pos").as("pos"), lit(1).as("__keep"))
+    lines.join(firsts, Seq(idCol, "pos"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_in"),
+        coalesce(sum("__keep"), lit(0L)).cast("long").as("n_lines_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__keep") === 1,
+            struct(col("pos"), col("__line"))))),
+          x => x.getField("__line"))).as(textCol))
+      .select(col(idCol), col(textCol), col("n_lines_in"), col("n_lines_kept"))
+  }
 }

@@ -124,4 +124,34 @@ object LangModel {
       .agg(sum("tf").as("n_tokens"),
         (sum(col("tf") * lp) / sum("tf")).as("avg_logp"))
   }
+
+  /** CCNet's head/middle/tail split generalized: bucket scored
+    * documents into `nBuckets` equal-mass perplexity bands. Bucket 1
+    * holds the HIGHEST scores (head = lowest perplexity = cleanest
+    * prose — CCNet trains only on it; tail is the gibberish band).
+    *
+    * Deliberately NOT an `ntile` window — a global ntile sorts the
+    * whole corpus in one partition. Instead the band boundaries are
+    * one exact-percentile aggregate (a 1-row frame, `quantile_cont`
+    * semantics — the q54-proven engine-portable kind, rounded to 6 so
+    * an external replay lands on identical cuts) broadcast onto the
+    * corpus, and the bucket is a pure codegen'd comparison chain: no
+    * corpus shuffle at any scale. A score equal to a cut takes the
+    * lower-numbered (better) bucket. Appends `ppl_bucket`. */
+  def perplexityBuckets(scored: DataFrame, scoreCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cuts = scored.agg(percentile(col(scoreCol), typedLit(ps)).as("__qs"))
+      .select((0 until ps.size).map(i =>
+        round(element_at(col("__qs"), i + 1), 6).as(s"__c$i")): _*)
+    // cuts ascend; bucket 1 = above the LAST cut. >= keeps a
+    // boundary score in the better band on both engines.
+    val bucket = (0 until ps.size).foldLeft(lit(nBuckets)) { (acc, i) =>
+      when(col(scoreCol) >= col(s"__c$i"), lit(nBuckets - 1 - i)).otherwise(acc)
+    }
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("ppl_bucket", bucket)
+      .drop((0 until ps.size).map(i => s"__c$i"): _*)
+  }
 }

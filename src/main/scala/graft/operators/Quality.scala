@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.TextFunctions.{posWordShingles, tokens}
-import org.apache.spark.sql.DataFrame
+import graft.functions.TextFunctions.{md5Long, posWordShingles, tokens}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch data-quality gates — the checks a pipeline runs on EVERY
@@ -99,6 +99,58 @@ object Quality {
     df.select(col(idCol)).distinct()
       .join(words, Seq(idCol), "left")
       .join(bigrams, Seq(idCol), "left")
+  }
+
+  /** DSIR data-selection weights (Xie et al., NeurIPS'23 —
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much more likely its hashed n-gram
+    * features are under a TARGET distribution (e.g. a trusted
+    * high-quality slice) than under the RAW pool — the importance
+    * log-weight `Σ_f c_f · [ln p̂_target(f) − ln p̂_raw(f)]` that
+    * importance-resampling then samples by. Features are word
+    * unigrams + bigrams hashed into `buckets` buckets (the paper's
+    * hashed n-gram model: a fixed-size multinomial regardless of
+    * vocabulary), estimated with add-`alpha` smoothing so a bucket
+    * unseen on one side stays finite.
+    *
+    * `isTarget` marks the target rows inside `docs`; raw = the rest.
+    * Returns (idCol, is_target, n_feats, dsir_logw) for every doc —
+    * the caller filters/samples (typically: top raw docs by weight).
+    *
+    * Execution, scale-first: one explode pass per doc builds
+    * (id, bucket) counts (map-side combined); the two global bucket
+    * distributions REUSE that frame (a `buckets`-row aggregate —
+    * never a second corpus scan); totals are a 1-row aggregate
+    * broadcast onto the `buckets`-row ratio table, which then
+    * broadcast-joins back onto the per-doc counts. The only shuffles
+    * are (id, bucket)-keyed — uniform by construction (md5 buckets).
+    * Everything is md5-derived, so a SQL oracle replays every weight
+    * value-for-value. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024, alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val perDoc = docs
+      .select(col(idCol), isTarget.cast("boolean").as("is_target"),
+        explode(concat(posWordShingles(col(textCol), 1),
+          posWordShingles(col(textCol), 2))).as("__g"))
+      .select(col(idCol), col("is_target"),
+        pmod(md5Long(col("__g")), lit(buckets.toLong)).as("__b"))
+      .groupBy(col(idCol), col("is_target"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val dist = perDoc.groupBy(col("__b"))
+      .agg(sum(when(col("is_target"), col("__c")).otherwise(0L)).as("__t"),
+        sum(when(!col("is_target"), col("__c")).otherwise(0L)).as("__r"))
+    val totals = dist.agg(sum("__t").as("__tn"), sum("__r").as("__rn"))
+    val aB = alpha * buckets
+    val ratios = dist.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((col("__t") + alpha) / (col("__tn") + aB))
+          - log((col("__r") + alpha) / (col("__rn") + aB))).as("__lr"))
+    perDoc.join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol), col("is_target"))
+      .agg(sum("__c").cast("long").as("n_feats"),
+        sum(col("__c") * col("__lr")).as("dsir_logw"))
   }
 
   /** One-pass completeness profile: row count + per-column null

@@ -150,6 +150,27 @@ object Similarity {
       assigned)
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup over
+    * the embedding space — documents whose embeddings are near-
+    * identical in cosine are redundant for training even when their
+    * token-level shingles differ (paraphrases, boilerplate variants,
+    * translations of the same page), so whole near-dup GROUPS are
+    * collapsed to one representative. Pairs come from the cell-
+    * bucketed [[nearDupPairs]] (the paper's "dedup within k-means
+    * clusters" — the corpus×corpus product is never formed), the
+    * groups from [[Dedup.connectedComponents]] over the pair graph
+    * (pairs alone over-delete on chains: a~b, b~c must keep exactly
+    * one of {a,b,c}, not zero), and the survivor per group is the
+    * min-id representative ([[Dedup.dedupByClusters]] — one semi-join
+    * of the corpus against the pairs-sized membership list).
+    * Returns the surviving corpus rows unchanged. */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, threshold: Double,
+      nProbe: Int = 2, idCol: String = "vec_id"): DataFrame = {
+    val pairs = nearDupPairs(corpus, centroids, threshold, nProbe)
+    val clusters = Dedup.connectedComponents(pairs, "vec_id_1", "vec_id_2")
+    Dedup.dedupByClusters(corpus, clusters, idCol)
+  }
+
   /** Deterministic SRP hyperplane matrix: `planes(i)(d)` maps an
     * md5 draw of `"salt|i|d"` into (-1, 1] — a pure function of
     * (salt, i, d), so a SQL oracle derives the IDENTICAL matrix from

@@ -2015,8 +2015,183 @@ object LlmQueries {
                    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
             FROM docs GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q92 — line-level corpus dedup ([[graft.operators.Dedup.dedupLines]],
+    * the CCNet pre-pass): a per-source boilerplate line is planted on
+    * every document (the crawl-header shape whole-doc dedup cannot
+    * see) plus whole-doc duplicates every 13th doc; the operator must
+    * keep each distinct line's earliest (doc, position) occurrence
+    * and reassemble documents in order. The oracle replays the
+    * line split, the md5 survivor election, and the cleaned-text
+    * reassembly character-for-character (`clean_chars` pins the
+    * rebuilt text, not just the counts). */
+  private val q92 = Q("q92_line_dedup",
+    (s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text", "source")
+      val docs = base.unionByName(
+          base.filter(col("doc_id") % 13 === 0)
+            .withColumn("doc_id", col("doc_id") + 30000))
+        .withColumn("text", concat(col("text"), lit("\n"),
+          lit("BOILER "), col("source"), lit(" subscribe now")))
+      Dedup.dedupLines(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_lines_in").cast("long").as("n_lines_in"),
+          sum("n_lines_kept").cast("long").as("n_lines_kept"),
+          sum(length(col("text"))).cast("long").as("clean_chars"))
+        .orderBy("source")
+    },
+    Some("""WITH all_docs AS (
+              SELECT doc_id, text || chr(10) || 'BOILER ' || source || ' subscribe now' AS text,
+                     source FROM documents
+              UNION ALL
+              SELECT doc_id + 30000, text || chr(10) || 'BOILER ' || source || ' subscribe now',
+                     source FROM documents WHERE doc_id % 13 = 0),
+            lines AS (
+              SELECT doc_id, source, i AS pos, ls[i] AS line
+              FROM (SELECT doc_id, source, str_split(text, chr(10)) AS ls FROM all_docs),
+                   LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)),
+            fp AS (SELECT *, CAST(('0x' || substr(md5(lower(trim(line))), 1, 15)) AS BIGINT) AS fp
+                   FROM lines),
+            firsts AS (SELECT doc_id, pos, 1 AS keep FROM (
+                         SELECT doc_id, pos,
+                                row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+                         FROM fp) WHERE rn = 1),
+            flagged AS (SELECT f.doc_id, f.source, f.pos, f.line, coalesce(k.keep, 0) AS keep
+                        FROM fp f LEFT JOIN firsts k USING (doc_id, pos)),
+            docs2 AS (SELECT doc_id, source, count(*) AS n_in, sum(keep) AS n_kept,
+                             coalesce(string_agg(CASE WHEN keep = 1 THEN line END,
+                                                 chr(10) ORDER BY pos), '') AS clean
+                      FROM flagged GROUP BY 1, 2)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_in) AS BIGINT) AS n_lines_in,
+                   CAST(sum(n_kept) AS BIGINT) AS n_lines_kept,
+                   CAST(sum(length(clean)) AS BIGINT) AS clean_chars
+            FROM docs2 GROUP BY 1 ORDER BY 1"""))
+
+  /** q93 — SemDeDup ([[graft.operators.Similarity.semDedup]], Abbas
+    * et al. 2023): semantic dedup over the embedding space — IVF-cell-
+    * bucketed cosine pairs at 0.4, connected components over the pair
+    * graph, min-id survivor per semantic group. The full surviving id
+    * list is the gate (deletion is exactly the complement); the
+    * oracle replays cell assignment, pair mining, and the component
+    * closure (recursive CTE) end-to-end. */
+  private val q93 = Q("q93_sem_dedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDedup(emb, Similarity.sampleCentroids(emb, 50),
+          threshold = 0.4, nProbe = 2)
+        .select("vec_id").orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                          FROM embeddings WHERE vec_id % 50 = 0),
+            corpus AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+            acell AS (SELECT vid, ve, cell FROM (
+                        SELECT vid, ve, cid AS cell,
+                               row_number() OVER (PARTITION BY vid
+                                 ORDER BY list_cosine_similarity(ve, ce) DESC, cid ASC) AS rn
+                        FROM corpus CROSS JOIN cent) WHERE rn <= 2),
+            cand AS (SELECT DISTINCT a.vid AS v1, b.vid AS v2
+                     FROM acell a JOIN acell b ON a.cell = b.cell AND a.vid < b.vid),
+            pairs AS (SELECT v1, v2 FROM cand
+                      JOIN corpus x ON x.vid = v1
+                      JOIN corpus y ON y.vid = v2
+                      WHERE round(list_cosine_similarity(x.ve, y.ve), 6) >= 0.4),
+            edges AS (SELECT v1 AS a, v2 AS b FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+            lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT id FROM lbl WHERE id <> label)
+            ORDER BY vec_id"""))
+
+  /** q94 — DSIR importance weights
+    * ([[graft.operators.Quality.dsirWeights]], Xie et al. NeurIPS'23):
+    * hashed unigram+bigram features (512 md5 buckets), add-1-smoothed
+    * target ('src0') vs raw log-likelihood ratios, per-doc importance
+    * log-weights; top-25 raw docs by weight — the docs importance
+    * resampling would pull toward the target distribution. Sorted on
+    * the ROUNDED weight (engine-portable key, the q85 convention).
+    * The oracle replays feature hashing, both smoothed distributions,
+    * and every weight value-for-value. */
+  private val q94 = Q("q94_dsir_weights",
+    (s, d) => {
+      Quality.dsirWeights(Tables.documents(s, d).select("doc_id", "text", "source"),
+          "doc_id", "text", col("source") === "src0", buckets = 512)
+        .where(!col("is_target"))
+        .select(col("doc_id"), col("n_feats"),
+          round(col("dsir_logw"), 6).as("dsir_logw"))
+        .orderBy(col("dsir_logw").desc, col("doc_id"))
+        .limit(25)
+    },
+    Some("""WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents),
+            feats AS (
+              SELECT doc_id, source = 'src0' AS is_target, g
+              FROM (SELECT doc_id, source,
+                           unnest(list_concat(ws,
+                             list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1]))) AS g
+                    FROM t)),
+            pb AS (SELECT doc_id, is_target,
+                          CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS b,
+                          count(*) AS c
+                   FROM feats GROUP BY 1, 2, 3),
+            dist AS (SELECT b, sum(CASE WHEN is_target THEN c ELSE 0 END) AS t,
+                            sum(CASE WHEN NOT is_target THEN c ELSE 0 END) AS r
+                     FROM pb GROUP BY 1),
+            tot AS (SELECT CAST(sum(t) AS DOUBLE) AS tn, CAST(sum(r) AS DOUBLE) AS rn
+                    FROM dist),
+            ratio AS (SELECT b, ln((t + 1.0) / (tn + 512.0)) - ln((r + 1.0) / (rn + 512.0)) AS lr
+                      FROM dist, tot),
+            w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats, sum(c * lr) AS w
+                  FROM pb JOIN ratio USING (b) WHERE NOT is_target GROUP BY 1)
+            SELECT doc_id, n_feats, round(w, 6) AS dsir_logw
+            FROM w ORDER BY round(w, 6) DESC, doc_id LIMIT 25"""))
+
+  /** q95 — CCNet head/middle/tail perplexity bands
+    * ([[graft.operators.LangModel.perplexityBuckets]]): unigram-LM
+    * scores (q80's model, rounded to the engine-portable 6dp) split
+    * at exact tercile cuts — one 1-row percentile aggregate broadcast
+    * onto the corpus, never a global ntile sort — and rolled up per
+    * (band, source). The oracle recomputes the cuts with
+    * `quantile_cont` and re-bands every document. */
+  private val q95 = Q("q95_ppl_buckets",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val lm = LangModel.unigramLm(docs, "text")
+      val scored = LangModel.lmScore(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), round(col("avg_logp"), 6).as("score"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      LangModel.perplexityBuckets(scored, "score", 3)
+        .groupBy(col("ppl_bucket").cast("long").as("ppl_bucket"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), round(avg("score"), 6).as("avg_score"))
+        .orderBy("ppl_bucket", "source")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            cnt AS (SELECT token, sum(tf) AS n FROM tf GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt),
+            lm AS (SELECT token, ln(CAST(n AS DOUBLE) / total) AS log_p FROM cnt, tot),
+            sc AS (SELECT tf.doc_id, round(sum(tf.tf * lm.log_p) / sum(tf.tf), 6) AS score
+                   FROM tf JOIN lm USING (token) GROUP BY 1),
+            cuts AS (SELECT round(quantile_cont(score, 1.0/3), 6) AS c0,
+                            round(quantile_cont(score, 2.0/3), 6) AS c1 FROM sc),
+            b AS (SELECT doc_id, score,
+                         CAST(CASE WHEN score >= c1 THEN 1
+                                   WHEN score >= c0 THEN 2
+                                   ELSE 3 END AS BIGINT) AS ppl_bucket
+                  FROM sc, cuts)
+            SELECT ppl_bucket, d.source, count(*) AS n_docs,
+                   round(avg(score), 6) AS avg_score
+            FROM b JOIN documents d USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
 }

@@ -1461,4 +1461,79 @@ class OperatorSpec extends SparkSpec {
         .map { case (_, cp, cq) => term(cp, cq) }.sum)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
   }
+
+  // --- line-level dedup (q92) ----------------------------------------------
+
+  test("dedupLines: earliest (doc,pos) survives, order-preserving reassembly, all-dup doc empties") {
+    val docs = Seq(
+      (1L, "alpha\nboiler line\nbeta"),
+      (2L, "boiler line\ngamma"),   // boiler already seen at (1,1)
+      (3L, "boiler line"),          // only duplicated content -> empty, NOT dropped
+      (4L, "delta\ndelta"))         // within-doc repeat: second occurrence drops
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((1L, "alpha\nboiler line\nbeta", 3L, 3L)))
+    assert(out(1) === ((2L, "gamma", 2L, 1L)))
+    assert(out(2) === ((3L, "", 1L, 0L)))
+    assert(out(3) === ((4L, "delta", 2L, 1L)))
+  }
+
+  // --- SemDeDup (q93) ------------------------------------------------------
+
+  test("semDedup: chains collapse to one representative, distinct groups survive") {
+    import graft.operators.Similarity
+    def rot(deg: Double) = Array(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    // 1~2 (cos 5deg = .9962) and 2~3 (cos 5deg), but 1~3 (cos 10deg
+    // = .9848) is BELOW the 0.995 threshold: only the component
+    // closure keeps exactly one of the chain {1,2,3}
+    val vecs = Seq((1L, rot(0)), (2L, rot(5)), (3L, rot(10)), (10L, Array(0.0, 1.0)))
+    val centroids = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs.toDF("vec_id", "embedding"), centroids,
+        threshold = 0.995, nProbe = 1)
+      .select("vec_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 10L))
+  }
+
+  // --- DSIR importance weights (q94) ---------------------------------------
+
+  test("dsirWeights: hand-replayed hashed-feature log-ratios, both sides scored") {
+    import graft.operators.Quality
+    val docs = Seq((1L, "a a", true), (2L, "a b", false)).toDF("doc_id", "text", "t")
+    // features (unigrams + bigrams): doc1 {a, a, "a a"}, doc2 {a, b, "a b"}
+    def bk(g: String) = java.lang.Math.floorMod(md5Long60(g), 8L)
+    def cnt(fs: Seq[String]) = fs.groupBy(bk).map { case (b, g) => b -> g.size.toLong }
+    val (tc, rc) = (cnt(Seq("a", "a", "a a")), cnt(Seq("a", "b", "a b")))
+    def lr(b: Long) =
+      math.log((tc.getOrElse(b, 0L) + 0.5) / (3.0 + 0.5 * 8)) -
+        math.log((rc.getOrElse(b, 0L) + 0.5) / (3.0 + 0.5 * 8))
+    val expected = Map(
+      1L -> Seq("a", "a", "a a").map(g => lr(bk(g))).sum,
+      2L -> Seq("a", "b", "a b").map(g => lr(bk(g))).sum)
+    val out = Quality.dsirWeights(docs, "doc_id", "text", col("t"),
+        buckets = 8, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(o => (o._1, o._2, o._3)).toSeq ===
+      Seq((1L, true, 3L), (2L, false, 3L)))
+    out.foreach(o => assert(math.abs(o._4 - expected(o._1)) < 1e-12, s"doc ${o._1}"))
+    // the target's own features are LIKELIER under target: positive weight
+    assert(out(0)._4 > 0 && out(1)._4 < out(0)._4)
+  }
+
+  // --- perplexity bands (q95) ----------------------------------------------
+
+  test("perplexityBuckets: equal-mass tercile cuts, head = highest scores") {
+    import graft.operators.LangModel
+    val scored = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "s")
+    val out = LangModel.perplexityBuckets(scored, "s", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    // quantile_cont cuts over 1..9: p33.3 = 3.666667, p66.7 = 6.333333
+    assert((1 to 3).forall(i => out(i.toLong) === 3), s"tail band: $out")
+    assert((4 to 6).forall(i => out(i.toLong) === 2), s"middle band: $out")
+    assert((7 to 9).forall(i => out(i.toLong) === 1), s"head band: $out")
+    intercept[IllegalArgumentException](
+      LangModel.perplexityBuckets(scored, "s", 1))
+  }
 }
