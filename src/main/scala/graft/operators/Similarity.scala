@@ -116,6 +116,26 @@ object Similarity {
     ivfTopKWithProbes(store.where(col("cell").isin(probedCells: _*)), probes, k)
   }
 
+  /** INCREMENTAL index maintenance — the ANN twin of
+    * [[graft.operators.Dedup.minhashLshAppend]]: assign ONLY the new
+    * batch to the existing centroids (one broadcast pass over the
+    * batch; the indexed corpus is never rescanned) and append the
+    * assignment to the cell-partitioned store. Cell assignment is a
+    * pure function of (vector, centroids), so append-then-probe is
+    * value-identical to a full rebuild over the grown corpus (q97
+    * holds that equivalence to the oracle), and appends only ADD
+    * files to cell directories — planning-time probe pruning over
+    * the store is unaffected. A failed append can leave partial
+    * files; the index is derived data, so recovery is re-derivation
+    * (or route through the warehouse overwrite-swap when a serving
+    * store needs exactly-once). Periodically re-fit centroids when
+    * drift degrades [[recallAtK]] — the append contract is "same
+    * centroids", like minhash append's "same hash family". */
+  def ivfStoreAppend(newBatch: DataFrame, centroids: DataFrame,
+      storeDir: String): Unit =
+    assignCells(newBatch, centroids, "nid", "ne", "cell", 1)
+      .write.mode("append").partitionBy("cell").parquet(storeDir)
+
   /** Convenience: build + probe in one call (when the assignment is
     * not reused). Prefer persisting [[assignCells]] when probing more
     * than once. */

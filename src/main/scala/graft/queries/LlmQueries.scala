@@ -2190,8 +2190,105 @@ object LlmQueries {
             FROM b JOIN documents d USING (doc_id)
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val q96Runs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q96 — JSONL corpus ingest with quarantine
+    * ([[graft.sources.JsonlSource]]): the documents are staged as
+    * newline-delimited JSON with DELIBERATELY torn lines planted at
+    * every doc_id % 97 == 0 (a truncated object — the torn-write
+    * shape a crawl batch always contains), then read back through
+    * the explicit-schema PERMISSIVE source. Clean rows roll up per
+    * source; the quarantine count rides along as a `__quarantine`
+    * audit row — every input line accounted for. The oracle knows
+    * exactly which lines were torn, so it replays the split from the
+    * documents table arithmetically (no JSON parsing on the oracle
+    * side — the gate is on the SOURCE's split, not on DuckDB's JSON
+    * dialect). */
+  private val q96 = Q("q96_jsonl_ingest",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft_q96_${q96Runs.incrementAndGet()}_").toString
+      docs.select(
+          when(col("doc_id") % 97 === 0,
+            concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"text\":\"")))
+          .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars")))).as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+      val (clean, quarantine) = graft.sources.JsonlSource.read(s, dir, schema)
+      clean.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum("n_chars").as("sum_chars"))
+        .unionByName(quarantine
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit("__quarantine").as("source"), col("n_docs"),
+            lit(null).cast("long").as("sum_ids"),
+            lit(null).cast("long").as("sum_chars")))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE doc_id % 97 <> 0 GROUP BY 1
+            UNION ALL
+            SELECT '__quarantine', count(*), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+            FROM documents WHERE doc_id % 97 = 0
+            ORDER BY 1"""))
+
+  private val q97Runs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q97 — incremental IVF index maintenance
+    * ([[graft.operators.Similarity.ivfStoreAppend]], the ANN twin of
+    * q75's minhash append): build the cell-partitioned store from the
+    * even-id half, APPEND the odd-id half (one broadcast pass over
+    * the new batch only), then probe the merged store through the
+    * planning-time-pruned [[graft.operators.Similarity.ivfTopKFromStore]]
+    * path. Assignment is a pure function of (vector, centroids), so
+    * the oracle replays a FULL build over the whole corpus — the gate
+    * is append ≡ rebuild, probe pruning included (same replay as
+    * q30, now held through the persisted+appended store). */
+  private val q97 = Q("q97_ivf_append",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.sampleCentroids(emb, 50)
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft_q97_${q97Runs.incrementAndGet()}_").toString + "/store"
+      Similarity.ivfStoreAppend(emb.filter(col("vec_id") % 2 === 0), centroids, dir)
+      Similarity.ivfStoreAppend(emb.filter(col("vec_id") % 2 === 1), centroids, dir)
+      Similarity.ivfTopKFromStore(s.read.parquet(dir),
+          emb.filter(col("vec_id") < 10), centroids, k = 5, nProbe = 3)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                          FROM embeddings WHERE vec_id % 50 = 0),
+            corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+            acell AS (SELECT nid, ne, cell FROM (
+                        SELECT nid, ne, cid AS cell,
+                               row_number() OVER (PARTITION BY nid
+                                 ORDER BY list_cosine_similarity(ne, ce) DESC, cid ASC) AS rn
+                        FROM corpus CROSS JOIN cent) WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id < 10),
+            probes AS (SELECT qid, qe, probe_cell FROM (
+                         SELECT qid, qe, cid AS probe_cell,
+                                row_number() OVER (PARTITION BY qid
+                                  ORDER BY list_cosine_similarity(qe, ce) DESC, cid ASC) AS rn
+                         FROM q CROSS JOIN cent) WHERE rn <= 3),
+            scored AS (SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos
+                       FROM probes JOIN acell ON probe_cell = cell AND qid <> nid)
+            SELECT qid, rank, nid, round(cos, 6) AS cosine FROM (
+              SELECT qid, nid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
+    q96, q97)
 }

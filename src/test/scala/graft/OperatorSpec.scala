@@ -1522,6 +1522,53 @@ class OperatorSpec extends SparkSpec {
     assert(out(0)._4 > 0 && out(1)._4 < out(0)._4)
   }
 
+  // --- JSONL source (q96) --------------------------------------------------
+
+  test("JsonlSource: torn lines quarantine, missing fields are nulls not quarantine") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
+      ("""{"doc_id":1,"text":"hello","n_chars":5}""" + "\n" +
+        """{"doc_id":2,"text":"world"}""" + "\n" +          // missing field -> null
+        """{"doc_id":3,"text":"truncated""" + "\n" +        // torn write -> quarantine
+        """not json at all""" + "\n" +
+        """{"doc_id":4,"text":"ok","n_chars":2}""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("n_chars", LongType)))
+    val (clean, quarantine) = graft.sources.JsonlSource.read(spark, dir, schema)
+    val got = clean.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "hello", 5L), (2L, "world", -1L), (4L, "ok", 2L)))
+    val bad = quarantine.select("_corrupt_record").as[String].collect().sorted
+    assert(bad.length === 2 && bad.exists(_.contains("truncated"))
+      && bad.contains("not json at all"))
+    intercept[IllegalArgumentException](graft.sources.JsonlSource.read(
+      spark, dir, StructType(Seq(StructField("_corrupt_record", StringType)))))
+  }
+
+  // --- incremental IVF append (q97) ----------------------------------------
+
+  test("ivfStoreAppend: append == full rebuild, probe pruning intact on the grown store") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfapp_").toString + "/store"
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = Similarity.sampleCentroids(emb, 50)
+    Similarity.ivfStoreAppend(emb.filter(col("vec_id") % 2 === 0), centroids, dir)
+    Similarity.ivfStoreAppend(emb.filter(col("vec_id") % 2 === 1), centroids, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromStore = Similarity.ivfTopKFromStore(spark.read.parquet(dir),
+      queries, centroids, k = 5, nProbe = 3)
+    val rebuilt = Similarity.ivfTopK(
+      Similarity.assignCells(emb, centroids, "nid", "ne", "cell", 1),
+      queries, centroids, k = 5, nProbe = 3)
+    assert(fromStore.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(fromStore).isEmpty)
+    // the IN-list still reaches the appended store as a partition filter
+    val pf = fromStore.queryExecution.executedPlan.toString
+      .split("PartitionFilters: \\[").toSeq.map(_.takeWhile(_ != ']')).filter(_.nonEmpty)
+    assert(pf.exists(f => f.contains("cell") && f.contains("IN (")),
+      s"no cell partition filter in: $pf")
+  }
+
   // --- perplexity bands (q95) ----------------------------------------------
 
   test("perplexityBuckets: equal-mass tercile cuts, head = highest scores") {
