@@ -1282,7 +1282,10 @@ object Dedup {
     *
     * Returns (idCol, textCol [cleaned], n_lines_in, n_lines_kept);
     * a document whose every line is duplicated elsewhere comes back
-    * with empty text, not dropped — removal is a caller policy.
+    * with empty text, not dropped — removal is a caller policy. A
+    * null-text document likewise comes back (empty text,
+    * n_lines_in = 0) rather than silently vanishing: the corpus row
+    * set is preserved exactly.
     *
     * Execution, scale-first: the survivor-per-content min is a
     * (content-hash)-keyed aggregate whose map-side partial combine
@@ -1292,28 +1295,37 @@ object Dedup {
     * UNIQUE (id, position) key — deliberately not on the hot content
     * hash, so no join partition inherits the boilerplate's skew.
     * Reassembly is one id-keyed aggregate. No window over content,
-    * no driver state. */
+    * no driver state. The exploded line frame feeds BOTH the
+    * election and the join-back (different keys — exchange reuse
+    * cannot apply), so it is persisted for the call and released
+    * once the result materializes: one corpus split/hash pass, not
+    * two. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
+    // posexplode_outer: a null-text doc yields one (null pos, null
+    // line) marker row, so the doc survives into the output
     val lines = spread(docs, idCol)
-      .select(col(idCol), posexplode(split(col(textCol),
+      .select(col(idCol), posexplode_outer(split(col(textCol),
         java.util.regex.Pattern.quote(sep))))
       .select(col(idCol), col("pos"), col("col").as("__line"),
         md5Long(lower(trim(col("col")))).as("__fp"))
-    // one row per distinct content: the earliest (id, pos) claiming it
-    val firsts = lines
+      .persist()
+    // one row per distinct content: the earliest (id, pos) claiming
+    // it (null-line marker rows carry no content and elect nothing)
+    val firsts = lines.where(col("__line").isNotNull)
       .groupBy(col("__fp"))
       .agg(min(struct(col(idCol), col("pos"))).as("__first"))
       .select(col("__first").getField(idCol).as(idCol),
         col("__first").getField("pos").as("pos"), lit(1).as("__keep"))
-    lines.join(firsts, Seq(idCol, "pos"), "left")
+    finish(lines.join(firsts, Seq(idCol, "pos"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines_in"),
+      .agg(count(col("__line")).as("n_lines_in"),
         coalesce(sum("__keep"), lit(0L)).cast("long").as("n_lines_kept"),
         concat_ws(sep, transform(
           array_sort(collect_list(when(col("__keep") === 1,
             struct(col("pos"), col("__line"))))),
           x => x.getField("__line"))).as(textCol))
-      .select(col(idCol), col(textCol), col("n_lines_in"), col("n_lines_kept"))
+      .select(col(idCol), col(textCol), col("n_lines_in"), col("n_lines_kept")),
+      lines)
   }
 }

@@ -130,15 +130,19 @@ object Quality {
       isTarget: Column, buckets: Int = 1024, alpha: Double = 1.0): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0, s"alpha must be positive, got $alpha")
+    // explode_outer: a null-text doc yields one null-bucket marker
+    // row — it contributes nothing to either distribution, but the
+    // doc comes back (n_feats = 0, weight 0.0) instead of silently
+    // vanishing from the contract's "every doc" output
     val perDoc = docs
       .select(col(idCol), isTarget.cast("boolean").as("is_target"),
-        explode(concat(posWordShingles(col(textCol), 1),
+        explode_outer(concat(posWordShingles(col(textCol), 1),
           posWordShingles(col(textCol), 2))).as("__g"))
       .select(col(idCol), col("is_target"),
         pmod(md5Long(col("__g")), lit(buckets.toLong)).as("__b"))
       .groupBy(col(idCol), col("is_target"), col("__b"))
       .agg(count(lit(1)).as("__c"))
-    val dist = perDoc.groupBy(col("__b"))
+    val dist = perDoc.where(col("__b").isNotNull).groupBy(col("__b"))
       .agg(sum(when(col("is_target"), col("__c")).otherwise(0L)).as("__t"),
         sum(when(!col("is_target"), col("__c")).otherwise(0L)).as("__r"))
     val totals = dist.agg(sum("__t").as("__tn"), sum("__r").as("__rn"))
@@ -147,10 +151,11 @@ object Quality {
       .select(col("__b"),
         (log((col("__t") + alpha) / (col("__tn") + aB))
           - log((col("__r") + alpha) / (col("__rn") + aB))).as("__lr"))
-    perDoc.join(broadcast(ratios), Seq("__b"))
+    perDoc.join(broadcast(ratios), Seq("__b"), "left")
       .groupBy(col(idCol), col("is_target"))
-      .agg(sum("__c").cast("long").as("n_feats"),
-        sum(col("__c") * col("__lr")).as("dsir_logw"))
+      .agg(sum(when(col("__b").isNotNull, col("__c")).otherwise(0L))
+          .cast("long").as("n_feats"),
+        coalesce(sum(col("__c") * col("__lr")), lit(0.0)).as("dsir_logw"))
   }
 
   /** One-pass completeness profile: row count + per-column null

@@ -183,10 +183,18 @@ object Similarity {
     * one of {a,b,c}, not zero), and the survivor per group is the
     * min-id representative ([[Dedup.dedupByClusters]] — one semi-join
     * of the corpus against the pairs-sized membership list).
-    * Returns the surviving corpus rows unchanged. */
+    * Returns the surviving corpus rows unchanged. `idCol`/`embCol`
+    * name the corpus's id and embedding columns; the pair-mining
+    * stage (which expects the canonical vec_id/embedding names) runs
+    * over a projection, so a corpus keyed `doc_id` dedups on
+    * `doc_id` — never on some unrelated column that happens to be
+    * named vec_id. */
   def semDedup(corpus: DataFrame, centroids: DataFrame, threshold: Double,
-      nProbe: Int = 2, idCol: String = "vec_id"): DataFrame = {
-    val pairs = nearDupPairs(corpus, centroids, threshold, nProbe)
+      nProbe: Int = 2, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val pairs = nearDupPairs(
+      corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+      centroids, threshold, nProbe)
     val clusters = Dedup.connectedComponents(pairs, "vec_id_1", "vec_id_2")
     Dedup.dedupByClusters(corpus, clusters, idCol)
   }

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * columns for rows that parsed; `quarantine` carries the raw
   * malformed line in `corruptCol` for the audit sink. A field
   * missing from a valid JSON line is a null in `clean`, not a
-  * quarantine — absence is data, torn syntax is not.
+  * quarantine — absence is data, torn syntax is not. Blank and
+  * whitespace-only lines (and the bare `null` literal) quarantine:
+  * they are not documents, and letting them through as phantom
+  * all-null rows would break the line accounting.
   *
   * Execution: ONE parallel text scan + `from_json` with the corrupt
   * record column in the parse schema, so both sides split off the
@@ -39,12 +42,20 @@ object JsonlSource {
       s"schema already contains the corrupt-record column '$corruptCol'")
     val withCorrupt = schema.add(corruptCol, StringType)
     val parsed = spark.read.textFile(path).toDF("value")
-      .select(from_json(col("value"), withCorrupt,
+      .select(col("value"), from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
-      .select(col("j.*"))
-    (parsed.where(col(corruptCol).isNull).drop(corruptCol),
-      parsed.where(col(corruptCol).isNotNull)
-        .select(col(corruptCol) +: schema.fieldNames.map(col).toSeq: _*))
+    // malformed = parser flagged it (corrupt col set), OR the whole
+    // parse came back null — from_json yields a NULL struct (corrupt
+    // col unset) for blank/whitespace-only lines and the bare `null`
+    // literal, which are NOT documents; without this disjunct they
+    // would leak into `clean` as phantom all-null rows and undercount
+    // the quarantine, breaking the every-line accounting
+    val bad = col("j").isNull || col("j").getField(corruptCol).isNotNull
+    (parsed.where(!bad).select(
+        schema.fieldNames.map(f => col("j").getField(f).as(f)).toSeq: _*),
+      parsed.where(bad).select(
+        coalesce(col("j").getField(corruptCol), col("value")).as(corruptCol) +:
+          schema.fieldNames.map(f => col("j").getField(f).as(f)).toSeq: _*))
   }
 }

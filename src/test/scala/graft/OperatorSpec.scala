@@ -1469,7 +1469,8 @@ class OperatorSpec extends SparkSpec {
       (1L, "alpha\nboiler line\nbeta"),
       (2L, "boiler line\ngamma"),   // boiler already seen at (1,1)
       (3L, "boiler line"),          // only duplicated content -> empty, NOT dropped
-      (4L, "delta\ndelta"))         // within-doc repeat: second occurrence drops
+      (4L, "delta\ndelta"),         // within-doc repeat: second occurrence drops
+      (5L, null))                   // null text -> empty text, 0 lines, NOT dropped
       .toDF("doc_id", "text")
     val out = Dedup.dedupLines(docs, "doc_id", "text").orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -1477,6 +1478,7 @@ class OperatorSpec extends SparkSpec {
     assert(out(1) === ((2L, "gamma", 2L, 1L)))
     assert(out(2) === ((3L, "", 1L, 0L)))
     assert(out(3) === ((4L, "delta", 2L, 1L)))
+    assert(out(4) === ((5L, "", 0L, 0L)))
   }
 
   // --- SemDeDup (q93) ------------------------------------------------------
@@ -1494,13 +1496,21 @@ class OperatorSpec extends SparkSpec {
         threshold = 0.995, nProbe = 1)
       .select("vec_id").as[Long].collect().sorted
     assert(out.toSeq === Seq(1L, 10L))
+    // non-canonical column names dedup on the NAMED columns (extra
+    // payload columns ride through untouched)
+    val renamed = Similarity.semDedup(
+      vecs.toDF("doc_id", "emb").withColumn("payload", col("doc_id") * 10),
+      centroids, threshold = 0.995, nProbe = 1, idCol = "doc_id", embCol = "emb")
+    assert(renamed.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 10L))
+    assert(renamed.columns.toSeq === Seq("doc_id", "emb", "payload"))
   }
 
   // --- DSIR importance weights (q94) ---------------------------------------
 
   test("dsirWeights: hand-replayed hashed-feature log-ratios, both sides scored") {
     import graft.operators.Quality
-    val docs = Seq((1L, "a a", true), (2L, "a b", false)).toDF("doc_id", "text", "t")
+    val docs = Seq((1L, Option("a a"), true), (2L, Option("a b"), false),
+      (3L, Option.empty[String], false)).toDF("doc_id", "text", "t")
     // features (unigrams + bigrams): doc1 {a, a, "a a"}, doc2 {a, b, "a b"}
     def bk(g: String) = java.lang.Math.floorMod(md5Long60(g), 8L)
     def cnt(fs: Seq[String]) = fs.groupBy(bk).map { case (b, g) => b -> g.size.toLong }
@@ -1515,9 +1525,13 @@ class OperatorSpec extends SparkSpec {
         buckets = 8, alpha = 0.5)
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getDouble(3)))
       .sortBy(_._1)
+    // the null-text doc comes back (n_feats 0, weight 0.0) and its
+    // marker row polluted NEITHER distribution
     assert(out.map(o => (o._1, o._2, o._3)).toSeq ===
-      Seq((1L, true, 3L), (2L, false, 3L)))
-    out.foreach(o => assert(math.abs(o._4 - expected(o._1)) < 1e-12, s"doc ${o._1}"))
+      Seq((1L, true, 3L), (2L, false, 3L), (3L, false, 0L)))
+    out.take(2).foreach(o =>
+      assert(math.abs(o._4 - expected(o._1)) < 1e-12, s"doc ${o._1}"))
+    assert(out(2)._4 === 0.0)
     // the target's own features are LIKELIER under target: positive weight
     assert(out(0)._4 > 0 && out(1)._4 < out(0)._4)
   }
@@ -1532,6 +1546,8 @@ class OperatorSpec extends SparkSpec {
         """{"doc_id":2,"text":"world"}""" + "\n" +          // missing field -> null
         """{"doc_id":3,"text":"truncated""" + "\n" +        // torn write -> quarantine
         """not json at all""" + "\n" +
+        "\n" +                                              // blank line -> quarantine
+        "   \n" +                                           // whitespace -> quarantine
         """{"doc_id":4,"text":"ok","n_chars":2}""" + "\n").getBytes("UTF-8"))
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType), StructField("n_chars", LongType)))
@@ -1539,9 +1555,11 @@ class OperatorSpec extends SparkSpec {
     val got = clean.orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
     assert(got.toSeq === Seq((1L, "hello", 5L), (2L, "world", -1L), (4L, "ok", 2L)))
+    // every non-clean input line is accounted for, raw text included —
+    // blank/whitespace lines must NOT leak into clean as all-null rows
     val bad = quarantine.select("_corrupt_record").as[String].collect().sorted
-    assert(bad.length === 2 && bad.exists(_.contains("truncated"))
-      && bad.contains("not json at all"))
+    assert(bad.length === 4 && bad.exists(_.contains("truncated"))
+      && bad.contains("not json at all") && bad.contains("") && bad.contains("   "))
     intercept[IllegalArgumentException](graft.sources.JsonlSource.read(
       spark, dir, StructType(Seq(StructField("_corrupt_record", StringType)))))
   }
