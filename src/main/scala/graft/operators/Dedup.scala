@@ -1328,4 +1328,92 @@ object Dedup {
       .select(col(idCol), col(textCol), col("n_lines_in"), col("n_lines_kept")),
       lines)
   }
+
+  /** Per-document duplicated n-gram mass — the CORPUS-level companion
+    * of [[Quality]]'s within-doc repetition signals (the "fraction of
+    * duplicate n-grams" diagnostic of Lee et al. 2022, Deduplicating
+    * Training Data Makes Language Models Better): for each document,
+    * the count and fraction of its DISTINCT word shingles that also
+    * occur in at least one OTHER document. High values flag boilerplate
+    * and template families that per-pair dedup (Jaccard threshold)
+    * leaves behind; the score is a standard pre-training filter input.
+    *
+    * Shape: one shingle pass (or a caller-owned [[ShingleCache]] —
+    * the same materialization the LSH family shares), a map-side-
+    * combined document-frequency aggregate, and a join back keyed on
+    * the uniform 60-bit shingle hash — no windows, no driver state.
+    * The join inherits at most per-shingle document fan-out (bounded
+    * by the df of the hottest boilerplate shingle), the same profile
+    * [[contamination]] carries. Docs with fewer than `shingleSize`
+    * words have no shingles and drop from the output (same contract
+    * as the rest of the family).
+    */
+  def duplicateShingleFraction(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, shared: Option[ShingleCache] = None): DataFrame = {
+    val (sh, fresh) = resolveShingles(shared, docs, idCol, textCol, shingleSize)
+    val occ = sh.select(col(idCol), explode(col("sh")).as("h"))
+    val docFreq = occ.groupBy("h").agg(count(lit(1)).as("__df"))
+    val out = occ.join(docFreq, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_duplicated"),
+        round(sum(when(col("__df") >= 2, 1.0).otherwise(0.0)) * lit(100.0)
+          / count(lit(1)), 4).as("dup_pct"))
+    if (fresh) finish(out, sh) else finish(out)
+  }
+
+  /** Incremental exact dedup of a new batch against an already-indexed
+    * corpus via a Bloom-filter pre-filter (Bloom 1970; the same sketch
+    * Spark's runtime-filter join pruning uses): the indexed side is
+    * reduced to ONE compact bit-array (`DataFrameStatFunctions
+    * .bloomFilter`, a distributed treeAggregate — the corpus is
+    * scanned once and never shuffled), broadcast to every executor,
+    * and the batch splits on `mightContain`:
+    *
+    *  - bloom-NEGATIVE rows are DEFINITELY new (a Bloom filter has no
+    *    false negatives) and pass through with zero join work;
+    *  - bloom-POSITIVE rows — the true duplicates plus an fpp-sized
+    *    sliver of false positives — alone pay the exact left-anti
+    *    join against the indexed keys.
+    *
+    * The result is EXACT for every `fpp` — value-identical to
+    * `batch WHERE key NOT IN (SELECT key FROM indexed)` (null keys
+    * behave like Spark's anti join: they match nothing, so they are
+    * kept) — the sketch only decides how much of the batch the verify
+    * join sees. At 100 TB this turns daily-batch dedup from a
+    * corpus × batch shuffle into one corpus scan plus a join whose
+    * batch side is ~ dup_rate + fpp of the batch; the verify join's
+    * indexed side is additionally pruned at runtime by Spark's own
+    * bloom-filter join filter (default-enabled since Spark 3.4;
+    * plan shape spec-proven in OperatorSpec), so
+    * shuffled bytes on BOTH sides track the suspected count, not the
+    * corpus. Driver memory holds the one sketch: ~1.2 GB per billion
+    * keys at fpp 0.01, linear in `expectedItems` — beyond that, shard
+    * the call by a key prefix (k independent bloom passes) before
+    * reaching for a distributed membership join.
+    *
+    * `expectedItems` sizes the sketch without a counting pass (pass
+    * the indexed corpus's known row count; an UNDER-estimate degrades
+    * fpp — more rows pay the verify join — but never correctness);
+    * `expectedItems <= 0` counts the indexed side first.
+    */
+  def bloomNewRows(indexed: DataFrame, batch: DataFrame, contentKey: Column,
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    // null indexed keys can never match (anti-join semantics) and
+    // would NPE the sketch build — drop them before either pass
+    val keys = indexed.select(contentKey.cast("string").as("__bk"))
+      .where(col("__bk").isNotNull)
+    val n = if (expectedItems > 0L) expectedItems else math.max(keys.count(), 1L)
+    val bloom = keys.stat.bloomFilter("__bk", n, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    // one virtual call per batch row; the scalar pre-filter stage is
+    // the only non-codegen hop in the operator and it runs before any
+    // shuffle, so it never widens an exchange
+    val might = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val keyed = batch.withColumn("__bk", contentKey.cast("string"))
+    val definiteNew = keyed.filter(col("__bk").isNull || !might(col("__bk")))
+    val suspected = keyed.filter(col("__bk").isNotNull && might(col("__bk")))
+      .join(keys, Seq("__bk"), "left_anti")
+    definiteNew.unionByName(suspected).drop("__bk")
+  }
 }

@@ -2286,9 +2286,85 @@ object LlmQueries {
               FROM scored)
             WHERE rank <= 5 ORDER BY qid, rank"""))
 
+  /** q98 — Bloom-filter incremental exact dedup
+    * ([[graft.operators.Dedup.bloomNewRows]]): a new batch (the
+    * doc_id % 3 == 0 third of the corpus, plus re-keyed copies of
+    * indexed docs planted as known duplicates) deduped against the
+    * already-indexed remainder. The sketch is sized far UNDER the
+    * real key count (500 at fpp 0.03) so false positives genuinely
+    * occur and the exact verify join earns its keep — the oracle is
+    * the plain anti-join the operator must equal at ANY fpp. */
+  private val q98 = Q("q98_bloom_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val indexed = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(indexed.filter(col("doc_id") % 5 === 1)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      Dedup.bloomNewRows(indexed, batch, fingerprint(col("text")),
+          expectedItems = 500L, fpp = 0.03)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    },
+    Some("""WITH indexed AS (
+              SELECT doc_id, source, substr(md5(lower(trim(text))), 1, 16) AS fp
+              FROM documents WHERE doc_id % 3 <> 0),
+            batch AS (
+              SELECT doc_id, source, substr(md5(lower(trim(text))), 1, 16) AS fp
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + 20000, source, substr(md5(lower(trim(text))), 1, 16)
+              FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1),
+            newrows AS (
+              SELECT b.* FROM batch b
+              LEFT JOIN (SELECT DISTINCT fp FROM indexed) i ON b.fp = i.fp
+              WHERE i.fp IS NULL)
+            SELECT source, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM newrows GROUP BY 1 ORDER BY 1"""))
+
+  /** q99 — per-doc duplicated n-gram mass
+    * ([[graft.operators.Dedup.duplicateShingleFraction]], the Lee et
+    * al. 2022 duplicate-n-gram diagnostic): fraction of each doc's
+    * distinct trigram shingles that occur in ≥1 other doc. The oracle
+    * recomputes the document-frequency table and every per-doc count;
+    * rolled up into 20 doc_id buckets (integer sums + max + one exact
+    * ratio per bucket — no cross-engine float-accumulation order). */
+  private val q99 = Q("q99_dup_ngram_mass",
+    (s, d) => {
+      Dedup.duplicateShingleFraction(Tables.documents(s, d), "doc_id", "text")
+        .groupBy((col("doc_id") % 20).as("doc_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_shingles").as("sum_shingles"),
+          sum("n_duplicated").as("sum_duplicated"),
+          max("n_duplicated").as("max_duplicated"),
+          round(sum("n_duplicated") * lit(100.0) / sum("n_shingles"), 4)
+            .as("bucket_dup_pct"))
+        .orderBy("doc_bucket")
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS s
+              FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+              WHERE len(ws) >= 3),
+            hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+                   FROM sh),
+            dfreq AS (SELECT h, count(*) AS df FROM hs GROUP BY 1),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_shingles,
+                     CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated
+              FROM hs JOIN dfreq USING (h) GROUP BY 1)
+            SELECT doc_id % 20 AS doc_bucket, count(*) AS n_docs,
+                   CAST(sum(n_shingles) AS BIGINT) AS sum_shingles,
+                   CAST(sum(n_duplicated) AS BIGINT) AS sum_duplicated,
+                   CAST(max(n_duplicated) AS BIGINT) AS max_duplicated,
+                   round(sum(n_duplicated) * 100.0 / sum(n_shingles), 4)
+                     AS bucket_dup_pct
+            FROM per_doc GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97)
+    q96, q97, q98, q99)
 }

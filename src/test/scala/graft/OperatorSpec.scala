@@ -869,6 +869,52 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bloomNewRows equals the exact anti-join at any fpp, incl. forced false positives") {
+    val indexed = (1 to 300).map(i => (i.toLong, s"content-${i % 120}")).toDF("id", "text")
+    val batch = (301 to 500)
+      .map(i => (i.toLong, if (i % 3 == 0) s"content-${i % 120}" else s"fresh-$i"))
+      .toDF("id", "text")
+    val expected = batch.join(indexed.select("text").distinct(), Seq("text"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    // capacity 8 at fpp 0.5: nearly every probe reads bloom-positive, so
+    // the exact verify join carries the whole result — which must not change
+    val tiny = Dedup.bloomNewRows(indexed, batch, col("text"),
+      expectedItems = 8L, fpp = 0.5)
+    assert(tiny.select("id").as[Long].collect().sorted.toSeq === expected)
+    // and a rightly-sized sketch (counted capacity, default fpp) agrees
+    val sized = Dedup.bloomNewRows(indexed, batch, col("text"))
+    assert(sized.select("id").as[Long].collect().sorted.toSeq === expected)
+  }
+
+  test("duplicateShingleFraction counts cross-doc shingles, hand-checked") {
+    val docs = Seq(
+      (1L, "a b c d"),     // shingles: "a b c", "b c d"
+      (2L, "a b c x"),     // shingles: "a b c", "b c x"
+      (3L, "z z z z z"),   // distinct shingles: just "z z z"
+      (4L, "a b")          // too short: no shingles, drops from output
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateShingleFraction(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // "a b c" is the only shingle shared across docs (df = 2)
+    assert(got === Seq((1L, 2L, 1L, 50.0), (2L, 2L, 1L, 50.0), (3L, 1L, 0L, 0.0)))
+    // the shared-ShingleCache path is value-identical
+    val cache = Dedup.shingleCache(docs, "doc_id", "text")
+    try {
+      val viaCache = Dedup.duplicateShingleFraction(docs, "doc_id", "text",
+        shared = Some(cache)).orderBy("doc_id")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(viaCache === got)
+    } finally cache.release()
+  }
+
+  test("bloomNewRows keeps null-key batch rows and ignores null indexed keys") {
+    val indexed = Seq((1L, "a"), (2L, null)).toDF("id", "text")
+    val batch = Seq((10L, "a"), (11L, null), (12L, "b")).toDF("id", "text")
+    val got = Dedup.bloomNewRows(indexed, batch, col("text"))
+    assert(got.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 12L))
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import graft.ops.Bucketing
     val facts = (1 to 1000).map(i => (i.toLong % 97, s"f$i")).toDF("k", "fv")
