@@ -133,6 +133,29 @@ object TextFunctions {
     concat(headNoPort, path, regexp_replace(noUtm, "[?&]$", ""))
   }
 
+  /** Unicode NFC canonical composition — see [[NfcNormalizeExpr]]. */
+  def nfc(text: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+
+  /** Full text normalization for content keying: NFC-compose, then
+    * lowercase, then collapse every whitespace run (space, tab,
+    * newline) to one space and trim. The canonical pre-pass before
+    * [[fingerprint]]/shingling on a multilingual crawl — composed vs
+    * decomposed accents, case, and whitespace shape all stop mattering
+    * to downstream content keys. NFC is the native codegen'd
+    * [[NfcNormalizeExpr]]; the rest are codegen'd built-ins. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(nfc(text)), "\\s+", " "))
+
+  /** Lowercased registered host of an http(s) URL, without port or
+    * credentials — the grouping key for domain-level crawl curation
+    * (per-domain quality stats, blocklists, crawl budgets). Empty
+    * string when the value does not parse as a scheme://host URL.
+    * Pure regexp built-ins, engine-replayable. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+
   /** Positional word n-gram shingles (duplicates kept, document
     * order preserved — winnowing needs the sequence). Backed by the
     * native codegen'd [[ShinglesExpr]]; the previous higher-order

@@ -174,4 +174,29 @@ object Quality {
       .select("col.*")
       .withColumn("null_pct", round(col("n_nulls") * 100.0 / col("n_rows"), 4))
   }
+
+  /** Per-domain corpus profile — the curation table a crawl pipeline
+    * keeps per registered host (crawl budgets, domain blocklists,
+    * per-source quality triage): document count, token mass, distinct
+    * content fingerprints, and the domain's exact-duplicate rate.
+    * One codegen'd map pass (host extraction + token count + content
+    * fingerprint) into one map-side-combined aggregate keyed on the
+    * domain; `countDistinct` plans Spark's standard two-phase
+    * partial-distinct, so a mega-domain (half the crawl from one
+    * host) costs a wider partial, never a single hot reducer holding
+    * the domain's full row set. The dup ratio derives from the two
+    * counts AFTER aggregation — integer arithmetic plus one division,
+    * so engines agree bit-for-bit. */
+  def domainProfile(docs: DataFrame, url: Column, text: Column): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, tokenCount, urlHost}
+    docs.select(urlHost(url).as("domain"),
+        tokenCount(text).cast("long").as("__tok"),
+        fingerprint(text).as("__fp"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__tok").as("sum_tokens"),
+        countDistinct("__fp").as("n_distinct"))
+      .withColumn("dup_pct",
+        round((col("n_docs") - col("n_distinct")) * lit(100.0) / col("n_docs"), 4))
+  }
 }

@@ -2362,9 +2362,81 @@ object LlmQueries {
                      AS bucket_dup_pct
             FROM per_doc GROUP BY 1 ORDER BY 1"""))
 
+  /** q100 — per-domain corpus profile
+    * ([[graft.operators.Quality.domainProfile]]): messy synthetic URLs
+    * (mixed-case scheme/host, credentials, default port) per doc plus
+    * planted exact-duplicate docs; the host extraction, token mass,
+    * distinct-content count and exact dup ratio are all replayed by
+    * the oracle per domain. */
+  private val q100 = Q("q100_domain_profile",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val all = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 50000))
+      Quality.domainProfile(all,
+          concat(lit("HTTPS://User@WWW."), col("source"),
+            lit(".Example.COM:443/p/"), col("doc_id")),
+          col("text"))
+        .orderBy("domain")
+    },
+    Some("""WITH all_docs AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 50000, text, source FROM documents WHERE doc_id % 7 = 0),
+            u AS (
+              SELECT lower(regexp_extract(
+                       concat('HTTPS://User@WWW.', source, '.Example.COM:443/p/',
+                              CAST(doc_id AS VARCHAR)),
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))
+                       AS domain,
+                     len(str_split(text, ' ')) AS tok,
+                     substr(md5(lower(trim(text))), 1, 16) AS fp
+              FROM all_docs)
+            SELECT domain, count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS sum_tokens,
+                   count(DISTINCT fp) AS n_distinct,
+                   round((count(*) - count(DISTINCT fp)) * 100.0 / count(*), 4)
+                     AS dup_pct
+            FROM u GROUP BY 1 ORDER BY 1"""))
+
+  /** q101 — Unicode text normalization
+    * ([[graft.functions.TextFunctions.normalizeText]], native NFC via
+    * [[graft.functions.NfcNormalizeExpr]]): the same visible prefix is
+    * planted in COMPOSED (U+00E9) and DECOMPOSED (e + U+0301) form
+    * with different case and whitespace shape; after normalization the
+    * two variants must be byte-identical, and the oracle (DuckDB
+    * nfc_normalize) recomputes every normalized fingerprint. */
+  private val q101 = Q("q101_text_normalize",
+    (s, d) => {
+      val t = col("text")
+      val composed = concat(lit("Café Touché "), t)
+      val decomposed = concat(lit("Café   touchÉ\t"), t)
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (normalizeText(composed) === normalizeText(decomposed))
+            .cast("int").as("variants_collapse"),
+          length(normalizeText(composed)).cast("long").as("norm_len"),
+          substring(md5(normalizeText(composed)), 1, 16).as("norm_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH v AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(nfc_normalize(
+                       concat('Caf', chr(233), ' Touch', chr(233), ' ', text))),
+                       '\s+', ' ', 'g')) AS norm_a,
+                     trim(regexp_replace(lower(nfc_normalize(
+                       concat('Cafe', chr(769), '   touchE', chr(769), chr(9), text))),
+                       '\s+', ' ', 'g')) AS norm_b
+              FROM documents WHERE doc_id < 200)
+            SELECT doc_id,
+                   CAST(norm_a = norm_b AS INT) AS variants_collapse,
+                   CAST(length(norm_a) AS BIGINT) AS norm_len,
+                   substr(md5(norm_a), 1, 16) AS norm_fp
+            FROM v ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98, q99)
+    q96, q97, q98, q99, q100, q101)
 }

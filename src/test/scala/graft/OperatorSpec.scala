@@ -915,6 +915,49 @@ class OperatorSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 12L))
   }
 
+  test("urlHost extracts the lowercased host; no-URL values give empty string") {
+    val got = Seq(
+      "HTTPS://User:Pw@WWW.Example.COM:443/Path?x=1#f",
+      "http://plain.org/a",
+      "https://host.only",
+      "not a url",
+      "ftp://Files.Example.net/x"
+    ).toDF("u").select(TextFunctions.urlHost(col("u"))).as[String].collect().toSeq
+    assert(got === Seq("www.example.com", "plain.org", "host.only", "", "files.example.net"))
+  }
+
+  test("normalizeText collapses composed/decomposed + case + whitespace variants") {
+    // U+00E9 (composed) vs e + U+0301 (decomposed), mixed case, messy whitespace
+    val df = Seq(
+      ("Café  \t du   Monde", "Café DU\nmonde"),
+      ("plain ascii", " plain\tascii ")
+    ).toDF("a", "b")
+    val got = df.select(
+      TextFunctions.normalizeText(col("a")),
+      TextFunctions.normalizeText(col("b"))).as[(String, String)].collect()
+    got.foreach { case (a, b) => assert(a === b, s"'$a' != '$b'") }
+    assert(got(0)._1 === "café du monde")
+    // interpreted path (Expression.eval via literal constant folding)
+    val folded = spark.range(1)
+      .select(TextFunctions.nfc(lit("Café")).as("n")).as[String].head()
+    assert(folded === "Café")
+    // fast path returns already-normalized input unchanged
+    assert(graft.functions.NfcNormalizeExpr.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")).toString === "abc")
+  }
+
+  test("domainProfile aggregates per host with exact dup ratio") {
+    val docs = Seq(
+      (1L, "one two three", "https://A.com/1"),
+      (2L, "one two three", "https://a.COM/2"),   // same host, duplicate text
+      (3L, "four five", "https://a.com/3"),
+      (4L, "six", "http://B.org/x")
+    ).toDF("doc_id", "text", "url")
+    val got = graft.operators.Quality.domainProfile(docs, col("url"), col("text"))
+      .orderBy("domain").as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("a.com", 3L, 8L, 2L, 33.3333), ("b.org", 1L, 1L, 1L, 0.0)))
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import graft.ops.Bucketing
     val facts = (1 to 1000).map(i => (i.toLong % 97, s"f$i")).toDF("k", "fv")
