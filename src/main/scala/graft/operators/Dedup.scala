@@ -1329,6 +1329,74 @@ object Dedup {
       lines)
   }
 
+  /** Exact-substring duplicate REMOVAL — the rewrite step paired with
+    * [[duplicatedSpans]]'s detection (Lee et al. 2022's ExactSubstr
+    * dedup, re-expressed at token granularity so the semantics are
+    * deterministic and engine-replayable): every corpus-repeated span
+    * keeps its FIRST occurrence (lexicographically earliest (id,
+    * position)) and loses the rest, token by token.
+    *
+    * Token rule: a token is removed iff it is covered by at least one
+    * shingle occurrence, EVERY shingle covering it is duplicated
+    * (appears in ≥ `minDocs` docs), and NONE of the covering
+    * occurrences is the corpus-elected first occurrence of its
+    * shingle. Consequences worth pinning: a doc that duplicates an
+    * earlier doc wholesale comes back empty; a doc sharing only a
+    * phrase loses the phrase's interior while the earliest doc keeps
+    * everything; removed regions conservatively shrink by up to
+    * `shingleSize−1` tokens at their edges (edge tokens are also
+    * covered by non-duplicated shingles straddling the boundary).
+    * Every input row comes back — a fully-deduplicated or null-text
+    * doc returns empty text, removal of the ROW is caller policy
+    * (same contract as [[dedupLines]]).
+    *
+    * Execution: one token explode + one shingle explode (map-only),
+    * an h-keyed df+first-occurrence aggregate (map-side combined,
+    * boilerplate collapses before the wire), a cover explode of
+    * factor `shingleSize`, a (id, tp)-keyed cover aggregate, and the
+    * keep-flag join on the UNIQUE (id, tp) key — never on the hot
+    * content hash, the same skew discipline as [[dedupLines]]. No
+    * windows, no driver state; everything keys on uniform hashes or
+    * unique ids. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minDocs: Int = 2): DataFrame = {
+    val k = shingleSize
+    val spreadDocs = spread(docs, idCol)
+    val toks = spreadDocs
+      .select(col(idCol), posexplode_outer(tokens(col(textCol))))
+      .select(col(idCol), col("pos").as("tp"), col("col").as("tok"))
+      .persist()
+    val sh = spreadDocs
+      .select(col(idCol), posexplode(posWordShingles(col(textCol), k)))
+      .select(col(idCol), col("pos").as("p"), md5Long(col("col")).as("h"))
+    val own = sh.groupBy("h").agg(
+      countDistinct(col(idCol)).as("__df"),
+      min(struct(col(idCol), col("p"))).as("__own"))
+    val occ = sh.join(own, Seq("h"))
+      .select(col(idCol), col("p"),
+        (col("__df") >= minDocs).as("__dup"),
+        (col("__own") === struct(col(idCol), col("p"))).as("__owner"))
+    val cover = occ
+      .select(col(idCol), explode(sequence(col("p"), col("p") + lit(k - 1))).as("tp"),
+        col("__dup"), col("__owner"))
+      .groupBy(col(idCol), col("tp"))
+      .agg(min(col("__dup")).as("__alldup"), max(col("__owner")).as("__anyown"))
+    val keep = !(coalesce(col("__alldup"), lit(false)) &&
+      !coalesce(col("__anyown"), lit(false)))
+    finish(toks.join(cover, Seq(idCol, "tp"), "left")
+      .withColumn("__keep", keep)
+      .groupBy(col(idCol))
+      .agg(count(col("tok")).as("n_tokens_in"),
+        sum(when(col("__keep") && col("tok").isNotNull, 1L).otherwise(0L))
+          .as("n_tokens_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          when(col("__keep") && col("tok").isNotNull,
+            struct(col("tp"), col("tok"))))),
+          x => x.getField("tok"))).as(textCol))
+      .select(col(idCol), col(textCol), col("n_tokens_in"), col("n_tokens_kept")),
+      toks)
+  }
+
   /** Per-document duplicated n-gram mass — the CORPUS-level companion
     * of [[Quality]]'s within-doc repetition signals (the "fraction of
     * duplicate n-grams" diagnostic of Lee et al. 2022, Deduplicating

@@ -2434,9 +2434,67 @@ object LlmQueries {
                    substr(md5(norm_a), 1, 16) AS norm_fp
             FROM v ORDER BY doc_id"""))
 
+  /** q102 — exact-substring duplicate removal
+    * ([[graft.operators.Dedup.removeDuplicatedSpans]], the rewrite
+    * step of Lee et al. 2022's ExactSubstr dedup): wholesale clones
+    * planted for every 11th doc must come back EMPTY (their every
+    * span keeps only its first occurrence), natural shared phrases
+    * lose their interiors, earliest docs keep everything. The oracle
+    * replays token election and reassembly and fingerprints every
+    * cleaned text byte-for-byte. */
+  private val q102 = Q("q102_substr_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val withClones = docs.unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 30000))
+      Dedup.removeDuplicatedSpans(withClones, "doc_id", "text", shingleSize = 5)
+        .filter(col("doc_id") < 150 || col("doc_id") >= 30000)
+        .select(col("doc_id"), col("n_tokens_in"), col("n_tokens_kept"),
+          fingerprint(col("text")).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 30000, text FROM documents WHERE doc_id % 11 = 0),
+            ws AS (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs),
+            toks AS (SELECT doc_id, i - 1 AS tp, ws[i] AS tok
+                     FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)),
+            hs AS (SELECT doc_id, i - 1 AS p,
+                          CAST(('0x' || substr(md5(array_to_string(
+                                 list_slice(ws, i, i + 4), ' ')), 1, 15)) AS BIGINT) AS h
+                   FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i)
+                   WHERE len(ws) >= 5),
+            dfc AS (SELECT h, count(DISTINCT doc_id) AS df FROM hs GROUP BY 1),
+            firsts AS (SELECT h, doc_id AS o_id, p AS o_p FROM (
+                         SELECT h, doc_id, p,
+                                row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+                         FROM hs) WHERE rn = 1),
+            occ AS (SELECT hs.doc_id, hs.p, (df >= 2) AS dup,
+                           (hs.doc_id = o_id AND hs.p = o_p) AS owner
+                    FROM hs JOIN dfc USING (h) JOIN firsts USING (h)),
+            cover AS (SELECT doc_id, p + j AS tp,
+                             bool_and(dup) AS alldup, bool_or(owner) AS anyown
+                      FROM occ, LATERAL (SELECT unnest(generate_series(0, 4)) AS j)
+                      GROUP BY 1, 2),
+            marked AS (SELECT t.doc_id, t.tp, t.tok,
+                              NOT (coalesce(alldup, false)
+                                   AND NOT coalesce(anyown, false)) AS keep
+                       FROM toks t LEFT JOIN cover c
+                         ON t.doc_id = c.doc_id AND t.tp = c.tp)
+            SELECT doc_id,
+                   count(*) AS n_tokens_in,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+                   substr(md5(lower(trim(coalesce(array_to_string(
+                     list(tok ORDER BY tp) FILTER (WHERE keep), ' '), '')))), 1, 16)
+                     AS clean_fp
+            FROM marked
+            WHERE doc_id < 150 OR doc_id >= 30000
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98, q99, q100, q101)
+    q96, q97, q98, q99, q100, q101, q102)
 }

@@ -915,6 +915,24 @@ class OperatorSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().sorted.toSeq === Seq(11L, 12L))
   }
 
+  test("removeDuplicatedSpans: first occurrence wins, clones empty, edges shrink") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // earliest owner of every shared shingle
+      (2L, "x y a b c d e z"),  // shares "a b c d e" with d1
+      (3L, "a b c d e f"),      // wholesale clone of d1
+      (4L, "p q")               // too short for shingles — untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", shingleSize = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a b c d e f", 6L, 6L),
+      // only token 'c' sits under exclusively-duplicated shingles; the
+      // edge tokens of the shared phrase ride unique straddling shingles
+      (2L, "x y a b d e z", 8L, 7L),
+      (3L, "", 6L, 0L),
+      (4L, "p q", 2L, 2L)))
+  }
+
   test("urlHost extracts the lowercased host; no-URL values give empty string") {
     val got = Seq(
       "HTTPS://User:Pw@WWW.Example.COM:443/Path?x=1#f",
