@@ -147,6 +147,30 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(nfc(text)), "\\s+", " "))
 
+  /** Crawl text extraction: strip HTML down to its visible text — the
+    * step between raw crawl payloads and every text operator in this
+    * library (a corpus fed raw HTML would shingle/fingerprint markup,
+    * not content). Deliberately regex-based and engine-replayable
+    * (RE2-compatible: no backreferences — script/style each get their
+    * own pattern): script/style/comment blocks drop wholesale, all
+    * remaining tags become spaces (block boundaries must separate
+    * words, not concatenate them), the five ubiquitous entities decode
+    * — `&amp;` LAST, so `&amp;lt;` correctly yields the literal
+    * `&lt;` — and whitespace collapses. A readability-grade extractor
+    * (DOM parsing, boilerplate classification) is out of scope; this
+    * is the deterministic fast path that handles the overwhelming
+    * bulk of crawl markup in one codegen'd map pass, zero shuffles. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Lowercased registered host of an http(s) URL, without port or
     * credentials — the grouping key for domain-level crawl curation
     * (per-domain quality stats, blocklists, crawl budgets). Empty

@@ -2492,9 +2492,62 @@ object LlmQueries {
             WHERE doc_id < 150 OR doc_id >= 30000
             GROUP BY 1 ORDER BY 1"""))
 
+  /** q103 — HTML text extraction
+    * ([[graft.functions.TextFunctions.stripHtml]]): every doc is
+    * wrapped in realistic crawl markup (head/style/script blocks with
+    * operators and quotes inside, attributes, comments, entities
+    * including the `&amp;lt;` double-escape trap) and the extracted
+    * visible text is fingerprinted byte-for-byte by an oracle running
+    * the identical RE2-compatible chain. */
+  private val q103 = Q("q103_html_extract",
+    (s, d) => {
+      val html = concat(
+        lit("<html><head><title>D"), col("doc_id"),
+        lit("</title><style type=\"text/css\">p { color: red }</style>" +
+          "<script>if (1 < 2) { alert(\"x&y\"); }</script></head>" +
+          "<body><h1>Heading &amp; more</h1><p class=\"x\">"),
+        col("text"),
+        lit("</p><br/><!-- hidden --> &amp;lt;raw&gt; &nbsp;&#39;q&#39;" +
+          "</body></html>"))
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          length(stripHtml(html)).cast("long").as("ext_len"),
+          substring(md5(stripHtml(html)), 1, 16).as("ext_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (
+              SELECT doc_id,
+                     concat('<html><head><title>D', CAST(doc_id AS VARCHAR),
+                            '</title><style type="text/css">p { color: red }</style>',
+                            '<script>if (1 < 2) { alert("x&y"); }</script></head>',
+                            '<body><h1>Heading &amp; more</h1><p class="x">',
+                            text,
+                            '</p><br/><!-- hidden --> &amp;lt;raw&gt; &nbsp;&#39;q&#39;',
+                            '</body></html>') AS html
+              FROM documents WHERE doc_id < 200),
+            x AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(html,
+                                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                             '(?s)<!--.*?-->', ' ', 'g'),
+                           '<[^>]+>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                       '\s+', ' ', 'g')) AS extracted
+              FROM h)
+            SELECT doc_id, CAST(length(extracted) AS BIGINT) AS ext_len,
+                   substr(md5(extracted), 1, 16) AS ext_fp
+            FROM x ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98, q99, q100, q101, q102)
+    q96, q97, q98, q99, q100, q101, q102, q103)
 }

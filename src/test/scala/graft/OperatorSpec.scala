@@ -933,6 +933,19 @@ class OperatorSpec extends SparkSpec {
       (4L, "p q", 2L, 2L)))
   }
 
+  test("stripHtml extracts visible text: blocks drop, tags space-split, entities decode") {
+    val cases = Seq(
+      ("<p>Hello<br/>World</p>", "Hello World"),
+      ("<SCRIPT>var a = '<div>'; if (a < 'b') {}</SCRIPT>after", "after"),
+      ("<style>p{}</style>x<!-- note -->y", "x y"),
+      // &amp;lt; decodes to the LITERAL &lt; (amp decodes last)
+      ("a &amp;lt; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f", "a &lt; b <c> \"d\" 'e' f"),
+      ("  plain   text  ", "plain text"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextFunctions.stripHtml(col("h"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("urlHost extracts the lowercased host; no-URL values give empty string") {
     val got = Seq(
       "HTTPS://User:Pw@WWW.Example.COM:443/Path?x=1#f",
