@@ -949,6 +949,37 @@ object Dedup {
       clusters.where(col("id") =!= col("cluster_id")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Quality-aware cluster survivor election — [[dedupByClusters]]'
+    * min-id rule generalized to "keep the BEST member": per near-dup
+    * cluster, the member maximizing `score` survives (ties: min id,
+    * so election stays deterministic and engine-replayable). A real
+    * curation pipeline keeps the cleanest copy of a near-dup group —
+    * crawl dumps carry the same article with and without boilerplate
+    * damage — not the one with the smallest id.
+    *
+    * Returns the per-MEMBER election frame (id, q, cluster_id,
+    * is_survivor); dropping losers is one anti-join the caller
+    * composes, exactly like [[dedupByClusters]].
+    *
+    * Scale shape: `docs` is scanned once to evaluate `score` (a
+    * codegen'd map pass); the inner join against the cluster
+    * membership list immediately shrinks it to members (membership ≪
+    * corpus — AQE broadcasts it), and the rank window runs on that
+    * members frame with per-partition group-limit pruning
+    * (WindowGroupLimit), so no corpus-scale shuffle exists anywhere. */
+  def electSurvivors(docs: DataFrame, idCol: String, clusters: DataFrame,
+      score: Column): DataFrame = {
+    val members = docs
+      .select(col(idCol).cast("long").as("id"), score.as("q"))
+      .join(clusters, "id")
+    members
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("q").desc, col("id").asc)))
+      .withColumn("is_survivor", col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Dedup-aware train/holdout split: a per-document hash split
     * ([[graft.operators.Sampling.hashSplit]]) leaks whenever two
     * near-duplicates land on opposite sides — the eval set then

@@ -199,4 +199,64 @@ object Quality {
       .withColumn("dup_pct",
         round((col("n_docs") - col("n_distinct")) * lit(100.0) / col("n_docs"), 4))
   }
+
+  /** Suffix-aware domain blocklist resolution — the crawl-curation
+    * gate that drops every document whose host IS a blocked domain or
+    * sits UNDER one (`a.b.example.com` is blocked by `example.com`).
+    * Returns the distinct blocked hosts; callers compose one
+    * broadcast-able anti-join (or a flag join) against the corpus.
+    *
+    * Scale shape: the suffix explosion runs on the DISTINCT-host
+    * frame, never the corpus — hosts are vocabulary-sized (a 100 TB
+    * crawl has ~1e8 hosts, not 1e11), so the per-host HOF cost is
+    * dictionary-priced; the blocklist side is broadcast. The
+    * corpus-scale work is whatever join the caller runs against the
+    * returned (tiny) blocked-host list. */
+  def blockedHosts(hosts: DataFrame, hostCol: String,
+      blocklist: DataFrame, domainCol: String): DataFrame = {
+    val labels = split(col(hostCol), "\\.")
+    // every label-aligned suffix of the host: [a.b.c, b.c, c]
+    val sufs = transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+    hosts.select(col(hostCol)).distinct()
+      .select(col(hostCol), explode(sufs).as("__suf"))
+      .join(broadcast(blocklist.select(col(domainCol).as("__suf")).distinct()),
+        Seq("__suf"), "left_semi")
+      .select(col(hostCol)).distinct()
+  }
+
+  /** Gopher-style composite quality-rule filter (Rae et al. 2021,
+    * adapted to this corpus's single-space tokenization contract —
+    * see [[graft.functions.TextFunctions.tokens]]): per-document
+    * pass/fail flags for each rule plus the conjunction, so a
+    * pipeline can both FILTER on `keep` and AUDIT which rule
+    * rejected what. One codegen'd map pass, zero shuffles; every
+    * rule is a built-in-expression arithmetic/regexp predicate the
+    * SQL oracle replays verbatim.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [minMeanWordLen, maxMeanWordLen] (chars excluding separators /
+    * words); punctuation ratio ≤ maxPunctRatio; at least
+    * minStopwords stopword hits (the Gopher "real prose" signal,
+    * sharing [[graft.functions.TextFunctions.langPatterns]]' English
+    * function-word list). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxPunctRatio: Double = 0.2, minStopwords: Int = 2): DataFrame = {
+    import graft.functions.TextFunctions.{punctRatio, tokenCount}
+    val t = col(textCol)
+    val n = tokenCount(t)
+    val meanLen = (length(t) - (n - 1)).cast("double") / n
+    val stop = regexp_count(t, lit("\\b(the|a|and|of|to)\\b"))
+    docs.select(col(idCol),
+        n.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        (n >= minWords && n <= maxWords).as("r_word_count"),
+        (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen).as("r_word_len"),
+        (punctRatio(t) <= maxPunctRatio).as("r_punct"),
+        (stop >= minStopwords).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_word_len") && col("r_punct") && col("r_stopwords"))
+  }
 }

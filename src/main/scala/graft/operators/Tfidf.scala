@@ -44,4 +44,56 @@ object Tfidf {
     tf.unpersist(blocking = false)
     out
   }
+
+  /** BM25 keyword retrieval (Robertson/Sparck Jones; the Okapi
+    * formulation): top-`k` documents for a bag-of-terms query, scored
+    * `sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))` with
+    * `idf = ln(1 + (N-df+0.5)/(df+0.5))`.
+    *
+    * Scale shape: the corpus is tokenized ONCE in a map-only pass and
+    * immediately filtered to the query's posting lists — the only
+    * corpus-keyed shuffle moves matching (doc, term) rows, never the
+    * full token stream. `df` and the (N, avgdl) corpus stats are
+    * broadcast 1-row/tiny frames; the final ranking is an
+    * orderBy+limit → TakeOrdered (per-partition top-k, no global
+    * sort). A production engine would keep (N, avgdl) as index
+    * metadata; here they cost one extra corpus aggregate.
+    *
+    * Scores are summed as exact micro-units (each term contribution
+    * rounded to 6dp then held as a long) so the cross-term sum is
+    * order-independent and engine-replayable — double summation order
+    * is not. Returns (idCol, bm25_micros, n_terms) ordered by score
+    * desc, id asc. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("__ws"))).as("avgdl"))
+    // tf feeds both df and the score join; persisted so the corpus
+    // tokenize+filter runs once (the frame itself is posting-list
+    // sized — docs containing a query term × matched terms)
+    val tf = toks
+      .select(col(idCol), size(col("__ws")).as("dl"), explode(col("__ws")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / col("avgdl"))))
+    val out = tf.join(broadcast(dfc), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__micros", round(contrib * lit(1000000)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum("__micros").as("bm25_micros"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_micros").desc, col(idCol))
+      .limit(k)
+      .localCheckpoint()
+    tf.unpersist(blocking = false)
+    out
+  }
 }

@@ -2545,9 +2545,171 @@ object LlmQueries {
                    substr(md5(extracted), 1, 16) AS ext_fp
             FROM x ORDER BY doc_id"""))
 
+  /** q104 — BM25 keyword retrieval
+    * ([[graft.operators.Tfidf.bm25TopK]]): top-25 docs for a
+    * three-term query mixing one rare term (`dup`, df≈5% of docs)
+    * with two common ones, so idf genuinely drives the ranking. The
+    * oracle recomputes tf/df/avgdl and every per-term contribution
+    * in the exact micro-unit arithmetic the operator uses. */
+  private val q104 = Q("q104_bm25_topk",
+    (s, d) => Tfidf.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      Seq("dup", "vector", "merge"), k = 25),
+    Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+            stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM toks),
+            tf AS (SELECT doc_id, len(ws) AS dl, w AS term, count(*) AS tf
+                   FROM toks, LATERAL (SELECT unnest(ws) AS w)
+                   WHERE w IN ('dup', 'vector', 'merge')
+                   GROUP BY 1, 2, 3),
+            dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            c AS (SELECT doc_id,
+                         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                           * (tf * 2.2)
+                           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+                           * 1000000) AS BIGINT) AS micros
+                  FROM tf JOIN dfc USING (term) CROSS JOIN stats)
+            SELECT doc_id, CAST(sum(micros) AS BIGINT) AS bm25_micros,
+                   count(*) AS n_terms
+            FROM c GROUP BY 1
+            ORDER BY bm25_micros DESC, doc_id LIMIT 25"""))
+
+  /** q105 — quality-aware survivor election
+    * ([[graft.operators.Dedup.electSurvivors]]): every 7th doc gets a
+    * punctuation-damaged variant (` !!!` appended) that collapses to
+    * the same punctuation-stripped content key; pairs from the key
+    * self-join chain through [[graft.operators.Dedup.connectedComponents]]
+    * and the election keeps the member with the higher
+    * [[graft.functions.TextFunctions.qualityScore]] (the damage moves
+    * token count, richness, AND punct ratio, so argmax direction
+    * varies per doc — ties pin to min id). The oracle replays key
+    * grouping (cliques ≡ components), the full quality formula, and
+    * the rank election. */
+  private val q105 = Q("q105_quality_survivors",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(col("text"), lit(" !!!")).as("text"))
+      val all = docs.unionByName(variants)
+      val keyed = all.select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("k"))
+      val pairs = keyed.as("a").join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      val clusters = Dedup.connectedComponents(pairs)
+      Dedup.electSurvivors(all, "doc_id", clusters, qualityScore(col("text")))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"), sum("id").as("sum_ids"),
+          max(when(col("is_survivor"), col("id"))).as("survivor_id"),
+          max(when(col("is_survivor"), col("q"))).as("survivor_q"))
+        .orderBy("cluster_id")
+    },
+    Some("""WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 40000, text || ' !!!' FROM documents WHERE doc_id % 7 = 0),
+            keyed AS (
+              SELECT doc_id, text,
+                     md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS k,
+                     str_split(text, ' ') AS ws
+              FROM all_docs),
+            scored AS (
+              SELECT doc_id, k,
+                     round(least(len(ws) / 60.0, 1.0) * 0.4
+                       + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.3
+                       + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                                 AS DOUBLE) / greatest(length(text), 1)) * 0.3,
+                       6) AS q
+              FROM keyed),
+            cl AS (SELECT *, min(doc_id) OVER (PARTITION BY k) AS cluster_id,
+                          count(*) OVER (PARTITION BY k) AS n_in_key
+                   FROM scored),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+                  FROM cl WHERE n_in_key >= 2)
+            SELECT cluster_id, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+                   max(CASE WHEN rn = 1 THEN q END) AS survivor_q
+            FROM r GROUP BY 1 ORDER BY 1"""))
+
+  /** q106 — suffix-aware domain blocklist
+    * ([[graft.operators.Quality.blockedHosts]]): synthetic hosts put
+    * every doc under `{cdn.}?{source}.example.{com|org}`; blocking
+    * `example.org` must catch every .org doc THROUGH the suffix walk
+    * while the exact entry `cdn.src3.example.com` must NOT leak onto
+    * its sibling `src3.example.com`. The oracle resolves the same
+    * blocklist with exact-or-dot-suffix matching. */
+  private val q106 = Q("q106_domain_blocklist",
+    (s, d) => {
+      import s.implicits._
+      val host = lower(concat(
+        when(col("doc_id") % 3 === 0, lit("cdn.")).otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 2 === 0, lit(".example.com"))
+          .otherwise(lit(".example.org"))))
+      val withHost = Tables.documents(s, d).select(col("doc_id"), host.as("host"))
+      val blocklist = Seq("example.org", "cdn.src3.example.com").toDF("domain")
+      val blocked = Quality.blockedHosts(withHost, "host", blocklist, "domain")
+      withHost.filter(col("doc_id") < 300)
+        .join(blocked.withColumn("blocked", lit(1)), Seq("host"), "left")
+        .select(col("doc_id"), col("host"),
+          coalesce(col("blocked"), lit(0)).as("blocked"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (
+              SELECT doc_id,
+                     lower(concat(CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END,
+                            source,
+                            CASE WHEN doc_id % 2 = 0 THEN '.example.com'
+                                 ELSE '.example.org' END)) AS host
+              FROM documents WHERE doc_id < 300),
+            b AS (SELECT unnest(['example.org', 'cdn.src3.example.com']) AS domain)
+            SELECT doc_id, host,
+                   CAST(EXISTS (SELECT 1 FROM b
+                                WHERE host = domain
+                                   OR host LIKE '%.' || domain) AS INT) AS blocked
+            FROM h ORDER BY doc_id"""))
+
+  /** q107 — Gopher-style composite quality rules
+    * ([[graft.operators.Quality.gopherRules]]): thresholds chosen so
+    * the corpus genuinely splits on every rule (word count 30..90
+    * against a 10..99 distribution, mean word length ≥ 4.0 against a
+    * 3.7..5.3 spread, ≥ 2 stopword hits), and the oracle replays the
+    * arithmetic and flags rule-for-rule. */
+  private val q107 = Q("q107_gopher_rules",
+    (s, d) => {
+      Quality.gopherRules(Tables.documents(s, d).filter(col("doc_id") < 300),
+          "doc_id", "text",
+          minWords = 30, maxWords = 90, minMeanWordLen = 4.0,
+          maxMeanWordLen = 10.0, maxPunctRatio = 0.2, minStopwords = 2)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("r_word_count").cast("int").as("r_word_count"),
+          col("r_word_len").cast("int").as("r_word_len"),
+          col("r_punct").cast("int").as("r_punct"),
+          col("r_stopwords").cast("int").as("r_stopwords"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, text, str_split(text, ' ') AS ws,
+                     len(str_split(text, ' ')) AS n,
+                     CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE)
+                       / len(str_split(text, ' ')) AS mean_len,
+                     CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct,
+                     len(regexp_extract_all(text, '\b(the|a|and|of|to)\b')) AS stop
+              FROM documents WHERE doc_id < 300)
+            SELECT doc_id, n AS n_words, round(mean_len, 6) AS mean_word_len,
+                   CAST(n >= 30 AND n <= 90 AS INT) AS r_word_count,
+                   CAST(mean_len >= 4.0 AND mean_len <= 10.0 AS INT) AS r_word_len,
+                   CAST(punct <= 0.2 AS INT) AS r_punct,
+                   CAST(stop >= 2 AS INT) AS r_stopwords,
+                   CAST(n >= 30 AND n <= 90 AND mean_len >= 4.0 AND mean_len <= 10.0
+                        AND punct <= 0.2 AND stop >= 2 AS INT) AS keep
+            FROM t ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98, q99, q100, q101, q102, q103)
+    q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
 }

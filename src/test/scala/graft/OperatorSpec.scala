@@ -1721,4 +1721,76 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       LangModel.perplexityBuckets(scored, "s", 1))
   }
+
+  test("bm25TopK: hand-computed scores, rare term dominates, k truncates") {
+    import graft.operators.Tfidf
+    val docs = Seq(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common filler filler filler filler filler"),
+      (3L, "filler filler filler filler filler filler"),
+      (4L, "rare rare common filler filler filler")).toDF("doc_id", "text")
+    val out = Tfidf.bm25TopK(docs, "doc_id", "text", Seq("rare", "common"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // hand replay: N=4, avgdl=6, dl=6 for all -> len norm term = 1
+    def contrib(tf: Long, df: Long): Long = {
+      val idf = math.log(1.0 + (4 - df + 0.5) / (df + 0.5))
+      math.round(idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * 1.0)) * 1e6)
+    }
+    val d4 = contrib(2, 2) + contrib(1, 3)
+    val d1 = contrib(1, 2) + contrib(2, 3)
+    val d2 = contrib(1, 3)
+    assert(out.length === 3)
+    assert(out(0) === ((4L, d4, 2L)), s"got ${out.toSeq}")
+    assert(out(1) === ((1L, d1, 2L)))
+    assert(out(2) === ((2L, d2, 1L)))
+    assert(d4 > d1, "two hits of the rare term must outrank one")
+  }
+
+  test("electSurvivors: argmax quality per cluster, ties fall to min id, loners excluded") {
+    val docs = Seq(
+      (1L, 0.50), (2L, 0.90), (3L, 0.90), // cluster 1: 2 wins on q-tie min-id
+      (10L, 0.30), (11L, 0.20),           // cluster 10: 10 wins on q
+      (99L, 0.99)                          // in no pair: not in election
+    ).toDF("doc_id", "q_in")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val out = Dedup.electSurvivors(docs, "doc_id", clusters, col("q_in"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("is_survivor"))).toMap
+    assert(out.size === 5, "election covers members only")
+    assert(out(2L) && !out(1L) && !out(3L))
+    assert(out(10L) && !out(11L))
+  }
+
+  test("blockedHosts: exact and dot-suffix matches only — no substring leaks") {
+    import graft.operators.Quality
+    val hosts = Seq("a.example.org", "example.org", "notexample.org",
+      "example.org.evil.com", "cdn.x.com", "x.com").toDF("host")
+    val block = Seq("example.org", "cdn.x.com").toDF("domain")
+    val got = Quality.blockedHosts(hosts, "host", block, "domain")
+      .as[String].collect().sorted
+    // notexample.org must NOT match (suffix walk is label-aligned, not
+    // substring), example.org.evil.com must NOT match (suffixes only),
+    // x.com must NOT match the cdn.x.com entry (no reverse inclusion)
+    assert(got.toSeq === Seq("a.example.org", "cdn.x.com", "example.org"))
+  }
+
+  test("gopherRules: each rule flips independently of the others") {
+    import graft.operators.Quality
+    val docs = Seq(
+      (1L, "the quick brown fox and the dog ran off to town"), // all pass
+      (2L, "the fox and"),                                     // too few words
+      (3L, "a a a a a the of it to is"),                       // mean word len < 3
+      (4L, "the!!! of??? and###(((:::))) sentence widely forty")// punct ratio
+    ).toDF("doc_id", "text")
+    val out = Quality.gopherRules(docs, "doc_id", "text",
+        minWords = 5, maxWords = 50, minMeanWordLen = 3.0,
+        maxMeanWordLen = 10.0, maxPunctRatio = 0.2, minStopwords = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("r_word_count"), r.getAs[Boolean]("r_word_len"),
+          r.getAs[Boolean]("r_punct"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) === ((true, true, true, true)))
+    assert(out(2L) === ((false, true, true, false)))
+    assert(out(3L)._1 && !out(3L)._2 && !out(3L)._4)
+    assert(out(4L)._1 && !out(4L)._3 && !out(4L)._4)
+  }
 }
