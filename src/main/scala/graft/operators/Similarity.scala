@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -596,5 +596,119 @@ object Similarity {
     Checkpoints.drop(centers._1, centers._2)
     Checkpoints.drop(cand._1, cand._2)
     out
+  }
+
+  /** k-center greedy coreset selection (Sener & Savarese, "Active
+    * Learning for Convolutional Neural Networks: A Core-Set
+    * Approach", ICLR 2018) — farthest-point traversal, the standard
+    * diverse-subset selector for training-data pruning: start from
+    * the min-id seed, then `k`−1 times select the vector farthest
+    * (L2) from everything selected so far. The selected set is a
+    * 2-approximation of the optimal k-center cover, and the sequence
+    * of selection distances is the (monotone non-increasing)
+    * coverage-radius diagnostic.
+    *
+    * Execution is the incremental traversal every real implementation
+    * uses: one persisted (vec_id, v, mind) frame holds each vector's
+    * distance to its nearest SELECTED center; a round is (a) a 1-row
+    * TakeOrdered argmax collect (a driver scalar, the kMeans-round
+    * pattern — ties pinned to min vec_id so selection is
+    * deterministic and oracle-replayable) and (b) one broadcast-
+    * literal map pass folding the new center in with `least`. The
+    * corpus is never shuffled; k rounds cost k codegen'd passes, and
+    * per-round [[Checkpoints.stableTracked]] state keeps round i+1
+    * at one pass instead of an i-deep `least` lineage.
+    *
+    * Returns (rank, vec_id, sel_dist): selection order and each
+    * pick's distance-to-selected at selection time, rounded 6dp
+    * (null for the seed). */
+  def kCenterGreedy(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    val e = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val seedRow = e.orderBy(col("vec_id")).limit(1).collect()
+    require(seedRow.nonEmpty, "kCenterGreedy needs a non-empty corpus")
+    def vecLit(a: Seq[Double]): Column = array(a.map(lit): _*)
+    val seedId = seedRow.head.getLong(0)
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, seedId, None))
+    var state = Checkpoints.stableTracked(
+      e.withColumn("mind", l2(col("v"), vecLit(seedRow.head.getSeq[Double](1)))))
+    for (r <- 2 to k) {
+      val top = state._1
+        .orderBy(col("mind").desc, col("vec_id").asc).limit(1).collect()
+      val (id, v, d) = (top.head.getLong(0), top.head.getSeq[Double](1),
+        top.head.getDouble(2))
+      picks += ((r, id, Some(d)))
+      val prev = state
+      state = Checkpoints.stableTracked(prev._1
+        .withColumn("mind", least(col("mind"), l2(col("v"), vecLit(v)))))
+      prev._1.unpersist(blocking = false)
+      Checkpoints.drop(prev._1, prev._2)
+    }
+    state._1.unpersist(blocking = false)
+    Checkpoints.drop(state._1, state._2)
+    import spark.implicits._
+    picks.toSeq.toDF("rank", "vec_id", "sel_dist")
+      .select(col("rank"), col("vec_id"), round(col("sel_dist"), 6).as("sel_dist"))
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — diversity-aware top-k: after the seed (highest
+    * relevance), each round selects the candidate maximizing
+    * `lambda·rel − (1−lambda)·max_{s∈selected} cos(cand, s)` —
+    * relevant results that are NOT near-duplicates of what is
+    * already shown (for retrieval UIs and diverse few-shot example
+    * selection alike). Ties pin to min vec_id.
+    *
+    * Execution splits by scale the way [[ivfTopKFromStore]]'s probe
+    * assignment does: candidate GENERATION is the distributed part
+    * ([[bruteForceTopK]] / the IVF probes — corpus-scale), while the
+    * selection loop runs on the by-contract-tiny candidate set
+    * (`nCandidates` rows, default 20): the candidate×candidate
+    * similarity matrix is computed IN Spark with the native codegen
+    * [[graft.functions.VectorFunctions.cosine]] and rounded 6dp —
+    * the same arithmetic the oracle replays, so every score the
+    * driver-side greedy loop compares is an engine-portable double —
+    * then collected (nCandidates² small rows) for the k greedy
+    * picks. Returns (rank, vec_id, rel, mmr_score) in selection
+    * order; the seed's score is its relevance. */
+  def mmrRerank(corpus: DataFrame, query: DataFrame, nCandidates: Int, k: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1 && nCandidates >= k,
+      s"need nCandidates >= k >= 1, got nCandidates=$nCandidates k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    val cand = bruteForceTopK(corpus, query, nCandidates)
+      .select(col("nid").as("vec_id"), col("cosine").as("rel"))
+      .join(corpus.select(col("vec_id"), toDouble(col("embedding")).as("v")), "vec_id")
+      .persist()
+    val simRows = cand.select(col("vec_id").as("a"), col("v").as("va"))
+      .join(cand.select(col("vec_id").as("b"), col("v").as("vb")), col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rels = cand.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cand.unpersist(blocking = false)
+    def sim(x: Long, y: Long): Double =
+      if (x == y) 1.0 else simRows(if (x < y) (x, y) else (y, x))
+    val remaining = scala.collection.mutable.SortedSet[Long](rels.keySet.toSeq: _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    for (r <- 1 to k) {
+      val best = remaining.map { id =>
+        val score =
+          if (selected.isEmpty) rels(id)
+          else lambda * rels(id) -
+            (1.0 - lambda) * selected.map(s => sim(id, s._2)).max
+        (id, score)
+      }.reduceLeft((p, q) =>
+        if (q._2 > p._2 || (q._2 == p._2 && q._1 < p._1)) q else p)
+      selected += ((r, best._1, rels(best._1), best._2))
+      remaining -= best._1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("rank", "vec_id", "rel", "mmr_score")
+      .select(col("rank"), col("vec_id"), col("rel"),
+        round(col("mmr_score"), 6).as("mmr_score"))
   }
 }

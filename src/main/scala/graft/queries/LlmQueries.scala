@@ -2563,7 +2563,7 @@ object LlmQueries {
             dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
             c AS (SELECT doc_id,
                          CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                           * (tf * 2.2)
+                           * (tf * (CAST(1.2 AS DOUBLE) + 1))
                            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
                            * 1000000) AS BIGINT) AS micros
                   FROM tf JOIN dfc USING (term) CROSS JOIN stats)
@@ -2707,9 +2707,117 @@ object LlmQueries {
                         AND punct <= 0.2 AND stop >= 2 AS INT) AS keep
             FROM t ORDER BY doc_id"""))
 
+  /** q108 — k-center greedy coreset selection
+    * ([[graft.operators.Similarity.kCenterGreedy]], Sener &
+    * Savarese ICLR 2018): 6 farthest-point rounds over the
+    * embeddings, min-id seed, ties to min id. The oracle unrolls
+    * every round — seed, per-round argmax of the maintained
+    * min-distance-to-selected, and the `least` fold — with DuckDB's
+    * native list_distance, value-matching each pick AND its
+    * selection radius. */
+  private val q108 = Q("q108_kcenter_coreset",
+    (s, d) => Similarity.kCenterGreedy(
+      Tables.embeddings(s, d).filter(col("vec_id") < 200), k = 6),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 200),
+            c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+            d1 AS (SELECT e.vec_id, e.v, list_distance(e.v, c1.v) AS mind
+                   FROM e, c1),
+            c2 AS (SELECT * FROM d1 ORDER BY mind DESC, vec_id LIMIT 1),
+            d2 AS (SELECT d.vec_id, d.v,
+                          least(d.mind, list_distance(d.v, c2.v)) AS mind
+                   FROM d1 d, c2),
+            c3 AS (SELECT * FROM d2 ORDER BY mind DESC, vec_id LIMIT 1),
+            d3 AS (SELECT d.vec_id, d.v,
+                          least(d.mind, list_distance(d.v, c3.v)) AS mind
+                   FROM d2 d, c3),
+            c4 AS (SELECT * FROM d3 ORDER BY mind DESC, vec_id LIMIT 1),
+            d4 AS (SELECT d.vec_id, d.v,
+                          least(d.mind, list_distance(d.v, c4.v)) AS mind
+                   FROM d3 d, c4),
+            c5 AS (SELECT * FROM d4 ORDER BY mind DESC, vec_id LIMIT 1),
+            d5 AS (SELECT d.vec_id, d.v,
+                          least(d.mind, list_distance(d.v, c5.v)) AS mind
+                   FROM d4 d, c5),
+            c6 AS (SELECT * FROM d5 ORDER BY mind DESC, vec_id LIMIT 1)
+            SELECT 1 AS rank, (SELECT vec_id FROM c1) AS vec_id,
+                   CAST(NULL AS DOUBLE) AS sel_dist
+            UNION ALL SELECT 2, (SELECT vec_id FROM c2), (SELECT round(mind, 6) FROM c2)
+            UNION ALL SELECT 3, (SELECT vec_id FROM c3), (SELECT round(mind, 6) FROM c3)
+            UNION ALL SELECT 4, (SELECT vec_id FROM c4), (SELECT round(mind, 6) FROM c4)
+            UNION ALL SELECT 5, (SELECT vec_id FROM c5), (SELECT round(mind, 6) FROM c5)
+            UNION ALL SELECT 6, (SELECT vec_id FROM c6), (SELECT round(mind, 6) FROM c6)
+            ORDER BY rank"""))
+
+  /** q109 — maximal-marginal-relevance re-ranking
+    * ([[graft.operators.Similarity.mmrRerank]], Carbonell &
+    * Goldstein SIGIR 1998): top-20 cosine candidates for query
+    * vector 0, then 5 greedy MMR picks at lambda=0.7. Every
+    * relevance and pairwise similarity is rounded to 6dp BEFORE the
+    * selection arithmetic on both engines, so the greedy argmax
+    * compares identical doubles; the oracle unrolls all 5 picks
+    * (penalty = max rounded cosine to the selected-so-far union,
+    * `(1 - 0.7)` spelled as arithmetic so both engines fold the
+    * same IEEE constant). */
+  private val q109 = Q("q109_mmr_rerank",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 0),
+        nCandidates = 20, k = 5, lambda = 0.7)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 200),
+            q AS (SELECT v FROM e WHERE vec_id = 0),
+            cand AS (SELECT e.vec_id, e.v,
+                            round(list_cosine_similarity(e.v, q.v), 6) AS rel
+                     FROM e, q WHERE e.vec_id <> 0
+                     ORDER BY list_cosine_similarity(e.v, q.v) DESC, e.vec_id
+                     LIMIT 20),
+            s1 AS (SELECT vec_id, v, rel, rel AS score FROM cand
+                   ORDER BY rel DESC, vec_id LIMIT 1),
+            u1 AS (SELECT vec_id, v FROM s1),
+            m2 AS (SELECT c.vec_id, c.v, c.rel,
+                          0.7 * c.rel - (1 - CAST(0.7 AS DOUBLE)) *
+                            (SELECT max(round(list_cosine_similarity(c.v, s.v), 6))
+                             FROM u1 s) AS score
+                   FROM cand c
+                   WHERE c.vec_id NOT IN (SELECT vec_id FROM u1)),
+            s2 AS (SELECT * FROM m2 ORDER BY score DESC, vec_id LIMIT 1),
+            u2 AS (SELECT * FROM u1 UNION ALL SELECT vec_id, v FROM s2),
+            m3 AS (SELECT c.vec_id, c.v, c.rel,
+                          0.7 * c.rel - (1 - CAST(0.7 AS DOUBLE)) *
+                            (SELECT max(round(list_cosine_similarity(c.v, s.v), 6))
+                             FROM u2 s) AS score
+                   FROM cand c
+                   WHERE c.vec_id NOT IN (SELECT vec_id FROM u2)),
+            s3 AS (SELECT * FROM m3 ORDER BY score DESC, vec_id LIMIT 1),
+            u3 AS (SELECT * FROM u2 UNION ALL SELECT vec_id, v FROM s3),
+            m4 AS (SELECT c.vec_id, c.v, c.rel,
+                          0.7 * c.rel - (1 - CAST(0.7 AS DOUBLE)) *
+                            (SELECT max(round(list_cosine_similarity(c.v, s.v), 6))
+                             FROM u3 s) AS score
+                   FROM cand c
+                   WHERE c.vec_id NOT IN (SELECT vec_id FROM u3)),
+            s4 AS (SELECT * FROM m4 ORDER BY score DESC, vec_id LIMIT 1),
+            u4 AS (SELECT * FROM u3 UNION ALL SELECT vec_id, v FROM s4),
+            m5 AS (SELECT c.vec_id, c.v, c.rel,
+                          0.7 * c.rel - (1 - CAST(0.7 AS DOUBLE)) *
+                            (SELECT max(round(list_cosine_similarity(c.v, s.v), 6))
+                             FROM u4 s) AS score
+                   FROM cand c
+                   WHERE c.vec_id NOT IN (SELECT vec_id FROM u4)),
+            s5 AS (SELECT * FROM m5 ORDER BY score DESC, vec_id LIMIT 1)
+            SELECT 1 AS rank, vec_id, rel, round(score, 6) AS mmr_score FROM s1
+            UNION ALL SELECT 2, vec_id, rel, round(score, 6) FROM s2
+            UNION ALL SELECT 3, vec_id, rel, round(score, 6) FROM s3
+            UNION ALL SELECT 4, vec_id, rel, round(score, 6) FROM s4
+            UNION ALL SELECT 5, vec_id, rel, round(score, 6) FROM s5
+            ORDER BY rank"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
-    q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
+    q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
+    q109)
 }

@@ -1793,4 +1793,30 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L)._1 && !out(3L)._2 && !out(3L)._4)
     assert(out(4L)._1 && !out(4L)._3 && !out(4L)._4)
   }
+
+  test("kCenterGreedy: farthest-point order on a planted line, radii non-increasing") {
+    import graft.operators.Similarity
+    val pts = Seq((1L, Array(0f, 0f)), (2L, Array(10f, 0f)),
+      (3L, Array(5f, 0f)), (4L, Array(0.5f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterGreedy(pts, k = 4).orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(out.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_._3).toSeq === Seq(-1.0, 10.0, 5.0, 0.5))
+  }
+
+  test("mmrRerank: near-duplicate of the seed demoted below a diverse candidate") {
+    import graft.operators.Similarity
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // query at 0°; A(5°) is the relevance seed, B(10°) nearly duplicates
+    // A, C(-30°) is less relevant but diverse — at lambda=0.5 MMR must
+    // pick C second
+    val emb = Seq((0L, v(0)), (10L, v(5)), (11L, v(10)), (12L, v(-30)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 0),
+        nCandidates = 3, k = 3, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(out === Seq(10L, 12L, 11L), s"got $out")
+  }
 }
