@@ -965,8 +965,10 @@ object Dedup {
     * codegen'd map pass); the inner join against the cluster
     * membership list immediately shrinks it to members (membership ≪
     * corpus — AQE broadcasts it), and the rank window runs on that
-    * members frame with per-partition group-limit pruning
-    * (WindowGroupLimit), so no corpus-scale shuffle exists anywhere. */
+    * already-tiny members frame (every member row is RETURNED with
+    * its flag — the full window evaluates by design, so group-limit
+    * pruning does not apply), so no corpus-scale shuffle exists
+    * anywhere. */
   def electSurvivors(docs: DataFrame, idCol: String, clusters: DataFrame,
       score: Column): DataFrame = {
     val members = docs

@@ -244,11 +244,13 @@ object Quality {
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       maxPunctRatio: Double = 0.2, minStopwords: Int = 2): DataFrame = {
-    import graft.functions.TextFunctions.{punctRatio, tokenCount}
+    import graft.functions.TextFunctions.{langPatterns, langScore, punctRatio, tokenCount}
     val t = col(textCol)
     val n = tokenCount(t)
     val meanLen = (length(t) - (n - 1)).cast("double") / n
-    val stop = regexp_count(t, lit("\\b(the|a|and|of|to)\\b"))
+    // the ACTUAL shared 'en' function-word pattern, not a copy — if
+    // langPatterns is ever extended this rule follows langId/langScore
+    val stop = langScore(t, langPatterns.toMap.apply("en"))
     docs.select(col(idCol),
         n.as("n_words"),
         round(meanLen, 6).as("mean_word_len"),

@@ -621,7 +621,10 @@ object Similarity {
     *
     * Returns (rank, vec_id, sel_dist): selection order and each
     * pick's distance-to-selected at selection time, rounded 6dp
-    * (null for the seed). */
+    * (null for the seed). Selected ids are excluded from later
+    * argmaxes (exact-duplicate embeddings would otherwise re-select
+    * a center at distance 0), and selection stops early with fewer
+    * than k rows when the corpus is exhausted. */
   def kCenterGreedy(corpus: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = corpus.sparkSession
@@ -632,25 +635,39 @@ object Similarity {
     val seedId = seedRow.head.getLong(0)
     val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
       (1, seedId, None))
-    var state = Checkpoints.stableTracked(
-      e.withColumn("mind", l2(col("v"), vecLit(seedRow.head.getSeq[Double](1)))))
-    for (r <- 2 to k) {
-      val top = state._1
+    val selIds = scala.collection.mutable.ArrayBuffer[Long](seedId)
+    // the maintained distance is round6'd at every fold so the argmax
+    // compares engine-portable doubles (the mmrRerank rule): a raw
+    // last-ULP gap between this l2 and the oracle's list_distance
+    // would otherwise flip a near-tied pick and diverge every
+    // subsequent round
+    var state = Checkpoints.stableTracked(e.withColumn("mind",
+      round(l2(col("v"), vecLit(seedRow.head.getSeq[Double](1))), 6)))
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
+      // selected ids are excluded explicitly: with exact-duplicate
+      // embeddings (the pre-dedup norm) every remaining distance can
+      // be 0 and the bare argmax would re-pick a selected center
+      // instead of an unselected duplicate
+      val top = state._1.where(!col("vec_id").isin(selIds.toSeq: _*))
         .orderBy(col("mind").desc, col("vec_id").asc).limit(1).collect()
-      val (id, v, d) = (top.head.getLong(0), top.head.getSeq[Double](1),
-        top.head.getDouble(2))
-      picks += ((r, id, Some(d)))
-      val prev = state
-      state = Checkpoints.stableTracked(prev._1
-        .withColumn("mind", least(col("mind"), l2(col("v"), vecLit(v)))))
-      prev._1.unpersist(blocking = false)
-      Checkpoints.drop(prev._1, prev._2)
+      if (top.isEmpty) exhausted = true // k > corpus size: all selected
+      else {
+        val (id, v, d) = (top.head.getLong(0), top.head.getSeq[Double](1),
+          top.head.getDouble(2))
+        picks += ((r, id, Some(d)))
+        selIds += id
+        val prev = state
+        state = Checkpoints.stableTracked(prev._1.withColumn("mind",
+          least(col("mind"), round(l2(col("v"), vecLit(v)), 6))))
+        prev._1.unpersist(blocking = false)
+        Checkpoints.drop(prev._1, prev._2)
+      }
     }
     state._1.unpersist(blocking = false)
     Checkpoints.drop(state._1, state._2)
     import spark.implicits._
     picks.toSeq.toDF("rank", "vec_id", "sel_dist")
-      .select(col("rank"), col("vec_id"), round(col("sel_dist"), 6).as("sel_dist"))
   }
 
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
@@ -679,6 +696,12 @@ object Similarity {
       s"need nCandidates >= k >= 1, got nCandidates=$nCandidates k=$k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     val spark = corpus.sparkSession
+    // one query vector by contract: bruteForceTopK returns nCandidates
+    // rows PER qid, and dropping qid across multiple queries would
+    // blend two rankings (last-collected relevance wins) into one
+    // nondeterministic result
+    require(query.select(col("vec_id")).distinct().count() == 1,
+      "mmrRerank re-ranks one query at a time — pass a 1-query frame")
     val cand = bruteForceTopK(corpus, query, nCandidates)
       .select(col("nid").as("vec_id"), col("cosine").as("rel"))
       .join(corpus.select(col("vec_id"), toDouble(col("embedding")).as("v")), "vec_id")
@@ -694,7 +717,10 @@ object Similarity {
       if (x == y) 1.0 else simRows(if (x < y) (x, y) else (y, x))
     val remaining = scala.collection.mutable.SortedSet[Long](rels.keySet.toSeq: _*)
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
-    for (r <- 1 to k) {
+    // the corpus can yield fewer than nCandidates rows (self excluded,
+    // small corpora) — stop at pool exhaustion instead of reducing an
+    // empty set
+    for (r <- 1 to k if remaining.nonEmpty) {
       val best = remaining.map { id =>
         val score =
           if (selected.isEmpty) rels(id)

@@ -50,33 +50,42 @@ object Tfidf {
     * `sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))` with
     * `idf = ln(1 + (N-df+0.5)/(df+0.5))`.
     *
-    * Scale shape: the corpus is tokenized ONCE in a map-only pass and
-    * immediately filtered to the query's posting lists — the only
-    * corpus-keyed shuffle moves matching (doc, term) rows, never the
-    * full token stream. `df` and the (N, avgdl) corpus stats are
-    * broadcast 1-row/tiny frames; the final ranking is an
-    * orderBy+limit → TakeOrdered (per-partition top-k, no global
-    * sort). A production engine would keep (N, avgdl) as index
-    * metadata; here they cost one extra corpus aggregate.
+    * Scale shape: two corpus map passes and nothing else corpus-sized.
+    * Pass 1 (the expensive one) tokenizes and immediately filters to
+    * the query's posting lists — the only corpus-keyed shuffle moves
+    * matching (doc, term) rows, never the full token stream. Pass 2
+    * is the 1-row (N, avgdl) stats aggregate, computed WITHOUT
+    * materializing token arrays: under the corpus's single-space
+    * contract the token count is separator-count + 1, a pure length
+    * arithmetic identical to `size(split(..))` even on empty-token
+    * edge shapes. (A production engine keeps N/avgdl as index
+    * metadata and drops pass 2.) `df` and the stats are broadcast;
+    * the final ranking is an orderBy+limit → TakeOrdered
+    * (per-partition top-k, no global sort).
     *
     * Scores are summed as exact micro-units (each term contribution
     * rounded to 6dp then held as a long) so the cross-term sum is
     * order-independent and engine-replayable — double summation order
-    * is not. Returns (idCol, bm25_micros, n_terms) ordered by score
-    * desc, id asc. */
+    * is not. Query terms must be distinct: repeated terms would
+    * silently collapse in the posting-list filter rather than carry
+    * Okapi query-side weight, so they are rejected. Returns (idCol,
+    * bm25_micros, n_terms) ordered by score desc, id asc. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate query terms carry no extra weight here — pass distinct terms: $queryTerms")
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
-    val stats = toks.agg(count(lit(1)).as("n_docs"),
-      avg(size(col("__ws"))).as("avgdl"))
+    val dlArith = length(col(textCol)) -
+      length(regexp_replace(col(textCol), " ", "")) + 1
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(dlArith).as("avgdl"))
     // tf feeds both df and the score join; persisted so the corpus
     // tokenize+filter runs once (the frame itself is posting-list
     // sized — docs containing a query term × matched terms)
-    val tf = toks
-      .select(col(idCol), size(col("__ws")).as("dl"), explode(col("__ws")).as("term"))
+    val tf = docs
+      .select(col(idCol), dlArith.as("dl"),
+        explode(tokens(col(textCol))).as("term"))
       .where(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))

@@ -2712,41 +2712,62 @@ object LlmQueries {
     * Savarese ICLR 2018): 6 farthest-point rounds over the
     * embeddings, min-id seed, ties to min id. The oracle unrolls
     * every round — seed, per-round argmax of the maintained
-    * min-distance-to-selected, and the `least` fold — with DuckDB's
-    * native list_distance, value-matching each pick AND its
-    * selection radius. */
+    * min-distance-to-selected (6dp-rounded at every fold so both
+    * engines compare identical doubles; selected ids excluded), and
+    * the `least` fold — with DuckDB's native list_distance,
+    * value-matching each pick AND its selection radius. */
   private val q108 = Q("q108_kcenter_coreset",
     (s, d) => Similarity.kCenterGreedy(
       Tables.embeddings(s, d).filter(col("vec_id") < 200), k = 6),
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings WHERE vec_id < 200),
             c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
-            d1 AS (SELECT e.vec_id, e.v, list_distance(e.v, c1.v) AS mind
+            d1 AS (SELECT e.vec_id, e.v, round(list_distance(e.v, c1.v), 6) AS mind
                    FROM e, c1),
-            c2 AS (SELECT * FROM d1 ORDER BY mind DESC, vec_id LIMIT 1),
+            c2 AS (SELECT * FROM d1
+                   WHERE vec_id NOT IN (SELECT vec_id FROM c1)
+                   ORDER BY mind DESC, vec_id LIMIT 1),
             d2 AS (SELECT d.vec_id, d.v,
-                          least(d.mind, list_distance(d.v, c2.v)) AS mind
+                          least(d.mind, round(list_distance(d.v, c2.v), 6)) AS mind
                    FROM d1 d, c2),
-            c3 AS (SELECT * FROM d2 ORDER BY mind DESC, vec_id LIMIT 1),
+            c3 AS (SELECT * FROM d2
+                   WHERE vec_id NOT IN (SELECT vec_id FROM c1
+                                        UNION ALL SELECT vec_id FROM c2)
+                   ORDER BY mind DESC, vec_id LIMIT 1),
             d3 AS (SELECT d.vec_id, d.v,
-                          least(d.mind, list_distance(d.v, c3.v)) AS mind
+                          least(d.mind, round(list_distance(d.v, c3.v), 6)) AS mind
                    FROM d2 d, c3),
-            c4 AS (SELECT * FROM d3 ORDER BY mind DESC, vec_id LIMIT 1),
+            c4 AS (SELECT * FROM d3
+                   WHERE vec_id NOT IN (SELECT vec_id FROM c1
+                                        UNION ALL SELECT vec_id FROM c2
+                                        UNION ALL SELECT vec_id FROM c3)
+                   ORDER BY mind DESC, vec_id LIMIT 1),
             d4 AS (SELECT d.vec_id, d.v,
-                          least(d.mind, list_distance(d.v, c4.v)) AS mind
+                          least(d.mind, round(list_distance(d.v, c4.v), 6)) AS mind
                    FROM d3 d, c4),
-            c5 AS (SELECT * FROM d4 ORDER BY mind DESC, vec_id LIMIT 1),
+            c5 AS (SELECT * FROM d4
+                   WHERE vec_id NOT IN (SELECT vec_id FROM c1
+                                        UNION ALL SELECT vec_id FROM c2
+                                        UNION ALL SELECT vec_id FROM c3
+                                        UNION ALL SELECT vec_id FROM c4)
+                   ORDER BY mind DESC, vec_id LIMIT 1),
             d5 AS (SELECT d.vec_id, d.v,
-                          least(d.mind, list_distance(d.v, c5.v)) AS mind
+                          least(d.mind, round(list_distance(d.v, c5.v), 6)) AS mind
                    FROM d4 d, c5),
-            c6 AS (SELECT * FROM d5 ORDER BY mind DESC, vec_id LIMIT 1)
+            c6 AS (SELECT * FROM d5
+                   WHERE vec_id NOT IN (SELECT vec_id FROM c1
+                                        UNION ALL SELECT vec_id FROM c2
+                                        UNION ALL SELECT vec_id FROM c3
+                                        UNION ALL SELECT vec_id FROM c4
+                                        UNION ALL SELECT vec_id FROM c5)
+                   ORDER BY mind DESC, vec_id LIMIT 1)
             SELECT 1 AS rank, (SELECT vec_id FROM c1) AS vec_id,
                    CAST(NULL AS DOUBLE) AS sel_dist
-            UNION ALL SELECT 2, (SELECT vec_id FROM c2), (SELECT round(mind, 6) FROM c2)
-            UNION ALL SELECT 3, (SELECT vec_id FROM c3), (SELECT round(mind, 6) FROM c3)
-            UNION ALL SELECT 4, (SELECT vec_id FROM c4), (SELECT round(mind, 6) FROM c4)
-            UNION ALL SELECT 5, (SELECT vec_id FROM c5), (SELECT round(mind, 6) FROM c5)
-            UNION ALL SELECT 6, (SELECT vec_id FROM c6), (SELECT round(mind, 6) FROM c6)
+            UNION ALL SELECT 2, (SELECT vec_id FROM c2), (SELECT mind FROM c2)
+            UNION ALL SELECT 3, (SELECT vec_id FROM c3), (SELECT mind FROM c3)
+            UNION ALL SELECT 4, (SELECT vec_id FROM c4), (SELECT mind FROM c4)
+            UNION ALL SELECT 5, (SELECT vec_id FROM c5), (SELECT mind FROM c5)
+            UNION ALL SELECT 6, (SELECT vec_id FROM c6), (SELECT mind FROM c6)
             ORDER BY rank"""))
 
   /** q109 — maximal-marginal-relevance re-ranking

@@ -1805,6 +1805,37 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_._3).toSeq === Seq(-1.0, 10.0, 5.0, 0.5))
   }
 
+  test("kCenterGreedy: exact-duplicate embeddings select the unselected dup, k > corpus stops early") {
+    import graft.operators.Similarity
+    val dups = Seq((1L, Array(0f, 0f)), (2L, Array(0f, 0f)), (3L, Array(3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterGreedy(dups, k = 5).orderBy("rank")
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    // round 3 must pick the duplicate id 2 at distance 0, never
+    // re-pick a selected center; rounds 4-5 have no candidates left
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 2L))
+    assert(out.map(_._2).toSeq === Seq(-1.0, 5.0, 0.0))
+  }
+
+  test("mmrRerank: pool smaller than k stops at exhaustion; multi-query frame rejected") {
+    import graft.operators.Similarity
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 0),
+      nCandidates = 10, k = 5, lambda = 0.5)
+    assert(out.count() === 2, "only 2 candidates exist (self excluded)")
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 2),
+        nCandidates = 10, k = 2, lambda = 0.5))
+  }
+
+  test("bm25TopK rejects duplicate query terms") {
+    import graft.operators.Tfidf
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Tfidf.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), k = 1))
+  }
+
   test("mmrRerank: near-duplicate of the seed demoted below a diverse candidate") {
     import graft.operators.Similarity
     def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
