@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl curation. The reference has no graph
+  * surface; this is the training-data extension that ranks crawl
+  * sources the way production crawl pipelines do (host-level link
+  * authority as a quality prior — the Common Crawl host-rank shape).
+  */
+object Graph {
+
+  /** Damped PageRank (Page et al. 1999) over a directed edge list
+    * (`src`, `dst`), `iters` synchronous power iterations from the
+    * uniform start 1/N:
+    *
+    *   r'(v) = (1−d)/N + d·( Σ_{u→v} r(u)/outdeg(u) + dangling/N )
+    *
+    * where `dangling` is the rank mass sitting on nodes with no
+    * out-edges, redistributed uniformly (the standard stochastic-
+    * matrix completion — without it rank mass leaks and the vector
+    * stops summing to 1).
+    *
+    * Determinism: ranks are rounded to 9dp at every iteration (the
+    * [[Similarity.kCenterGreedy]] rule — both engines then carry
+    * identical doubles into the next round, so an oracle can unroll
+    * the iterations value-for-value); ranks are ~1/N, so 9dp keeps
+    * ≥6 significant figures at any realistic node count.
+    *
+    * Scale shape: the textbook join-PageRank — per iteration, one
+    * join of edges against ranks keyed on `src` (edges pre-keyed by
+    * src reuse the exchange), one map-side-combined aggregate keyed
+    * on `dst`, one left join back onto the node set. The dangling
+    * mass is a 1-row aggregate CROSS-joined (broadcast) — no driver
+    * collect anywhere in the loop; the only driver scalar is N,
+    * counted once at setup. Per-round state goes through
+    * [[Checkpoints.stableTracked]], so iteration i+1 costs one pass,
+    * not an i-deep lineage. Returns (id, rank) with rank rounded
+    * 6dp for output. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
+    val n = nodes.count() // the one setup scalar
+    require(n > 0, "pageRank needs at least one edge")
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg")).persist()
+    var ranks = Checkpoints.stableTracked(
+      nodes.withColumn("r", round(lit(1.0) / n, 9)))
+    for (_ <- 1 to iters) {
+      val withDeg = ranks._1.join(outdeg, Seq("id"), "left")
+      val dangling = withDeg.where(col("outdeg").isNull)
+        .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
+      val contribs = e.join(
+          withDeg.where(col("outdeg").isNotNull)
+            .select(col("id").as("src"), (col("r") / col("outdeg")).as("__share")),
+          Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum("__share").as("__c"))
+      val prev = ranks
+      ranks = Checkpoints.stableTracked(
+        nodes.join(contribs, Seq("id"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"), round(
+            (lit(1.0) - lit(damping)) / n +
+              lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") / n),
+            9).as("r")))
+      prev._1.unpersist(blocking = false)
+      Checkpoints.drop(prev._1, prev._2)
+    }
+    val out = Checkpoints.materialize(
+      ranks._1.select(col("id"), round(col("r"), 6).as("rank")),
+      e, nodes, outdeg)
+    Checkpoints.drop(ranks._1, ranks._2)
+    out
+  }
+}

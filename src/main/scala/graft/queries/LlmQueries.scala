@@ -2835,10 +2835,72 @@ object LlmQueries {
             UNION ALL SELECT 5, vec_id, rel, round(score, 6) FROM s5
             ORDER BY rank"""))
 
+  /** q110 — PageRank link authority
+    * ([[graft.operators.Graph.pageRank]]): a deterministic synthetic
+    * link graph (3 md5-drawn out-links per non-dangling doc, every
+    * 5th doc dangling so the uniform mass redistribution genuinely
+    * runs), 3 power iterations at d=0.85. Ranks round to 9dp per
+    * iteration so the oracle unrolls all three value-for-value; the
+    * damping constants are spelled as double CASTs (DuckDB folds
+    * bare decimal literals exactly, the engines' one arithmetic
+    * divergence). */
+  private val q110 = Q("q110_pagerank",
+    (s, d) => {
+      val dsts = array((0 to 2).map(j =>
+        pmod(md5Long(concat(col("doc_id").cast("string"), lit(s"|e$j"))),
+          lit(400))): _*)
+      val edges = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("src"), explode(dsts).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("rank").desc, col("id")).limit(50)
+    },
+    Some("""WITH ed AS (
+              SELECT doc_id AS src,
+                     CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),
+                       '|e', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 400 AS dst
+              FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)
+              WHERE doc_id % 5 <> 0),
+            nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            od AS (SELECT src AS id, count(*) AS outdeg FROM ed GROUP BY 1),
+            r0 AS (SELECT id, round(CAST(1 AS DOUBLE) / n, 9) AS r FROM nodes, nn),
+            dm0 AS (SELECT coalesce(sum(r), 0.0) AS dm
+                    FROM r0 LEFT JOIN od USING (id) WHERE outdeg IS NULL),
+            c0 AS (SELECT ed.dst AS id, sum(r0.r / od.outdeg) AS c
+                   FROM ed JOIN r0 ON ed.src = r0.id JOIN od ON ed.src = od.id
+                   GROUP BY 1),
+            r1 AS (SELECT nodes.id,
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+                            + CAST(0.85 AS DOUBLE)
+                              * (coalesce(c.c, 0.0) + dm0.dm / n), 9) AS r
+                   FROM nodes LEFT JOIN c0 c USING (id), nn, dm0),
+            dm1 AS (SELECT coalesce(sum(r), 0.0) AS dm
+                    FROM r1 LEFT JOIN od USING (id) WHERE outdeg IS NULL),
+            c1 AS (SELECT ed.dst AS id, sum(r1.r / od.outdeg) AS c
+                   FROM ed JOIN r1 ON ed.src = r1.id JOIN od ON ed.src = od.id
+                   GROUP BY 1),
+            r2 AS (SELECT nodes.id,
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+                            + CAST(0.85 AS DOUBLE)
+                              * (coalesce(c.c, 0.0) + dm1.dm / n), 9) AS r
+                   FROM nodes LEFT JOIN c1 c USING (id), nn, dm1),
+            dm2 AS (SELECT coalesce(sum(r), 0.0) AS dm
+                    FROM r2 LEFT JOIN od USING (id) WHERE outdeg IS NULL),
+            c2 AS (SELECT ed.dst AS id, sum(r2.r / od.outdeg) AS c
+                   FROM ed JOIN r2 ON ed.src = r2.id JOIN od ON ed.src = od.id
+                   GROUP BY 1),
+            r3 AS (SELECT nodes.id,
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+                            + CAST(0.85 AS DOUBLE)
+                              * (coalesce(c.c, 0.0) + dm2.dm / n), 9) AS r
+                   FROM nodes LEFT JOIN c2 c USING (id), nn, dm2)
+            SELECT id, round(r, 6) AS rank FROM r3
+            ORDER BY rank DESC, id LIMIT 50"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109)
+    q109, q110)
 }

@@ -1836,6 +1836,24 @@ class OperatorSpec extends SparkSpec {
       Tfidf.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), k = 1))
   }
 
+  test("pageRank: hand-computed iteration with dangling redistribution, mass conserved") {
+    import graft.operators.Graph
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1 -> 2 -> 3, node 3 dangling
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = 3
+    val base = (1.0 - 0.85) / n
+    val r0 = r9(1.0 / n)
+    val dm = r0 // node 3's mass
+    assert(out(1L) === r6(r9(base + 0.85 * (0.0 + dm / n))))
+    assert(out(2L) === r6(r9(base + 0.85 * (r0 / 1 + dm / n))))
+    assert(out(3L) === out(2L), "equal in-mass must give equal rank")
+    assert(math.abs(out.values.sum - 1.0) < 1e-6, "rank mass conserved")
+  }
+
   test("mmrRerank: near-duplicate of the seed demoted below a diverse candidate") {
     import graft.operators.Similarity
     def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
