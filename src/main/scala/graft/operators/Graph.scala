@@ -79,4 +79,61 @@ object Graph {
     Checkpoints.drop(ranks._1, ranks._2)
     out
   }
+
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999) — [[pageRank]]'s
+    * companion for link graphs where pointing WELL matters separately
+    * from being pointed AT (directory/hub pages vs content pages):
+    * per synchronous iteration, authority(v) = Σ_{u→v} hub(u) then
+    * hub(u) = Σ_{u→v} authority(v), each L2-normalized.
+    *
+    * Determinism: both score vectors round to 9dp after each
+    * normalization (the [[pageRank]] rule) so an oracle unrolls
+    * iterations value-for-value; the L2 norm is a 1-row aggregate
+    * cross-joined broadcast, no driver collect in the loop.
+    *
+    * Scale shape mirrors [[pageRank]]: src- and dst-keyed join +
+    * map-side-combined aggregate per half-step over the persisted
+    * edge list; per-round [[Checkpoints.stableTracked]] state.
+    * Returns (id, authority, hub), both rounded 6dp. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
+    def l2normalized(df: DataFrame, c: String): DataFrame = {
+      val norm = df.agg(sqrt(sum(col(c) * col(c))).as("__n"))
+      df.crossJoin(broadcast(norm))
+        .select(col("id"), round(col(c) / col("__n"), 9).as(c))
+    }
+    var state = Checkpoints.stableTracked(
+      nodes.select(col("id"), lit(1.0).as("auth"), lit(1.0).as("hub")))
+    for (_ <- 1 to iters) {
+      val auth = l2normalized(
+        nodes.join(
+            e.join(state._1.select(col("id").as("src"), col("hub")), Seq("src"))
+              .groupBy(col("dst").as("id")).agg(sum("hub").as("auth")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth")),
+        "auth")
+      val hub = l2normalized(
+        nodes.join(
+            e.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
+              .groupBy(col("src").as("id")).agg(sum("auth").as("hub")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub")
+      val prev = state
+      state = Checkpoints.stableTracked(auth.join(hub, Seq("id")))
+      prev._1.unpersist(blocking = false)
+      Checkpoints.drop(prev._1, prev._2)
+    }
+    val out = Checkpoints.materialize(
+      state._1.select(col("id"), round(col("auth"), 6).as("authority"),
+        round(col("hub"), 6).as("hub")),
+      e, nodes)
+    Checkpoints.drop(state._1, state._2)
+    out
+  }
 }

@@ -162,4 +162,49 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         approx_count_distinct(keyCol, rsd).as("approx_distinct"),
         approx_percentile(valueCol, typedLit(ps), lit(acc)).as("approx_qs"))
+
+  /** Embedding-space drift per group — [[klDrift]]'s twin for the
+    * vector modality: each group's centroid embedding against the
+    * whole-corpus centroid, reported as cosine drift (1 − cos). The
+    * monitor that catches a crawl slice or model-version batch whose
+    * embedding distribution walked away from the corpus even when its
+    * token statistics look unchanged.
+    *
+    * Execution: ONE per-dimension aggregate computes every group
+    * centroid (shuffle keyed on (group, dim) — uniform, map-side
+    * combined), the global centroid reduces from the group frame
+    * (groups × dims rows, never a second corpus pass), and centroids
+    * assemble via the position-sorted collect the kMeans reducer
+    * uses. Per-dimension means round to 9dp before the cosine (the
+    * engine-portability rule for carried floats). Returns
+    * (groupCol, n_vecs, drift) with drift rounded 6dp. */
+  def embeddingDrift(emb: DataFrame, groupCol: String,
+      embCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val perDim = emb
+      .select(col(groupCol), posexplode(col(embCol).cast("array<double>")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(round(avg(col("col")), 9).as("m"), count(lit(1)).as("__n"))
+      .persist()
+    def assemble(df: DataFrame, keyCols: Seq[Column]): DataFrame =
+      df.groupBy(keyCols: _*)
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(keyCols :+ transform(col("pm"), x => x.getField("m")).as("c"): _*)
+    val groups = assemble(perDim, Seq(col(groupCol)))
+    // global centroid = n-weighted mean of group means per dim (exact:
+    // groups partition the rows), re-rounded to the same 9dp contract
+    val global = assemble(
+      perDim.groupBy(col("pos"))
+        .agg(round(sum(col("m") * col("__n")) / sum(col("__n")), 9).as("m")),
+      Seq(lit(1).as("__one")))
+    val counts = emb.groupBy(col(groupCol)).agg(count(lit(1)).as("n_vecs"))
+    val out = groups.crossJoin(broadcast(global.select(col("c").as("__gc"))))
+      .select(col(groupCol),
+        round(lit(1.0) - cosine(col("c"), col("__gc")), 6).as("drift"))
+      .join(counts, Seq(groupCol))
+      .select(col(groupCol), col("n_vecs"), col("drift"))
+      .localCheckpoint()
+    perDim.unpersist(blocking = false)
+    out
+  }
 }

@@ -139,4 +139,41 @@ object Tokenizer {
       words.localCheckpoint().withColumn("syms", charSyms(col(wCol)))) {
       case (df, (a, b)) => df.withColumn("syms", mergePass(col("syms"), a, b))
     }
+
+  /** Vocabulary-coverage diagnostic: with the word vocabulary capped
+    * at the top `vocabSize` words by corpus frequency (ties: word
+    * ascending — pinned so the cut is deterministic), what fraction
+    * of each group's token INSTANCES is covered, and how many
+    * distinct OOV types does the group carry? The go/no-go check
+    * before freezing a tokenizer's vocab size — instance coverage is
+    * what the model sees; a 99% type-coverage vocab can still leave
+    * 10% of instances OOV on a skewed corpus.
+    *
+    * Scale shape: the vocabulary is elected once from the corpus-wide
+    * [[wordFreq]] aggregate (the only corpus-keyed shuffle; the top-V
+    * rank is a WindowGroupLimit-prunable row_number over the
+    * vocabulary-sized frame), then broadcast-joined onto the per-group
+    * token aggregate. Returns one row per `groupCol` value:
+    * (group, n_tokens, n_oov_tokens, n_oov_types, oov_pct). */
+  def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = wordFreq(docs, textCol)
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("freq").desc, col("w").asc)))
+      .where(col("__rk") <= vocabSize)
+      .select(col("w"), lit(1).as("__in_vocab"))
+    docs.select(col(groupCol), explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 1) // wordFreq's own vocabulary domain
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(groupCol))
+      .agg(sum("__n").as("n_tokens"),
+        coalesce(sum(when(col("__in_vocab").isNull, col("__n"))), lit(0L))
+          .as("n_oov_tokens"),
+        count(when(col("__in_vocab").isNull, lit(1))).as("n_oov_types"))
+      .withColumn("oov_pct",
+        round(col("n_oov_tokens") * lit(100.0) / col("n_tokens"), 4))
+  }
 }

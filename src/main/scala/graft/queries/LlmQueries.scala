@@ -2844,14 +2844,20 @@ object LlmQueries {
     * damping constants are spelled as double CASTs (DuckDB folds
     * bare decimal literals exactly, the engines' one arithmetic
     * divergence). */
+  /** The q110/q111 synthetic link graph: 3 md5-drawn out-links per
+    * non-dangling doc (every 5th doc emits none, so dangling-mass
+    * handling genuinely runs). */
+  private def linkEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val dsts = array((0 to 2).map(j =>
+      pmod(md5Long(concat(col("doc_id").cast("string"), lit(s"|e$j"))),
+        lit(400))): _*)
+    Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("src"), explode(dsts).as("dst"))
+  }
+
   private val q110 = Q("q110_pagerank",
     (s, d) => {
-      val dsts = array((0 to 2).map(j =>
-        pmod(md5Long(concat(col("doc_id").cast("string"), lit(s"|e$j"))),
-          lit(400))): _*)
-      val edges = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
-        .select(col("doc_id").as("src"), explode(dsts).as("dst"))
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+      graft.operators.Graph.pageRank(linkEdges(s, d), "src", "dst", iters = 3)
         .orderBy(col("rank").desc, col("id")).limit(50)
     },
     Some("""WITH ed AS (
@@ -2897,10 +2903,113 @@ object LlmQueries {
             SELECT id, round(r, 6) AS rank FROM r3
             ORDER BY rank DESC, id LIMIT 50"""))
 
+  /** q111 — HITS hubs and authorities
+    * ([[graft.operators.Graph.hits]]): 2 synchronous iterations over
+    * the q110 link graph, auth-from-hub then hub-from-NEW-auth, each
+    * half-step L2-normalized and 9dp-rounded. The oracle unrolls
+    * both iterations with the identical normalize-round chain. */
+  private val q111 = Q("q111_hits",
+    (s, d) => {
+      graft.operators.Graph.hits(linkEdges(s, d), "src", "dst", iters = 2)
+        .orderBy(col("authority").desc, col("id")).limit(50)
+    },
+    Some("""WITH ed AS (
+              SELECT doc_id AS src,
+                     CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),
+                       '|e', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 400 AS dst
+              FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)
+              WHERE doc_id % 5 <> 0),
+            nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+            h0 AS (SELECT id, CAST(1 AS DOUBLE) AS hub FROM nodes),
+            a1r AS (SELECT n.id, coalesce(s.x, 0.0) AS auth
+                    FROM nodes n LEFT JOIN
+                      (SELECT ed.dst AS id, sum(h0.hub) AS x
+                       FROM ed JOIN h0 ON ed.src = h0.id GROUP BY 1) s
+                      USING (id)),
+            a1n AS (SELECT sqrt(sum(auth * auth)) AS nrm FROM a1r),
+            a1 AS (SELECT id, round(auth / nrm, 9) AS auth FROM a1r, a1n),
+            h1r AS (SELECT n.id, coalesce(s.x, 0.0) AS hub
+                    FROM nodes n LEFT JOIN
+                      (SELECT ed.src AS id, sum(a1.auth) AS x
+                       FROM ed JOIN a1 ON ed.dst = a1.id GROUP BY 1) s
+                      USING (id)),
+            h1n AS (SELECT sqrt(sum(hub * hub)) AS nrm FROM h1r),
+            h1 AS (SELECT id, round(hub / nrm, 9) AS hub FROM h1r, h1n),
+            a2r AS (SELECT n.id, coalesce(s.x, 0.0) AS auth
+                    FROM nodes n LEFT JOIN
+                      (SELECT ed.dst AS id, sum(h1.hub) AS x
+                       FROM ed JOIN h1 ON ed.src = h1.id GROUP BY 1) s
+                      USING (id)),
+            a2n AS (SELECT sqrt(sum(auth * auth)) AS nrm FROM a2r),
+            a2 AS (SELECT id, round(auth / nrm, 9) AS auth FROM a2r, a2n),
+            h2r AS (SELECT n.id, coalesce(s.x, 0.0) AS hub
+                    FROM nodes n LEFT JOIN
+                      (SELECT ed.src AS id, sum(a2.auth) AS x
+                       FROM ed JOIN a2 ON ed.dst = a2.id GROUP BY 1) s
+                      USING (id)),
+            h2n AS (SELECT sqrt(sum(hub * hub)) AS nrm FROM h2r),
+            h2 AS (SELECT id, round(hub / nrm, 9) AS hub FROM h2r, h2n)
+            SELECT a2.id, round(a2.auth, 6) AS authority, round(h2.hub, 6) AS hub
+            FROM a2 JOIN h2 USING (id)
+            ORDER BY authority DESC, id LIMIT 50"""))
+
+  /** q112 — tokenizer vocabulary coverage
+    * ([[graft.operators.Tokenizer.vocabCoverage]]): with the word
+    * vocab capped at the top 20 of the corpus's 31 types, per-source
+    * token-instance OOV mass and distinct OOV types — the oracle
+    * re-elects the vocabulary (pinned freq-desc/word-asc cut) and
+    * recomputes every per-source count. */
+  private val q112 = Q("q112_vocab_coverage",
+    (s, d) => Tokenizer.vocabCoverage(Tables.documents(s, d), "text", "source",
+        vocabSize = 20)
+      .orderBy("source"),
+    Some("""WITH wf AS (SELECT w, count(*) AS freq
+                        FROM (SELECT unnest(str_split(text, ' ')) AS w
+                              FROM documents)
+                        WHERE length(w) > 1 GROUP BY 1),
+            v AS (SELECT w FROM (
+                    SELECT w, row_number() OVER (ORDER BY freq DESC, w) AS rk
+                    FROM wf) WHERE rk <= 20),
+            t AS (SELECT source, w, count(*) AS n
+                  FROM (SELECT source, unnest(str_split(text, ' ')) AS w
+                        FROM documents)
+                  WHERE length(w) > 1 GROUP BY 1, 2)
+            SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(CASE WHEN v.w IS NULL THEN n END), 0)
+                     AS BIGINT) AS n_oov_tokens,
+                   count(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov_types,
+                   round(coalesce(sum(CASE WHEN v.w IS NULL THEN n END), 0)
+                     * 100.0 / sum(n), 4) AS oov_pct
+            FROM t LEFT JOIN v USING (w) GROUP BY 1 ORDER BY 1"""))
+
+  /** q113 — embedding-space drift per label group
+    * ([[graft.operators.Stats.embeddingDrift]]): each label's
+    * centroid vs the corpus centroid as cosine drift. Per-dimension
+    * means round to 9dp, the global centroid is the n-weighted mean
+    * of the rounded group means, and the oracle replays dimension
+    * extraction, both centroid stages, and the cosine. */
+  private val q113 = Q("q113_embedding_drift",
+    (s, d) => Stats.embeddingDrift(Tables.embeddings(s, d), "label")
+      .orderBy("label"),
+    Some("""WITH x AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+                       FROM embeddings, LATERAL
+                         (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+            pd AS (SELECT label, i, round(avg(v), 9) AS m, count(*) AS n
+                   FROM x GROUP BY 1, 2),
+            g AS (SELECT label, list(m ORDER BY i) AS c FROM pd GROUP BY 1),
+            gl AS (SELECT list(m ORDER BY i) AS gc FROM (
+                     SELECT i, round(sum(m * n) / sum(n), 9) AS m
+                     FROM pd GROUP BY 1)),
+            cnt AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+            SELECT g.label, cnt.n_vecs,
+                   round(1.0 - list_cosine_similarity(g.c, gl.gc), 6) AS drift
+            FROM g CROSS JOIN gl JOIN cnt ON g.label = cnt.label
+            ORDER BY g.label"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110)
+    q109, q110, q111, q112, q113)
 }

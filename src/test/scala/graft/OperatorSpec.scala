@@ -1854,6 +1854,41 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(out.values.sum - 1.0) < 1e-6, "rank mass conserved")
   }
 
+  test("hits: pure authority gets 1.0, its two equal pointers split hub mass") {
+    import graft.operators.Graph
+    // 1 -> 3 <- 2: node 3 is the only authority, 1 and 2 are equal hubs
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(3L) === ((1.0, 0.0)))
+    assert(out(1L) === ((0.0, 0.707107)))
+    assert(out(2L) === ((0.0, 0.707107)))
+  }
+
+  test("vocabCoverage: top-V cut pinned, instance vs type OOV separated") {
+    import graft.operators.Tokenizer
+    val docs = Seq(("g1", "aa aa bb cc"), ("g2", "aa bb x cc cc"))
+      .toDF("source", "text")
+    // freqs: aa=3, bb=2, cc=3, x dropped (length 1); V=2 elects {aa, cc}
+    // (freq desc, word asc: aa(3), cc(3), bb(2))
+    val out = Tokenizer.vocabCoverage(docs, "text", "source", vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("g1") === ((4L, 1L, 1L, 25.0)))   // bb OOV once
+    assert(out("g2") === ((4L, 1L, 1L, 25.0)))   // bb OOV once, x excluded
+  }
+
+  test("embeddingDrift: hand-computed centroid cosine, zero drift for the global mean") {
+    import graft.operators.Stats
+    val emb = Seq((0, Array(1f, 0f)), (0, Array(1f, 0f)),
+      (1, Array(0f, 1f)), (1, Array(0f, 1f))).toDF("label", "embedding")
+    val out = Stats.embeddingDrift(emb, "label")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // global centroid [0.5, 0.5]; 1 - cos([1,0],[.5,.5]) = 1 - 1/sqrt(2)
+    assert(out(0) === ((2L, 0.292893)))
+    assert(out(1) === ((2L, 0.292893)))
+  }
+
   test("mmrRerank: near-duplicate of the seed demoted below a diverse candidate") {
     import graft.operators.Similarity
     def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
