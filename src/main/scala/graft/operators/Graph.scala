@@ -32,13 +32,25 @@ object Graph {
     * src reuse the exchange), one map-side-combined aggregate keyed
     * on `dst`, one left join back onto the node set. The dangling
     * mass is a 1-row aggregate CROSS-joined (broadcast) — no driver
-    * collect anywhere in the loop; the only driver scalar is N,
-    * counted once at setup. Per-round state goes through
-    * [[Checkpoints.stableTracked]], so iteration i+1 costs one pass,
-    * not an i-deep lineage. Returns (id, rank) with rank rounded
-    * 6dp for output. */
+    * collect anywhere in the loop; the only driver scalars are N and
+    * (when personalized) the seed count, counted once at setup.
+    * Per-round state goes through [[Checkpoints.stableTracked]], so
+    * iteration i+1 costs one pass, not an i-deep lineage. Returns
+    * (id, rank) with rank rounded 6dp for output.
+    *
+    * `teleport`: when given (a 1-column frame of trusted node ids),
+    * runs PERSONALIZED PageRank — TrustRank (Gyöngyi et al., VLDB
+    * 2004), the crawl-curation trust prior: the teleport vector
+    * concentrates on the seed set (1/|seeds| there, 0 elsewhere) and
+    * the dangling mass follows it, so rank flows outward from
+    * trusted hosts instead of from everywhere:
+    *
+    *   r'(v) = (1−d)·t(v) + d·( Σ_{u→v} r(u)/outdeg(u) + dangling·t(v) )
+    *
+    * The uniform default is exactly t(v) = 1/N. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85,
+      teleport: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
@@ -48,10 +60,26 @@ object Graph {
       .unionByName(e.select(col("dst").as("id"))).distinct().persist()
     val n = nodes.count() // the one setup scalar
     require(n > 0, "pageRank needs at least one edge")
+    // (id, t) teleport distribution joined once onto the node set;
+    // seeds outside the graph's node set are ignored by the join, so
+    // |seeds| is counted AFTER the restriction or mass would leak
+    val withT = teleport match {
+      case None => nodes.withColumn("__t", lit(1.0) / n)
+      case Some(seeds) =>
+        val s = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+          .distinct().join(nodes, Seq("id"), "left_semi").persist()
+        val ns = s.count()
+        require(ns > 0, "teleport seeds must intersect the graph's nodes")
+        val t = nodes.join(s.withColumn("__t", lit(1.0) / ns), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__t"), lit(0.0)).as("__t"))
+        s.unpersist(blocking = false)
+        t
+    }
+    val tNodes = withT.persist()
     val outdeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg")).persist()
     var ranks = Checkpoints.stableTracked(
-      nodes.withColumn("r", round(lit(1.0) / n, 9)))
+      tNodes.select(col("id"), round(col("__t"), 9).as("r")))
     for (_ <- 1 to iters) {
       val withDeg = ranks._1.join(outdeg, Seq("id"), "left")
       val dangling = withDeg.where(col("outdeg").isNull)
@@ -64,18 +92,18 @@ object Graph {
         .agg(sum("__share").as("__c"))
       val prev = ranks
       ranks = Checkpoints.stableTracked(
-        nodes.join(contribs, Seq("id"), "left")
+        tNodes.join(contribs, Seq("id"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("id"), round(
-            (lit(1.0) - lit(damping)) / n +
-              lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") / n),
+            (lit(1.0) - lit(damping)) * col("__t") +
+              lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") * col("__t")),
             9).as("r")))
       prev._1.unpersist(blocking = false)
       Checkpoints.drop(prev._1, prev._2)
     }
     val out = Checkpoints.materialize(
       ranks._1.select(col("id"), round(col("r"), 6).as("rank")),
-      e, nodes, outdeg)
+      e, nodes, tNodes, outdeg)
     Checkpoints.drop(ranks._1, ranks._2)
     out
   }

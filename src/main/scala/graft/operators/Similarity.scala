@@ -598,6 +598,41 @@ object Similarity {
     out
   }
 
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel, TOIS
+    * 2010) between two per-query rankings — [[recallAtK]]'s
+    * top-weighted complement for ANN/retrieval evaluation: recall@k
+    * treats every rank the same, RBO discounts agreement
+    * geometrically (weight (1−p)·p^(d−1)/d at depth d), which is what
+    * distinguishes an index that misses rank 1 from one that misses
+    * rank k. Both inputs are (qid, rank, nid) frames; queries with
+    * zero overlap report 0.
+    *
+    * Execution: one equi-join on (qid, nid) inside depth k, overlap
+    * counts per depth via an `explode(sequence(m..k))` of at most k
+    * rows per match (k is small by contract), one aggregate — all
+    * shuffles keyed on qid. */
+  def rboAtK(a: DataFrame, b: DataFrame, k: Int, p: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    val m = a.where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").as("__ra"))
+      .join(b.where(col("rank") <= k)
+        .select(col("qid"), col("nid"), col("rank").as("__rb")), Seq("qid", "nid"))
+      .select(col("qid"), greatest(col("__ra"), col("__rb")).as("__m"))
+    // a (qid, nid) pair is inside BOTH depth-d prefixes for every
+    // d >= max(ra, rb): overlap(d) accumulates via the sequence explode
+    val scored = m
+      .select(col("qid"), explode(sequence(col("__m"), lit(k))).as("__d"))
+      .groupBy(col("qid"), col("__d")).agg(count(lit(1)).as("__overlap"))
+      .withColumn("__w",
+        lit(1.0 - p) * pow(lit(p), col("__d") - 1) / col("__d"))
+      .groupBy("qid")
+      .agg(round(sum(col("__overlap") * col("__w")), 6).as("rbo"))
+    a.where(col("rank") <= k).select(col("qid")).distinct()
+      .join(scored, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
+
   /** k-center greedy coreset selection (Sener & Savarese, "Active
     * Learning for Convolutional Neural Networks: A Core-Set
     * Approach", ICLR 2018) — farthest-point traversal, the standard

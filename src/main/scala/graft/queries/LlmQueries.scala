@@ -2876,9 +2876,11 @@ object LlmQueries {
                    FROM ed JOIN r0 ON ed.src = r0.id JOIN od ON ed.src = od.id
                    GROUP BY 1),
             r1 AS (SELECT nodes.id,
-                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                              * (CAST(1 AS DOUBLE) / n)
                             + CAST(0.85 AS DOUBLE)
-                              * (coalesce(c.c, 0.0) + dm0.dm / n), 9) AS r
+                              * (coalesce(c.c, 0.0)
+                                 + dm0.dm * (CAST(1 AS DOUBLE) / n)), 9) AS r
                    FROM nodes LEFT JOIN c0 c USING (id), nn, dm0),
             dm1 AS (SELECT coalesce(sum(r), 0.0) AS dm
                     FROM r1 LEFT JOIN od USING (id) WHERE outdeg IS NULL),
@@ -2886,9 +2888,11 @@ object LlmQueries {
                    FROM ed JOIN r1 ON ed.src = r1.id JOIN od ON ed.src = od.id
                    GROUP BY 1),
             r2 AS (SELECT nodes.id,
-                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                              * (CAST(1 AS DOUBLE) / n)
                             + CAST(0.85 AS DOUBLE)
-                              * (coalesce(c.c, 0.0) + dm1.dm / n), 9) AS r
+                              * (coalesce(c.c, 0.0)
+                                 + dm1.dm * (CAST(1 AS DOUBLE) / n)), 9) AS r
                    FROM nodes LEFT JOIN c1 c USING (id), nn, dm1),
             dm2 AS (SELECT coalesce(sum(r), 0.0) AS dm
                     FROM r2 LEFT JOIN od USING (id) WHERE outdeg IS NULL),
@@ -2896,9 +2900,11 @@ object LlmQueries {
                    FROM ed JOIN r2 ON ed.src = r2.id JOIN od ON ed.src = od.id
                    GROUP BY 1),
             r3 AS (SELECT nodes.id,
-                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                              * (CAST(1 AS DOUBLE) / n)
                             + CAST(0.85 AS DOUBLE)
-                              * (coalesce(c.c, 0.0) + dm2.dm / n), 9) AS r
+                              * (coalesce(c.c, 0.0)
+                                 + dm2.dm * (CAST(1 AS DOUBLE) / n)), 9) AS r
                    FROM nodes LEFT JOIN c2 c USING (id), nn, dm2)
             SELECT id, round(r, 6) AS rank FROM r3
             ORDER BY rank DESC, id LIMIT 50"""))
@@ -3006,10 +3012,140 @@ object LlmQueries {
             FROM g CROSS JOIN gl JOIN cnt ON g.label = cnt.label
             ORDER BY g.label"""))
 
+  /** q114 — TrustRank / personalized PageRank
+    * ([[graft.operators.Graph.pageRank]] with a teleport seed set,
+    * Gyöngyi et al. VLDB 2004): every 50th doc is a trusted seed,
+    * the teleport vector concentrates there (0 elsewhere) and the
+    * dangling mass follows it. The oracle rebuilds the restricted
+    * seed set, the teleport vector, and all 3 iterations of the
+    * personalized update. */
+  private val q114 = Q("q114_trustrank",
+    (s, d) => {
+      val seeds = Tables.documents(s, d)
+        .filter(col("doc_id") % 50 === 0).select(col("doc_id"))
+      graft.operators.Graph.pageRank(linkEdges(s, d), "src", "dst", iters = 3,
+          teleport = Some(seeds))
+        .orderBy(col("rank").desc, col("id")).limit(50)
+    },
+    Some("""WITH ed AS (
+              SELECT doc_id AS src,
+                     CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),
+                       '|e', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 400 AS dst
+              FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)
+              WHERE doc_id % 5 <> 0),
+            nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+            od AS (SELECT src AS id, count(*) AS outdeg FROM ed GROUP BY 1),
+            seeds AS (SELECT DISTINCT n.id
+                      FROM nodes n JOIN documents dc ON n.id = dc.doc_id
+                      WHERE dc.doc_id % 50 = 0),
+            sn AS (SELECT count(*) AS ns FROM seeds),
+            tv AS (SELECT n.id,
+                          CASE WHEN s.id IS NOT NULL THEN CAST(1 AS DOUBLE) / ns
+                               ELSE CAST(0 AS DOUBLE) END AS t
+                   FROM nodes n LEFT JOIN seeds s USING (id), sn),
+            r0 AS (SELECT id, t, round(t, 9) AS r FROM tv),
+            dm0 AS (SELECT coalesce(sum(r), 0.0) AS dm
+                    FROM r0 LEFT JOIN od USING (id) WHERE outdeg IS NULL),
+            c0 AS (SELECT ed.dst AS id, sum(r0.r / od.outdeg) AS c
+                   FROM ed JOIN r0 ON ed.src = r0.id JOIN od ON ed.src = od.id
+                   GROUP BY 1),
+            r1 AS (SELECT tv.id, tv.t,
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * tv.t
+                            + CAST(0.85 AS DOUBLE)
+                              * (coalesce(c.c, 0.0) + dm0.dm * tv.t), 9) AS r
+                   FROM tv LEFT JOIN c0 c USING (id), dm0),
+            dm1 AS (SELECT coalesce(sum(r), 0.0) AS dm
+                    FROM r1 LEFT JOIN od USING (id) WHERE outdeg IS NULL),
+            c1 AS (SELECT ed.dst AS id, sum(r1.r / od.outdeg) AS c
+                   FROM ed JOIN r1 ON ed.src = r1.id JOIN od ON ed.src = od.id
+                   GROUP BY 1),
+            r2 AS (SELECT tv.id, tv.t,
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * tv.t
+                            + CAST(0.85 AS DOUBLE)
+                              * (coalesce(c.c, 0.0) + dm1.dm * tv.t), 9) AS r
+                   FROM tv LEFT JOIN c1 c USING (id), dm1),
+            dm2 AS (SELECT coalesce(sum(r), 0.0) AS dm
+                    FROM r2 LEFT JOIN od USING (id) WHERE outdeg IS NULL),
+            c2 AS (SELECT ed.dst AS id, sum(r2.r / od.outdeg) AS c
+                   FROM ed JOIN r2 ON ed.src = r2.id JOIN od ON ed.src = od.id
+                   GROUP BY 1),
+            r3 AS (SELECT tv.id,
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * tv.t
+                            + CAST(0.85 AS DOUBLE)
+                              * (coalesce(c.c, 0.0) + dm2.dm * tv.t), 9) AS r
+                   FROM tv LEFT JOIN c2 c USING (id), dm2)
+            SELECT id, round(r, 6) AS rank FROM r3
+            ORDER BY rank DESC, id LIMIT 50"""))
+
+  /** q115 — rank-biased overlap of IVF vs exact rankings
+    * ([[graft.operators.Similarity.rboAtK]]): the q29 exact and q30
+    * IVF top-10 rankings compared per query at p=0.9 — the
+    * top-weighted evaluation recall@k can't express. The oracle
+    * rebuilds BOTH rankings (the q29/q30 derivations) and replays
+    * the depth-weighted overlap sum with the same double-cast
+    * constants. */
+  private val q115 = Q("q115_rbo_eval",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      val centroids = Similarity.sampleCentroids(emb, 50)
+      val assigned = Similarity.assignCells(emb, centroids, "nid", "ne", "cell", 1)
+      val approx = Similarity.ivfTopK(assigned, queries, centroids,
+        k = 10, nProbe = 3)
+      Similarity.rboAtK(exact, approx, k = 10, p = 0.9).orderBy("qid")
+    },
+    Some("""WITH corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne
+                            FROM embeddings),
+            q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id < 10),
+            exact AS (SELECT qid, nid, rank FROM (
+                        SELECT qid, nid,
+                               row_number() OVER (PARTITION BY qid
+                                 ORDER BY list_cosine_similarity(qe, ne) DESC,
+                                          nid ASC) AS rank
+                        FROM q JOIN corpus ON nid <> qid)
+                      WHERE rank <= 10),
+            cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings WHERE vec_id % 50 = 0),
+            acell AS (SELECT nid, ne, cell FROM (
+                        SELECT nid, ne, cid AS cell,
+                               row_number() OVER (PARTITION BY nid
+                                 ORDER BY list_cosine_similarity(ne, ce) DESC,
+                                          cid ASC) AS rn
+                        FROM corpus CROSS JOIN cent) WHERE rn = 1),
+            probes AS (SELECT qid, qe, probe_cell FROM (
+                         SELECT qid, qe, cid AS probe_cell,
+                                row_number() OVER (PARTITION BY qid
+                                  ORDER BY list_cosine_similarity(qe, ce) DESC,
+                                           cid ASC) AS rn
+                         FROM q CROSS JOIN cent) WHERE rn <= 3),
+            approx AS (SELECT qid, nid, rank FROM (
+                         SELECT qid, nid,
+                                row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nid ASC) AS rank
+                         FROM (SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos
+                               FROM probes JOIN acell
+                                 ON probe_cell = cell AND qid <> nid))
+                       WHERE rank <= 10),
+            m AS (SELECT e.qid, greatest(e.rank, x.rank) AS mr
+                  FROM exact e JOIN approx x ON e.qid = x.qid AND e.nid = x.nid),
+            ov AS (SELECT qid, d, count(*) AS overlap
+                   FROM m, LATERAL (SELECT unnest(generate_series(mr, 10)) AS d)
+                   GROUP BY 1, 2),
+            sc AS (SELECT qid,
+                          round(sum(overlap
+                            * ((1 - CAST(0.9 AS DOUBLE))
+                               * pow(CAST(0.9 AS DOUBLE), d - 1) / d)), 6) AS rbo
+                   FROM ov GROUP BY 1)
+            SELECT q.qid, coalesce(sc.rbo, 0.0) AS rbo
+            FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN sc USING (qid)
+            ORDER BY qid"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113)
+    q109, q110, q111, q112, q113, q114, q115)
 }

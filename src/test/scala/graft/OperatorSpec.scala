@@ -1865,6 +1865,50 @@ class OperatorSpec extends SparkSpec {
     assert(out(2L) === ((0.0, 0.707107)))
   }
 
+  test("personalized pageRank: rank concentrates on the teleport seed, off-graph seeds rejected") {
+    import graft.operators.Graph
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1 -> 2, 2 -> 1; teleport entirely to node 1
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = Graph.pageRank(edges, "src", "dst", iters = 1,
+        teleport = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // t = (1, 0); r0 = t; no dangling; r'(1) = 0.15*1 + 0.85*r0(2)/1 = 0.15
+    // r'(2) = 0.15*0 + 0.85*r0(1)/1 = 0.85
+    assert(out(1L) === r6(r9((1.0 - 0.85) * 1.0 + 0.85 * 0.0)))
+    assert(out(2L) === r6(r9((1.0 - 0.85) * 0.0 + 0.85 * 1.0)))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges, "src", "dst", iters = 1,
+        teleport = Some(Seq(99L).toDF("id"))))
+  }
+
+  test("rboAtK: identical rankings score 1, disjoint score 0, top-weighted ordering") {
+    import graft.operators.Similarity
+    def ranking(qid: Long, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (n, i) => (qid, i + 1, n) }
+    // q1: identical; q2: disjoint; q3: agrees only at rank 1;
+    // q4: agrees only at rank 3
+    val A = (ranking(1, Seq(10, 11, 12)) ++ ranking(2, Seq(10, 11, 12)) ++
+      ranking(3, Seq(10, 11, 12)) ++ ranking(4, Seq(10, 11, 12)))
+      .toDF("qid", "rank", "nid")
+    val B = (ranking(1, Seq(10, 11, 12)) ++ ranking(2, Seq(20, 21, 22)) ++
+      ranking(3, Seq(10, 21, 22)) ++ ranking(4, Seq(20, 21, 12)))
+      .toDF("qid", "rank", "nid")
+    val out = Similarity.rboAtK(A, B, k = 3, p = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) === 0.0)
+    // identical lists hit truncated-RBO's maximum (1-p)·sum p^(d-1):
+    // the tail weight past k is deliberately unassigned at depth k
+    val w = 1.0 - 0.9
+    val maxRbo = BigDecimal(w * math.pow(0.9, 0) + w * math.pow(0.9, 1)
+      + w * math.pow(0.9, 2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === maxRbo, s"got $out")
+    // rank-1 agreement must outweigh rank-3 agreement
+    assert(out(3L) > out(4L), s"got $out")
+  }
+
   test("vocabCoverage: top-V cut pinned, instance vs type OOV separated") {
     import graft.operators.Tokenizer
     val docs = Seq(("g1", "aa aa bb cc"), ("g2", "aa bb x cc cc"))
