@@ -54,58 +54,70 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist()
+    // ids keep their native type (host STRINGS are the documented
+    // host-rank use — a forced long cast would null them into a
+    // garbage single-node graph); null endpoints carry no usable
+    // edge and are dropped
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).persist()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct().persist()
-    val n = nodes.count() // the one setup scalar
-    require(n > 0, "pageRank needs at least one edge")
-    // (id, t) teleport distribution joined once onto the node set;
-    // seeds outside the graph's node set are ignored by the join, so
-    // |seeds| is counted AFTER the restriction or mass would leak
-    val withT = teleport match {
-      case None => nodes.withColumn("__t", lit(1.0) / n)
-      case Some(seeds) =>
-        val s = seeds.select(col(seeds.columns.head).cast("long").as("id"))
-          .distinct().join(nodes, Seq("id"), "left_semi").persist()
-        val ns = s.count()
-        require(ns > 0, "teleport seeds must intersect the graph's nodes")
-        val t = nodes.join(s.withColumn("__t", lit(1.0) / ns), Seq("id"), "left")
-          .select(col("id"), coalesce(col("__t"), lit(0.0)).as("__t"))
-        s.unpersist(blocking = false)
-        t
-    }
-    val tNodes = withT.persist()
-    val outdeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("outdeg")).persist()
-    var ranks = Checkpoints.stableTracked(
-      tNodes.select(col("id"), round(col("__t"), 9).as("r")))
-    for (_ <- 1 to iters) {
-      val withDeg = ranks._1.join(outdeg, Seq("id"), "left")
-      val dangling = withDeg.where(col("outdeg").isNull)
-        .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
-      val contribs = e.join(
-          withDeg.where(col("outdeg").isNotNull)
-            .select(col("id").as("src"), (col("r") / col("outdeg")).as("__share")),
-          Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum("__share").as("__c"))
-      val prev = ranks
-      ranks = Checkpoints.stableTracked(
-        tNodes.join(contribs, Seq("id"), "left")
-          .crossJoin(broadcast(dangling))
-          .select(col("id"), round(
-            (lit(1.0) - lit(damping)) * col("__t") +
-              lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") * col("__t")),
-            9).as("r")))
-      prev._1.unpersist(blocking = false)
-      Checkpoints.drop(prev._1, prev._2)
-    }
-    val out = Checkpoints.materialize(
-      ranks._1.select(col("id"), round(col("r"), 6).as("rank")),
-      e, nodes, tNodes, outdeg)
-    Checkpoints.drop(ranks._1, ranks._2)
-    out
+    // every persisted frame releases even on a thrown require/failed
+    // job (the Checkpoints.materialize discipline; unpersist on an
+    // already-released frame is a no-op)
+    var pinned: List[DataFrame] = List(e, nodes)
+    try {
+      val n = nodes.count() // the one setup scalar
+      require(n > 0, "pageRank needs at least one non-null edge")
+      // (id, t) teleport distribution joined once onto the node set;
+      // seeds outside the graph's node set are ignored by the join, so
+      // |seeds| is counted AFTER the restriction or mass would leak
+      val withT = teleport match {
+        case None => nodes.withColumn("__t", lit(1.0) / n)
+        case Some(seeds) =>
+          val s = seeds.select(col(seeds.columns.head).as("id"))
+            .distinct().join(nodes, Seq("id"), "left_semi").persist()
+          pinned ::= s
+          val ns = s.count()
+          require(ns > 0, "teleport seeds must intersect the graph's nodes")
+          val t = nodes.join(s.withColumn("__t", lit(1.0) / ns), Seq("id"), "left")
+            .select(col("id"), coalesce(col("__t"), lit(0.0)).as("__t"))
+          s.unpersist(blocking = false)
+          t
+      }
+      val tNodes = withT.persist()
+      pinned ::= tNodes
+      val outdeg = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("outdeg")).persist()
+      pinned ::= outdeg
+      var ranks = Checkpoints.stableTracked(
+        tNodes.select(col("id"), round(col("__t"), 9).as("r")))
+      for (_ <- 1 to iters) {
+        val withDeg = ranks._1.join(outdeg, Seq("id"), "left")
+        val dangling = withDeg.where(col("outdeg").isNull)
+          .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
+        val contribs = e.join(
+            withDeg.where(col("outdeg").isNotNull)
+              .select(col("id").as("src"), (col("r") / col("outdeg")).as("__share")),
+            Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum("__share").as("__c"))
+        val prev = ranks
+        ranks = Checkpoints.stableTracked(
+          tNodes.join(contribs, Seq("id"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("id"), round(
+              (lit(1.0) - lit(damping)) * col("__t") +
+                lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") * col("__t")),
+              9).as("r")))
+        prev._1.unpersist(blocking = false)
+        Checkpoints.drop(prev._1, prev._2)
+      }
+      val out = ranks._1.select(col("id"), round(col("r"), 6).as("rank"))
+        .localCheckpoint()
+      Checkpoints.drop(ranks._1, ranks._2)
+      out
+    } finally pinned.foreach(_.unpersist(blocking = false))
   }
 
   /** HITS hubs-and-authorities (Kleinberg, JACM 1999) — [[pageRank]]'s
@@ -126,42 +138,56 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist()
+    // native id types and null-edge drop, as in [[pageRank]]
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).persist()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct().persist()
-    def l2normalized(df: DataFrame, c: String): DataFrame = {
-      val norm = df.agg(sqrt(sum(col(c) * col(c))).as("__n"))
-      df.crossJoin(broadcast(norm))
-        .select(col("id"), round(col(c) / col("__n"), 9).as(c))
-    }
-    var state = Checkpoints.stableTracked(
-      nodes.select(col("id"), lit(1.0).as("auth"), lit(1.0).as("hub")))
-    for (_ <- 1 to iters) {
-      val auth = l2normalized(
-        nodes.join(
-            e.join(state._1.select(col("id").as("src"), col("hub")), Seq("src"))
-              .groupBy(col("dst").as("id")).agg(sum("hub").as("auth")),
-            Seq("id"), "left")
-          .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth")),
-        "auth")
-      val hub = l2normalized(
-        nodes.join(
-            e.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
-              .groupBy(col("src").as("id")).agg(sum("auth").as("hub")),
-            Seq("id"), "left")
-          .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
-        "hub")
-      val prev = state
-      state = Checkpoints.stableTracked(auth.join(hub, Seq("id")))
-      prev._1.unpersist(blocking = false)
-      Checkpoints.drop(prev._1, prev._2)
-    }
-    val out = Checkpoints.materialize(
-      state._1.select(col("id"), round(col("auth"), 6).as("authority"),
-        round(col("hub"), 6).as("hub")),
-      e, nodes)
-    Checkpoints.drop(state._1, state._2)
-    out
+    var pinned: List[DataFrame] = List(e, nodes)
+    var scratch: List[DataFrame] = Nil
+    try {
+      // the input is persisted BEFORE the norm aggregate: the score
+      // frame feeds its own norm, the normalized rows, and the next
+      // half-step — unpersisted, the corpus-scale edge join + aggregate
+      // subtree would re-evaluate per consumer
+      def l2normalized(df0: DataFrame, c: String): DataFrame = {
+        val df = df0.persist()
+        scratch ::= df
+        val norm = df.agg(sqrt(sum(col(c) * col(c))).as("__n"))
+        df.crossJoin(broadcast(norm))
+          .select(col("id"), round(col(c) / col("__n"), 9).as(c))
+      }
+      var state = Checkpoints.stableTracked(
+        nodes.select(col("id"), lit(1.0).as("auth"), lit(1.0).as("hub")))
+      for (_ <- 1 to iters) {
+        val auth = l2normalized(
+          nodes.join(
+              e.join(state._1.select(col("id").as("src"), col("hub")), Seq("src"))
+                .groupBy(col("dst").as("id")).agg(sum("hub").as("auth")),
+              Seq("id"), "left")
+            .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth")),
+          "auth").persist()
+        scratch ::= auth
+        val hub = l2normalized(
+          nodes.join(
+              e.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
+                .groupBy(col("src").as("id")).agg(sum("auth").as("hub")),
+              Seq("id"), "left")
+            .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
+          "hub")
+        val prev = state
+        state = Checkpoints.stableTracked(auth.join(hub, Seq("id")))
+        prev._1.unpersist(blocking = false)
+        Checkpoints.drop(prev._1, prev._2)
+        // this round's scratch caches served their purpose once the
+        // round's state materialized
+        scratch.foreach(_.unpersist(blocking = false))
+        scratch = Nil
+      }
+      val out = state._1.select(col("id"), round(col("auth"), 6).as("authority"),
+        round(col("hub"), 6).as("hub")).localCheckpoint()
+      Checkpoints.drop(state._1, state._2)
+      out
+    } finally (pinned ++ scratch).foreach(_.unpersist(blocking = false))
   }
 }

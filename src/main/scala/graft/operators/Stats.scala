@@ -197,14 +197,18 @@ object Stats {
       perDim.groupBy(col("pos"))
         .agg(round(sum(col("m") * col("__n")) / sum(col("__n")), 9).as("m")),
       Seq(lit(1).as("__one")))
-    val counts = emb.groupBy(col(groupCol)).agg(count(lit(1)).as("n_vecs"))
-    val out = groups.crossJoin(broadcast(global.select(col("c").as("__gc"))))
-      .select(col(groupCol),
-        round(lit(1.0) - cosine(col("c"), col("__gc")), 6).as("drift"))
-      .join(counts, Seq(groupCol))
-      .select(col(groupCol), col("n_vecs"), col("drift"))
-      .localCheckpoint()
-    perDim.unpersist(blocking = false)
-    out
+    // n_vecs reduces from the SAME per-dim frame the centroids use
+    // (max over dims of the per-dim contributor count): no second
+    // corpus pass, and the reported count is exactly the centroid's
+    // denominator basis — a null/empty embedding contributes to
+    // neither
+    val counts = perDim.groupBy(col(groupCol)).agg(max("__n").as("n_vecs"))
+    Checkpoints.materialize(
+      groups.crossJoin(broadcast(global.select(col("c").as("__gc"))))
+        .select(col(groupCol),
+          round(lit(1.0) - cosine(col("c"), col("__gc")), 6).as("drift"))
+        .join(counts, Seq(groupCol))
+        .select(col(groupCol), col("n_vecs"), col("drift")),
+      perDim)
   }
 }

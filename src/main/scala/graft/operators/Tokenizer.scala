@@ -159,21 +159,29 @@ object Tokenizer {
       vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     import org.apache.spark.sql.expressions.Window
-    val vocab = wordFreq(docs, textCol)
+    // ONE corpus tokenize: the per-group counts are the operator's
+    // working frame AND the source the corpus-wide vocabulary election
+    // reduces from (the dsirWeights reuse-the-count-frame discipline —
+    // re-running wordFreq over docs would double the dominant pass)
+    val perGroup = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 1) // wordFreq's vocabulary domain
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("__n"))
+      .persist()
+    val vocab = perGroup.groupBy("w").agg(sum("__n").as("freq"))
       .withColumn("__rk", row_number().over(
         Window.orderBy(col("freq").desc, col("w").asc)))
       .where(col("__rk") <= vocabSize)
       .select(col("w"), lit(1).as("__in_vocab"))
-    docs.select(col(groupCol), explode(tokens(col(textCol))).as("w"))
-      .where(length(col("w")) > 1) // wordFreq's own vocabulary domain
-      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("__n"))
-      .join(broadcast(vocab), Seq("w"), "left")
-      .groupBy(col(groupCol))
-      .agg(sum("__n").as("n_tokens"),
-        coalesce(sum(when(col("__in_vocab").isNull, col("__n"))), lit(0L))
-          .as("n_oov_tokens"),
-        count(when(col("__in_vocab").isNull, lit(1))).as("n_oov_types"))
-      .withColumn("oov_pct",
-        round(col("n_oov_tokens") * lit(100.0) / col("n_tokens"), 4))
+    Checkpoints.materialize(
+      perGroup.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col(groupCol))
+        .agg(sum("__n").as("n_tokens"),
+          coalesce(sum(when(col("__in_vocab").isNull, col("__n"))), lit(0L))
+            .as("n_oov_tokens"),
+          count(when(col("__in_vocab").isNull, lit(1))).as("n_oov_types"))
+        .withColumn("oov_pct",
+          round(col("n_oov_tokens") * lit(100.0) / col("n_tokens"), 4)),
+      perGroup)
   }
 }

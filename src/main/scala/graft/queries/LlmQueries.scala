@@ -2835,17 +2835,8 @@ object LlmQueries {
             UNION ALL SELECT 5, vec_id, rel, round(score, 6) FROM s5
             ORDER BY rank"""))
 
-  /** q110 — PageRank link authority
-    * ([[graft.operators.Graph.pageRank]]): a deterministic synthetic
-    * link graph (3 md5-drawn out-links per non-dangling doc, every
-    * 5th doc dangling so the uniform mass redistribution genuinely
-    * runs), 3 power iterations at d=0.85. Ranks round to 9dp per
-    * iteration so the oracle unrolls all three value-for-value; the
-    * damping constants are spelled as double CASTs (DuckDB folds
-    * bare decimal literals exactly, the engines' one arithmetic
-    * divergence). */
-  /** The q110/q111 synthetic link graph: 3 md5-drawn out-links per
-    * non-dangling doc (every 5th doc emits none, so dangling-mass
+  /** The q110/q111/q114 synthetic link graph: 3 md5-drawn out-links
+    * per non-dangling doc (every 5th doc emits none, so dangling-mass
     * handling genuinely runs). */
   private def linkEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
     val dsts = array((0 to 2).map(j =>
@@ -2855,6 +2846,13 @@ object LlmQueries {
       .select(col("doc_id").as("src"), explode(dsts).as("dst"))
   }
 
+  /** q110 — PageRank link authority
+    * ([[graft.operators.Graph.pageRank]]): 3 power iterations at
+    * d=0.85 over [[linkEdges]]. Ranks round to 9dp per iteration so
+    * the oracle unrolls all three value-for-value; the damping
+    * constants are spelled as double CASTs (DuckDB folds bare
+    * decimal literals exactly, the engines' one arithmetic
+    * divergence). */
   private val q110 = Q("q110_pagerank",
     (s, d) => {
       graft.operators.Graph.pageRank(linkEdges(s, d), "src", "dst", iters = 3)
@@ -3006,7 +3004,7 @@ object LlmQueries {
             gl AS (SELECT list(m ORDER BY i) AS gc FROM (
                      SELECT i, round(sum(m * n) / sum(n), 9) AS m
                      FROM pd GROUP BY 1)),
-            cnt AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+            cnt AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs FROM pd GROUP BY 1)
             SELECT g.label, cnt.n_vecs,
                    round(1.0 - list_cosine_similarity(g.c, gl.gc), 6) AS drift
             FROM g CROSS JOIN gl JOIN cnt ON g.label = cnt.label
