@@ -107,6 +107,83 @@ object LangModel {
         (sum(col("tf") * lp) / sum("tf")).as("avg_logp"))
   }
 
+  /** Train an interpolated Kneser-Ney bigram model (Kneser & Ney,
+    * ICASSP 1995; the Chen & Goodman 1998 interpolated form) — the
+    * reference smoothing for n-gram LMs, distinguished from add-k by
+    * its CONTINUATION probability: a word's backoff mass comes from
+    * how many distinct contexts it follows (type counts), not how
+    * often it occurs ("Francisco" is frequent but only ever follows
+    * "San" — KN prices it low in new contexts, add-k doesn't):
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/T)
+    *
+    * with N1+(w1·)/N1+(·w2) the distinct continuation/context type
+    * counts and T the total distinct bigram types. Returns
+    * (bigram stats (bigram, c2, w1, w2), context stats
+    * (w1, cn, n1p_fwd), continuation stats (w2, n1p_bwd), T). All
+    * three frames are bigram-types-sized (≪ corpus); T is the same
+    * tiny driver scalar class as [[bigramLm]]'s V. The context and
+    * continuation tables reduce the bigram-type frame, never the
+    * corpus. */
+  def kneserNeyLm(docs: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val bg = docs.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .persist()
+    try {
+      // bg has one row per bigram TYPE, so count(*) per side IS the
+      // distinct-neighbor type count N1+
+      val ctx = Checkpoints.materialize(
+        bg.groupBy("w1").agg(sum("c2").as("cn"),
+          count(lit(1)).as("n1p_fwd")))
+      val cont = Checkpoints.materialize(
+        bg.groupBy("w2").agg(count(lit(1)).as("n1p_bwd")))
+      val t = bg.count()
+      (Checkpoints.materialize(bg.select("bigram", "c2")), ctx, cont, t)
+    } finally bg.unpersist(blocking = false)
+  }
+
+  /** Score documents under a [[kneserNeyLm]]: per-document bigram
+    * count and mean bigram log-probability. Fallback ladder, every
+    * rung engine-replayable: unseen bigram in a seen context keeps
+    * only the backoff · continuation term; an unseen CONTEXT scores
+    * the bare continuation probability; a continuation of zero (w2
+    * never seen in training) takes the `pFloor` probability floor
+    * (the [[lmScore]] OOV convention — a crawl always has new
+    * words). Discount D = 0.75, binary-exact by construction so both
+    * engines fold the identical constant. The document compresses to
+    * (doc, bigram, tf) before any model join ([[bigramScore]]'s
+    * shape); all three stat joins are model-sized. */
+  def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String,
+      bg: DataFrame, ctx: DataFrame, cont: DataFrame, t: Long,
+      discount: Double = 0.75, pFloor: Double = 1e-10): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    require(t > 0, "kneserNeyScore needs a non-empty model")
+    val tf = docs.select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("tf"))
+      .withColumn("__w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("__w2", split(col("bigram"), " ").getItem(1))
+    val main = when(col("c2").isNotNull, (col("c2") - lit(discount)) / col("cn"))
+      .otherwise(lit(0.0))
+    val backoff = when(col("cn").isNotNull,
+        lit(discount) * col("n1p_fwd") / col("cn"))
+      .otherwise(lit(1.0))
+    val pcont = coalesce(col("n1p_bwd"), lit(0L)) / lit(t)
+    val lp = log(greatest(main + backoff * pcont, lit(pFloor)))
+    tf.join(bg.select("bigram", "c2"), Seq("bigram"), "left")
+      .join(ctx.select(col("w1"), col("cn"), col("n1p_fwd")),
+        col("__w1") === col("w1"), "left")
+      .join(cont.select(col("w2"), col("n1p_bwd")),
+        col("__w2") === col("w2"), "left")
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_bigrams"),
+        (sum(col("tf") * lp) / sum("tf")).as("avg_logp"))
+  }
+
   /** Score: per-document token count and mean token log-probability
     * under `lm` (a [[unigramLm]] frame, or any (token, log_p) model —
     * scoring docs the model never saw is the point: train on a clean

@@ -3140,10 +3140,70 @@ object LlmQueries {
             FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN sc USING (qid)
             ORDER BY qid"""))
 
+  /** q116 — interpolated Kneser-Ney bigram scoring
+    * ([[graft.operators.LangModel.kneserNeyLm]]/`kneserNeyScore`):
+    * trains on the corpus, scores docs with a planted ` zq xq`
+    * suffix so every fallback rung fires — unseen bigram in a seen
+    * context (backoff·continuation), unseen context (bare
+    * continuation), unseen word (probability floor). The oracle
+    * replays bigram/context/continuation type counts, the discounted
+    * interpolation, and the mean log-prob value-for-value. */
+  private val q116 = Q("q116_kneser_ney",
+    (s, d) => {
+      import graft.operators.LangModel
+      val docs = Tables.documents(s, d)
+      val (bgm, ctx, cont, t) = LangModel.kneserNeyLm(docs, "text")
+      LangModel.kneserNeyScore(
+          docs.filter(col("doc_id") < 200)
+            .select(col("doc_id"), concat(col("text"), lit(" zq xq")).as("text")),
+          "doc_id", "text", bgm, ctx, cont, t)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ws AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+            big AS (SELECT array_to_string(list_slice(ws, i, i + 1), ' ') AS bg
+                    FROM ws, LATERAL
+                      (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+                    WHERE len(ws) >= 2),
+            cnt AS (SELECT bg, count(*) AS c2 FROM big GROUP BY 1),
+            sp AS (SELECT bg, c2, str_split(bg, ' ')[1] AS w1,
+                          str_split(bg, ' ')[2] AS w2 FROM cnt),
+            ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cn, count(*) AS nf
+                    FROM sp GROUP BY 1),
+            cont AS (SELECT w2, count(*) AS nb FROM sp GROUP BY 1),
+            tt AS (SELECT count(*) AS t FROM cnt),
+            sws AS (SELECT doc_id, str_split(text || ' zq xq', ' ') AS ws
+                    FROM documents WHERE doc_id < 200),
+            stf AS (SELECT doc_id, bg, count(*) AS tf FROM (
+                      SELECT doc_id,
+                             array_to_string(list_slice(ws, i, i + 1), ' ') AS bg
+                      FROM sws, LATERAL
+                        (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+                      WHERE len(ws) >= 2) GROUP BY 1, 2),
+            j AS (SELECT stf.doc_id, stf.tf,
+                         ln(greatest(
+                           (CASE WHEN sp.c2 IS NOT NULL
+                                 THEN (sp.c2 - CAST(0.75 AS DOUBLE)) / ctx.cn
+                                 ELSE CAST(0 AS DOUBLE) END)
+                           + (CASE WHEN ctx.cn IS NOT NULL
+                                   THEN CAST(0.75 AS DOUBLE) * ctx.nf / ctx.cn
+                                   ELSE CAST(1 AS DOUBLE) END)
+                             * (coalesce(cont.nb, 0) / t),
+                           1e-10)) AS lp
+                  FROM stf
+                  LEFT JOIN sp ON stf.bg = sp.bg
+                  LEFT JOIN ctx ON str_split(stf.bg, ' ')[1] = ctx.w1
+                  LEFT JOIN cont ON str_split(stf.bg, ' ')[2] = cont.w2
+                  CROSS JOIN tt)
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                   round(sum(tf * lp) / sum(tf), 6) AS avg_logp
+            FROM j GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115)
+    q109, q110, q111, q112, q113, q114, q115, q116)
 }

@@ -1836,6 +1836,31 @@ class OperatorSpec extends SparkSpec {
       Tfidf.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), k = 1))
   }
 
+  test("kneserNey: continuation beats raw frequency, fallback ladder hand-checked") {
+    import graft.operators.LangModel
+    // 'sf' is FREQUENT but only ever follows 'san' (the Francisco
+    // shape); 'b' is rarer but follows many contexts. KN must price
+    // P(sf | novel-context) BELOW P(b | novel-context) even though
+    // c(sf) > c(b) — the continuation-count insight add-k lacks.
+    val docs = Seq(
+      (1L, "san sf x san sf y san sf z san sf"),
+      (2L, "p b q b r b")).toDF("doc_id", "text")
+    val (bg, ctx, cont, t) = LangModel.kneserNeyLm(docs, "text")
+    def score(text: String): Double =
+      LangModel.kneserNeyScore(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", bg, ctx, cont, t)
+        .head().getDouble(2)
+    // both bigrams unseen, both contexts unseen -> bare continuation:
+    // nb(sf)=1 (only 'san sf'), nb(b)=3 ('p b','q b','r b')
+    assert(score("zz sf") < score("zz b"),
+      "frequent-but-single-context word must score below diverse-context word")
+    // unseen w2 entirely -> probability floor
+    val floor = score("zz qq")
+    assert(math.abs(floor - math.log(1e-10)) < 1e-9)
+    // seen bigram scores above any fallback
+    assert(score("san sf") > score("zz b"))
+  }
+
   test("pageRank: hand-computed iteration with dangling redistribution, mass conserved") {
     import graft.operators.Graph
     def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
