@@ -633,6 +633,73 @@ object Similarity {
       .select(col("qid"), coalesce(col("rbo"), lit(0.0)).as("rbo"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    * 2009) — the standard zero-tuning combiner for heterogeneous
+    * retrieval signals (BM25 + dense cosine is THE hybrid-search
+    * shape): each ranking contributes `1/(k0 + rank)` per item,
+    * contributions sum, and the fused order needs no score
+    * normalization at all — which is the point; BM25 and cosine live
+    * on incomparable scales.
+    *
+    * Inputs are (id, rank) frames. Contributions are held as exact
+    * nano-units (rounded 9dp then long — the [[Tfidf.bm25TopK]]
+    * rule) so the cross-list sum is order-independent and
+    * engine-replayable. One union + one id-keyed aggregate; rankings
+    * are top-k-sized by construction, so every stage is tiny
+    * relative to any corpus. Returns (id, rrf_nanos, n_lists)
+    * ordered by fused score desc, id asc. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      rankCol: String = "rank", k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    rankings
+      .map(_.select(col(idCol),
+        round(lit(1.0) / (lit(k0) + col(rankCol)) * lit(1000000000L))
+          .cast("long").as("__nanos")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum("__nanos").as("rrf_nanos"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_nanos").desc, col(idCol))
+  }
+
+  /** Matryoshka-style prefix-dimension ANN (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022 — the
+    * retrieval recipe): score the corpus on only the FIRST
+    * `prefixDims` dimensions (MRL-trained embeddings front-load
+    * information, so the prefix is a cheap faithful proxy), keep a
+    * per-query `shortlist`, then re-rank just the shortlist with the
+    * full vector. The scan cost drops by dims/prefixDims while the
+    * final order stays full-precision.
+    *
+    * Execution: the coarse pass is [[bruteForceTopK]]'s shape over
+    * `slice`d vectors (broadcast queries, streaming corpus,
+    * group-limited window); the exact pass touches only
+    * queries×shortlist rows. Returns (qid, rank, nid, cosine) like
+    * the other top-k operators, cosine rounded 6dp. */
+  def prefixDimTopK(corpus: DataFrame, queries: DataFrame,
+      prefixDims: Int, shortlist: Int, k: Int): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(shortlist >= k && k >= 1,
+      s"need shortlist >= k >= 1, got shortlist=$shortlist k=$k")
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      toDouble(col("embedding")).as("qe")))
+    val c = corpus.select(col("vec_id").as("nid"),
+      toDouble(col("embedding")).as("ne"))
+    val coarse = c.join(q, col("qid") =!= col("nid"))
+      .withColumn("__pcos",
+        cosine(slice(col("qe"), 1, prefixDims), slice(col("ne"), 1, prefixDims)))
+      .withColumn("__prank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("__pcos").desc, col("nid").asc)))
+      .where(col("__prank") <= shortlist)
+    coarse
+      .withColumn("cos", cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** k-center greedy coreset selection (Sener & Savarese, "Active
     * Learning for Convolutional Neural Networks: A Core-Set
     * Approach", ICLR 2018) — farthest-point traversal, the standard

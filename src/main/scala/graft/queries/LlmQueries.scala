@@ -3200,10 +3200,102 @@ object LlmQueries {
                    round(sum(tf * lp) / sum(tf), 6) AS avg_logp
             FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** q117 — hybrid retrieval via reciprocal-rank fusion
+    * ([[graft.operators.Similarity.rrfFuse]], Cormack et al. SIGIR
+    * 2009): the q104 BM25 top-50 fused with the dense cosine top-50
+    * for query vector 0 — the BM25+dense hybrid-search shape, no
+    * score normalization. The oracle rebuilds both rankings and
+    * replays the nano-unit reciprocal-rank sum. */
+  private val q117 = Q("q117_hybrid_rrf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = Tfidf.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Seq("dup", "vector", "merge"), k = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_micros").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+          k = 50)
+        .select(col("nid").as("id"), col("rank"))
+      Similarity.rrfFuse(Seq(bm, dense), "id").limit(20)
+    },
+    Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+            stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM toks),
+            tf AS (SELECT doc_id, len(ws) AS dl, w AS term, count(*) AS tf
+                   FROM toks, LATERAL (SELECT unnest(ws) AS w)
+                   WHERE w IN ('dup', 'vector', 'merge')
+                   GROUP BY 1, 2, 3),
+            dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            contr AS (SELECT doc_id,
+                             CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                               * (tf * (CAST(1.2 AS DOUBLE) + 1))
+                               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+                               * 1000000) AS BIGINT) AS micros
+                      FROM tf JOIN dfc USING (term) CROSS JOIN stats),
+            bmtop AS (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS bm
+                      FROM contr GROUP BY 1
+                      ORDER BY bm DESC, doc_id LIMIT 50),
+            bmr AS (SELECT doc_id AS id,
+                           row_number() OVER (ORDER BY bm DESC, doc_id) AS rank
+                    FROM bmtop),
+            cr AS (SELECT nid AS id, rank FROM (
+                     SELECT n.vec_id AS nid,
+                            row_number() OVER (ORDER BY
+                              list_cosine_similarity(
+                                CAST(q.embedding AS DOUBLE[]),
+                                CAST(n.embedding AS DOUBLE[])) DESC,
+                              n.vec_id ASC) AS rank
+                     FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+                     WHERE q.vec_id = 0)
+                   WHERE rank <= 50),
+            u AS (SELECT id, CAST(round(CAST(1 AS DOUBLE) / (60 + rank)
+                         * 1000000000) AS BIGINT) AS nanos FROM bmr
+                  UNION ALL
+                  SELECT id, CAST(round(CAST(1 AS DOUBLE) / (60 + rank)
+                         * 1000000000) AS BIGINT) AS nanos FROM cr)
+            SELECT id, CAST(sum(nanos) AS BIGINT) AS rrf_nanos,
+                   count(*) AS n_lists
+            FROM u GROUP BY 1
+            ORDER BY rrf_nanos DESC, id LIMIT 20"""))
+
+  /** q118 — Matryoshka prefix-dimension ANN
+    * ([[graft.operators.Similarity.prefixDimTopK]], Kusupati et al.
+    * NeurIPS 2022): coarse cosine on the first 8 of 64 dims keeps a
+    * 30-deep shortlist, full-precision re-rank yields top-5. The
+    * oracle replays both passes with list_slice. */
+  private val q118 = Q("q118_prefix_dim_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.prefixDimTopK(emb, emb.filter(col("vec_id") < 10),
+          prefixDims = 8, shortlist = 30, k = 5)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 10),
+            c AS (SELECT vec_id AS nid, v AS ne FROM e),
+            coarse AS (SELECT qid, nid, qe, ne FROM (
+                         SELECT qid, nid, qe, ne,
+                                row_number() OVER (PARTITION BY qid
+                                  ORDER BY list_cosine_similarity(
+                                             list_slice(qe, 1, 8),
+                                             list_slice(ne, 1, 8)) DESC,
+                                           nid ASC) AS pr
+                         FROM q JOIN c ON nid <> qid)
+                       WHERE pr <= 30)
+            SELECT qid, rank, nid, round(cos, 6) AS cosine FROM (
+              SELECT qid, nid, cos,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, nid ASC) AS rank
+              FROM (SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos
+                    FROM coarse))
+            WHERE rank <= 5 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
 }

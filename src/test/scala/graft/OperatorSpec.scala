@@ -1836,6 +1836,37 @@ class OperatorSpec extends SparkSpec {
       Tfidf.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), k = 1))
   }
 
+  test("rrfFuse: cross-list agreement wins, single-list items fused correctly") {
+    import graft.operators.Similarity
+    def nanos(rank: Int) = math.round(1.0 / (60 + rank) * 1e9)
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 11 is rank-2 + rank-1 across lists: must beat both solo rank-1s
+    assert(out.head._1 === 11L)
+    assert(out.head._2 === nanos(2) + nanos(1))
+    assert(out.head._3 === 2L)
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(byId(10L) === nanos(1) && byId(13L) === nanos(2))
+  }
+
+  test("prefixDimTopK: full-dim re-rank corrects the coarse order inside the shortlist") {
+    import graft.operators.Similarity
+    // prefix (first 2 dims) ranks B over C, but the full vector ranks
+    // C over B — with both inside the shortlist the exact pass must
+    // flip them; D is prefix-orthogonal and must not enter top-2
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),    // query
+      (1L, Array(1f, 0f, 1f, 0f)),    // B: perfect prefix, poor tail
+      (2L, Array(0.9f, 0f, 0f, 0.9f)), // C: good prefix, perfect tail
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.prefixDimTopK(emb, emb.filter(col("vec_id") === 0),
+        prefixDims = 2, shortlist = 3, k = 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(out === Seq(2L, 1L), s"got $out")
+  }
+
   test("kneserNey: continuation beats raw frequency, fallback ladder hand-checked") {
     import graft.operators.LangModel
     // 'sf' is FREQUENT but only ever follows 'san' (the Francisco
