@@ -367,6 +367,101 @@ object BusinessQueries {
               FROM lineitem)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** q119 — cohort retention matrix
+    * ([[graft.ops.Analytics.cohortRetention]]): customers by
+    * first-order month, counted in each month they return — the
+    * retention triangle. The oracle replays cohort assignment, the
+    * per-month distinct, and every cell count. */
+  private val q119 = Q("q119_cohort_retention",
+    (s, d) => graft.ops.Analytics.cohortRetention(
+        Tables.orders(s, d), "o_custkey", "o_orderdate")
+      .orderBy("cohort_month", "month_offset"),
+    Some("""WITH fm AS (SELECT o_custkey,
+                               date_trunc('month', min(o_orderdate)) AS cohort
+                        FROM orders GROUP BY 1),
+            act AS (SELECT DISTINCT o_custkey,
+                           date_trunc('month', o_orderdate) AS m FROM orders)
+            SELECT CAST(year(cohort) * 100 + month(cohort) AS BIGINT)
+                     AS cohort_month,
+                   CAST(datediff('month', cohort, m) AS INT) AS month_offset,
+                   count(DISTINCT act.o_custkey) AS n_customers
+            FROM act JOIN fm USING (o_custkey)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** q120 — RFM segmentation ([[graft.ops.Analytics.rfmSegments]]):
+    * per-customer recency/frequency/monetary banded 1..5 on exact
+    * quintile cuts (quantile_cont semantics, 6dp-rounded; monetary
+    * pre-rounded to cents so ulp-order noise can't straddle a cut),
+    * reported as segment counts. The oracle recomputes the metrics,
+    * all 12 cuts, and the comparison-chain banding. */
+  private val q120 = Q("q120_rfm_segments",
+    (s, d) => graft.ops.Analytics.rfmSegments(Tables.orders(s, d),
+        "o_custkey", "o_orderdate", "o_totalprice", asOf = "1998-12-31")
+      .orderBy("r_band", "f_band", "m_band"),
+    Some("""WITH pc AS (SELECT o_custkey,
+                               datediff('day', CAST(max(o_orderdate) AS DATE),
+                                        DATE '1998-12-31') AS recency,
+                               count(*) AS frequency,
+                               round(sum(o_totalprice), 2) AS monetary
+                        FROM orders GROUP BY 1),
+            b AS (SELECT round(quantile_cont(recency, 0.2), 6) AS r0,
+                         round(quantile_cont(recency, 0.4), 6) AS r1,
+                         round(quantile_cont(recency, 0.6), 6) AS r2,
+                         round(quantile_cont(recency, 0.8), 6) AS r3,
+                         round(quantile_cont(frequency, 0.2), 6) AS f0,
+                         round(quantile_cont(frequency, 0.4), 6) AS f1,
+                         round(quantile_cont(frequency, 0.6), 6) AS f2,
+                         round(quantile_cont(frequency, 0.8), 6) AS f3,
+                         round(quantile_cont(monetary, 0.2), 6) AS m0,
+                         round(quantile_cont(monetary, 0.4), 6) AS m1,
+                         round(quantile_cont(monetary, 0.6), 6) AS m2,
+                         round(quantile_cont(monetary, 0.8), 6) AS m3
+                  FROM pc),
+            seg AS (SELECT CASE WHEN recency <= r0 THEN 1
+                                WHEN recency <= r1 THEN 2
+                                WHEN recency <= r2 THEN 3
+                                WHEN recency <= r3 THEN 4 ELSE 5 END AS r_band,
+                           CASE WHEN frequency <= f0 THEN 1
+                                WHEN frequency <= f1 THEN 2
+                                WHEN frequency <= f2 THEN 3
+                                WHEN frequency <= f3 THEN 4 ELSE 5 END AS f_band,
+                           CASE WHEN monetary <= m0 THEN 1
+                                WHEN monetary <= m1 THEN 2
+                                WHEN monetary <= m2 THEN 3
+                                WHEN monetary <= m3 THEN 4 ELSE 5 END AS m_band,
+                           monetary
+                    FROM pc, b)
+            SELECT r_band, f_band, m_band, count(*) AS n_customers,
+                   round(sum(monetary), 2) AS sum_monetary
+            FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** q121 — market-basket pair affinity
+    * ([[graft.ops.Analytics.basketAffinity]]): item pairs
+    * co-occurring in ≥2 orders with support/confidence/lift, top-30
+    * by lift. Pair formation is per-order (bounded by basket size),
+    * metrics derive from exact integer counts; the oracle replays
+    * the self-join, the thresholds, and every ratio. */
+  private val q121 = Q("q121_basket_lift",
+    (s, d) => graft.ops.Analytics.basketAffinity(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minPairs = 2)
+      .orderBy(col("lift").desc, col("item_1"), col("item_2")).limit(30),
+    Some("""WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+                        FROM lineitem),
+            no AS (SELECT count(DISTINCT o) AS n_orders FROM oi),
+            ic AS (SELECT i, count(*) AS ci FROM oi GROUP BY 1),
+            pr AS (SELECT a.i AS item_1, b.i AS item_2, count(*) AS n_pairs
+                   FROM oi a JOIN oi b ON a.o = b.o AND a.i < b.i
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT item_1, item_2, n_pairs,
+                   round(n_pairs / CAST(n_orders AS DOUBLE), 6) AS support,
+                   round(n_pairs / CAST(c1.ci AS DOUBLE), 6) AS confidence,
+                   round(CAST(n_pairs AS DOUBLE) * n_orders / (c1.ci * c2.ci), 6)
+                     AS lift
+            FROM pr JOIN ic c1 ON pr.item_1 = c1.i
+            JOIN ic c2 ON pr.item_2 = c2.i
+            CROSS JOIN no
+            ORDER BY lift DESC, item_1, item_2 LIMIT 30"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
-    q70)
+    q70, q119, q120, q121)
 }

@@ -1836,6 +1836,54 @@ class OperatorSpec extends SparkSpec {
       Tfidf.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), k = 1))
   }
 
+  test("basketAffinity: hand-computed support/confidence/lift, duplicate lines collapse") {
+    import graft.ops.Analytics
+    // 4 orders; {A,B} co-occur twice, {A,C} once (below minPairs);
+    // order 1 lists A twice — distinct must collapse it
+    val li = Seq((1L, 100L), (1L, 100L), (1L, 200L), (2L, 100L), (2L, 200L),
+      (3L, 100L), (3L, 300L), (4L, 400L)).toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketAffinity(li, "l_orderkey", "l_partkey", minPairs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.length === 1)
+    val (i1, i2, n, sup, conf, lift) = out.head
+    assert((i1, i2, n) === ((100L, 200L, 2L)))
+    assert(sup === 0.5)     // 2 of 4 orders
+    assert(conf === 0.666667) // A appears in 3 orders, rounded 6dp
+    assert(lift === BigDecimal(2.0 * 4 / (3 * 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) // 1.333333
+  }
+
+  test("rfmSegments: quintile cuts band 1..5, boundary value takes the lower band") {
+    import graft.ops.Analytics
+    import java.sql.Timestamp
+    // 5 customers, one order each on the same date -> frequency and
+    // recency are constant (everyone lands in band 1); monetary
+    // 10..50 spreads exactly one customer per quintile band
+    val ts = Timestamp.valueOf("1998-01-01 00:00:00")
+    val orders = (1 to 5).map(i => (i.toLong, ts, i * 10.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Analytics.rfmSegments(orders, "o_custkey", "o_orderdate",
+        "o_totalprice", asOf = "1998-12-31")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.forall(t => t._1 === 1 && t._2 === 1))
+    assert(out.map(_._3).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    assert(out.forall(_._4 === 1L))
+  }
+
+  test("cohortRetention: a customer counts once per month, offsets from first order") {
+    import graft.ops.Analytics
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, t("1998-01-05")), (1L, t("1998-01-20")), // same month: one cell
+      (1L, t("1998-03-02")),                         // offset 2
+      (2L, t("1998-02-10"))).toDF("o_custkey", "o_orderdate")
+    val out = Analytics.cohortRetention(orders, "o_custkey", "o_orderdate")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out === Set((199801L, 0, 1L), (199801L, 2, 1L), (199802L, 0, 1L)))
+  }
+
   test("rrfFuse: cross-list agreement wins, single-list items fused correctly") {
     import graft.operators.Similarity
     def nanos(rank: Int) = math.round(1.0 / (60 + rank) * 1e9)
