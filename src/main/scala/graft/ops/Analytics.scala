@@ -23,15 +23,21 @@ object Analytics {
     * (cohort, offset)-keyed count-distinct (Spark's two-phase
     * partial distinct — no hot reducer on big cohorts). */
   def cohortRetention(orders: DataFrame, custCol: String, dateCol: String): DataFrame = {
-    val firstMonth = orders.groupBy(col(custCol))
-      .agg(min(trunc(col(dateCol), "month")).as("__cohort"))
-    orders.select(col(custCol), trunc(col(dateCol), "month").as("__m")).distinct()
-      .join(firstMonth, custCol)
-      .groupBy(
-        (year(col("__cohort")) * 100 + month(col("__cohort")))
-          .cast("long").as("cohort_month"),
-        months_between(col("__m"), col("__cohort")).cast("int").as("month_offset"))
-      .agg(countDistinct(col(custCol)).as("n_customers"))
+    // ONE fact-table pass: the cohort month reduces the distinct
+    // (customer, month) frame the triangle needs anyway
+    // (min(trunc(date)) ≡ min over the distinct months)
+    val activity = orders
+      .select(col(custCol), trunc(col(dateCol), "month").as("__m")).distinct()
+      .persist()
+    val firstMonth = activity.groupBy(col(custCol)).agg(min("__m").as("__cohort"))
+    graft.operators.Checkpoints.materialize(
+      activity.join(firstMonth, custCol)
+        .groupBy(
+          (year(col("__cohort")) * 100 + month(col("__cohort")))
+            .cast("long").as("cohort_month"),
+          months_between(col("__m"), col("__cohort")).cast("int").as("month_offset"))
+        .agg(countDistinct(col(custCol)).as("n_customers")),
+      activity)
   }
 
   /** RFM segmentation (recency / frequency / monetary): per-customer
@@ -57,27 +63,29 @@ object Analytics {
         round(sum(col(amtCol)), 2).as("monetary"))
       .persist()
     val ps = Seq(0.2, 0.4, 0.6, 0.8)
-    def cuts(c: String) =
-      ps.zipWithIndex.map { case (p, i) =>
-        round(expr(s"percentile($c, $p)"), 6).as(s"__${c}_$i") }
-    val allCuts = cuts("recency") ++ cuts("frequency") ++ cuts("monetary")
-    val bounds = perCust.agg(allCuts.head, allCuts.tail: _*)
-    def band(c: String): Column =
-      when(col(c) <= col(s"__${c}_0"), 1)
-        .when(col(c) <= col(s"__${c}_1"), 2)
-        .when(col(c) <= col(s"__${c}_2"), 3)
-        .when(col(c) <= col(s"__${c}_3"), 4)
+    // ONE array-form percentile per metric (the exactQuantiles /
+    // perplexityBuckets pattern) — four scalar percentile() calls
+    // would buffer and sort each metric column four times
+    val bounds = perCust.agg(
+      percentile(col("recency"), typedLit(ps)).as("__rq"),
+      percentile(col("frequency"), typedLit(ps)).as("__fq"),
+      percentile(col("monetary"), typedLit(ps)).as("__mq"))
+    def band(c: String, q: String): Column =
+      when(col(c) <= round(element_at(col(q), 1), 6), 1)
+        .when(col(c) <= round(element_at(col(q), 2), 6), 2)
+        .when(col(c) <= round(element_at(col(q), 3), 6), 3)
+        .when(col(c) <= round(element_at(col(q), 4), 6), 4)
         .otherwise(5)
-    val out = perCust.crossJoin(broadcast(bounds))
-      .select(col(custCol), band("recency").as("r_band"),
-        band("frequency").as("f_band"), band("monetary").as("m_band"),
-        col("monetary"))
-      .groupBy("r_band", "f_band", "m_band")
-      .agg(count(lit(1)).as("n_customers"),
-        round(sum("monetary"), 2).as("sum_monetary"))
-      .localCheckpoint()
-    perCust.unpersist(blocking = false)
-    out
+    graft.operators.Checkpoints.materialize(
+      perCust.crossJoin(broadcast(bounds))
+        .select(col(custCol), band("recency", "__rq").as("r_band"),
+          band("frequency", "__fq").as("f_band"),
+          band("monetary", "__mq").as("m_band"),
+          col("monetary"))
+        .groupBy("r_band", "f_band", "m_band")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("monetary"), 2).as("sum_monetary")),
+      perCust)
   }
 
   /** Market-basket pair affinity: for item pairs co-occurring in at
@@ -103,17 +111,16 @@ object Analytics {
       .groupBy(col("a.__i").as("item_1"), col("b.__i").as("item_2"))
       .agg(count(lit(1)).as("n_pairs"))
       .where(col("n_pairs") >= minPairs)
-    val out = pairs
-      .join(itemCounts.select(col("__i").as("item_1"), col("__ci").as("__c1")), "item_1")
-      .join(itemCounts.select(col("__i").as("item_2"), col("__ci").as("__c2")), "item_2")
-      .crossJoin(broadcast(nOrders))
-      .select(col("item_1"), col("item_2"), col("n_pairs"),
-        round(col("n_pairs") / col("__n_orders").cast("double"), 6).as("support"),
-        round(col("n_pairs") / col("__c1").cast("double"), 6).as("confidence"),
-        round(col("n_pairs").cast("double") * col("__n_orders") /
-          (col("__c1") * col("__c2")), 6).as("lift"))
-      .localCheckpoint()
-    oi.unpersist(blocking = false)
-    out
+    graft.operators.Checkpoints.materialize(
+      pairs
+        .join(itemCounts.select(col("__i").as("item_1"), col("__ci").as("__c1")), "item_1")
+        .join(itemCounts.select(col("__i").as("item_2"), col("__ci").as("__c2")), "item_2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("item_1"), col("item_2"), col("n_pairs"),
+          round(col("n_pairs") / col("__n_orders").cast("double"), 6).as("support"),
+          round(col("n_pairs") / col("__c1").cast("double"), 6).as("confidence"),
+          round(col("n_pairs").cast("double") * col("__n_orders") /
+            (col("__c1") * col("__c2")), 6).as("lift")),
+      oi)
   }
 }
