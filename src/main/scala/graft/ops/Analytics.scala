@@ -88,6 +88,78 @@ object Analytics {
       perCust)
   }
 
+  /** Ordered funnel conversion over an event stream: how many users
+    * performed step 1, then step 2 STRICTLY AFTER their first step-1
+    * event, then step 3 after that — the sequential-audience question
+    * a flat `count distinct per type` gets wrong (a user who
+    * purchased before ever searching is not a converted searcher).
+    *
+    * Execution: events filter to the funnel's types FIRST (a
+    * codegen'd pushdown-friendly filter — the only corpus-scale
+    * pass), then one user-keyed conditional aggregate per step, each
+    * joined back user-keyed (uniform, broadcastable once the
+    * audience shrinks). Steps are first-reach times: step i's time
+    * is the MIN event time of type i after the user's step-(i−1)
+    * time. Returns one row per step: (step, event_type, n_users,
+    * pct_of_step1 rounded 4dp). */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    val spark = events.sparkSession
+    val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(tsCol).as("__ts"))
+      .where(col("__t").isin(steps: _*)).persist()
+    try {
+      // reach(i) = (user, time of first step-i event after reach(i-1))
+      var reach = ev.where(col("__t") === steps.head)
+        .groupBy("__u").agg(min("__ts").as("__r"))
+      val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long)](
+        (1, steps.head, reach.count()))
+      for ((st, i) <- steps.zipWithIndex.drop(1)) {
+        reach = ev.where(col("__t") === st)
+          .join(reach.select(col("__u"), col("__r").as("__prev")), Seq("__u"))
+          .where(col("__ts") > col("__prev"))
+          .groupBy("__u").agg(min("__ts").as("__r"))
+        counts += ((i + 1, st, reach.count()))
+      }
+      import spark.implicits._
+      val base = counts.head._3
+      counts.toSeq.toDF("step", "event_type", "n_users")
+        .withColumn("pct_of_step1",
+          when(lit(base) === 0, lit(0.0))
+            .otherwise(round(col("n_users") * lit(100.0) / lit(base), 4)))
+    } finally ev.unpersist(blocking = false)
+  }
+
+  /** Daily activity with a trailing moving average and week-over-week
+    * growth — the monitoring triple every event dashboard draws.
+    * The window runs on the DAY-GRAIN frame (one row per calendar
+    * day — thousands of rows for years of data), never the raw
+    * events: the corpus-scale work is exactly one date-keyed
+    * aggregate. The moving average is RANGE-framed over the day
+    * ordinal, so calendar gaps count as absent days instead of
+    * silently stretching the window. Returns (day, n_events,
+    * avg_7d rounded 4dp, wow_pct rounded 4dp — null for the first
+    * week's days / zero-baseline days). */
+  def rollingDaily(events: DataFrame, tsCol: String, window: Int = 7): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("__ord", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("__ord")).rangeBetween(-(window - 1), 0)
+    val wPrev = Window.orderBy(col("__ord")).rangeBetween(-window, -window)
+    daily
+      .withColumn("avg_7d", round(avg(col("n_events")).over(w), 4))
+      .withColumn("wow_pct",
+        round((col("n_events") - first(col("n_events")).over(wPrev)) * 100.0 /
+          first(col("n_events")).over(wPrev), 4))
+      .select(col("day"), col("n_events"), col("avg_7d"), col("wow_pct"))
+  }
+
   /** Market-basket pair affinity: for item pairs co-occurring in at
     * least `minPairs` orders, support / confidence(a→b) / lift —
     * the association statistics behind cross-sell placement.

@@ -462,6 +462,55 @@ object BusinessQueries {
             CROSS JOIN no
             ORDER BY lift DESC, item_1, item_2 LIMIT 30"""))
 
+  /** q122 — ordered funnel conversion
+    * ([[graft.ops.Analytics.funnel]]): view → click → purchase with
+    * each step strictly after the user's previous first-reach time —
+    * the sequential-audience semantics a per-type distinct count gets
+    * wrong. The oracle replays the staged first-reach derivation. */
+  private val q122 = Q("q122_funnel",
+    (s, d) => graft.ops.Analytics.funnel(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("step"),
+    Some("""WITH r1 AS (SELECT user_id, min(ts) AS r FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            r2 AS (SELECT e.user_id, min(e.ts) AS r
+                   FROM events e JOIN r1 ON e.user_id = r1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > r1.r GROUP BY 1),
+            r3 AS (SELECT e.user_id, min(e.ts) AS r
+                   FROM events e JOIN r2 ON e.user_id = r2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > r2.r GROUP BY 1),
+            c AS (SELECT 1 AS step, 'view' AS event_type,
+                         (SELECT count(*) FROM r1) AS n_users
+                  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM r2)
+                  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM r3))
+            SELECT step, event_type, n_users,
+                   round(n_users * CAST(100 AS DOUBLE)
+                     / (SELECT count(*) FROM r1), 4) AS pct_of_step1
+            FROM c ORDER BY step"""))
+
+  /** q123 — daily activity with trailing average and week-over-week
+    * growth ([[graft.ops.Analytics.rollingDaily]]): the monitoring
+    * triple, RANGE-framed on the day ordinal so calendar gaps count
+    * as absent days. The oracle replays the day grain, both frames,
+    * and the null-baseline first week. */
+  private val q123 = Q("q123_rolling_daily",
+    (s, d) => graft.ops.Analytics.rollingDaily(Tables.events(s, d), "ts")
+      .orderBy("day"),
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+                           FROM events GROUP BY 1),
+            d2 AS (SELECT day, n_events,
+                          datediff('day', DATE '1970-01-01', day) AS ord
+                   FROM daily)
+            SELECT day, n_events,
+                   round(avg(n_events) OVER (ORDER BY ord
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d,
+                   round((n_events - first_value(n_events) OVER (ORDER BY ord
+                       RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING))
+                     * CAST(100 AS DOUBLE)
+                     / first_value(n_events) OVER (ORDER BY ord
+                       RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING), 4) AS wow_pct
+            FROM d2 ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
-    q70, q119, q120, q121)
+    q70, q119, q120, q121, q122, q123)
 }

@@ -1836,6 +1836,38 @@ class OperatorSpec extends SparkSpec {
       Tfidf.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), k = 1))
   }
 
+  test("funnel: step order enforced — converting before the prior step does not count") {
+    import graft.ops.Analytics
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)), // full
+      (2L, "click", t(1)), (2L, "view", t(2)),  // clicked BEFORE viewing
+      (3L, "view", t(1)), (3L, "purchase", t(2)) // skipped click
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1, 3L, 100.0), (2, 1L, 33.3333), (3, 1L, 33.3333)))
+  }
+
+  test("rollingDaily: calendar gap excluded from RANGE frame, wow null without baseline") {
+    import graft.ops.Analytics
+    import java.sql.Timestamp
+    def day(d: Int, n: Int) = (1 to n).map(i =>
+      Timestamp.valueOf(f"2024-01-$d%02d 00:$i%02d:00"))
+    // days 1 (2 events), 2 (4), then a gap, day 10 (6): day 10's 7-day
+    // frame covers ordinals 4..10 — days 1-2 fall outside
+    val ev = (day(1, 2) ++ day(2, 4) ++ day(10, 6)).map(Tuple1(_)).toDF("ts")
+    val out = Analytics.rollingDaily(ev, "ts").orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out(0) === (("2024-01-01", 2L, 2.0, null)))
+    assert(out(1) === (("2024-01-02", 4L, 3.0, null)))
+    assert(out(2) === (("2024-01-10", 6L, 6.0, null)), s"got ${out.toSeq}")
+  }
+
   test("basketAffinity: hand-computed support/confidence/lift, duplicate lines collapse") {
     import graft.ops.Analytics
     // 4 orders; {A,B} co-occur twice, {A,C} once (below minPairs);
