@@ -1836,6 +1836,29 @@ class OperatorSpec extends SparkSpec {
       Tfidf.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), k = 1))
   }
 
+  test("blockedHosts plans a broadcast left-semi join against the blocklist") {
+    import graft.operators.Quality
+    val hosts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(concat(col("source"), lit(".example.com")).as("host"))
+    val block = Seq("example.com").toDF("domain")
+    val plan = Quality.blockedHosts(hosts, "host", block, "domain")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(800))
+  }
+
+  test("prefixDimTopK plans group-limited windows over a real scan — no corpus range shuffle") {
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Similarity.prefixDimTopK(emb, emb.filter(col("vec_id") < 3),
+        prefixDims = 8, shortlist = 20, k = 5)
+      .queryExecution.executedPlan.toString
+    // rank <= k prune pushes into the window (WindowGroupLimit), and
+    // ranking must never plan a global range-partitioned sort
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    assert(!plan.contains("rangepartitioning"), plan.take(800))
+  }
+
   test("funnel: step order enforced — converting before the prior step does not count") {
     import graft.ops.Analytics
     import java.sql.Timestamp
