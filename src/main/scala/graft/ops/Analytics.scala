@@ -160,6 +160,58 @@ object Analytics {
       .select(col("day"), col("n_events"), col("avg_7d"), col("wow_pct"))
   }
 
+  /** Per-user event transition matrix (first-order Markov view of the
+    * user journey): counts and row-normalized probabilities of each
+    * consecutive (from → to) event pair, ordered per user by time
+    * with an id tiebreak so simultaneous events order
+    * deterministically. One user-keyed window pass (uniform keys)
+    * plus one pair-keyed aggregate; probabilities derive from the
+    * aggregated integer counts, so engines agree bit-for-bit.
+    * Returns (from_type, to_type, n, p rounded 6dp). */
+  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"), col(tsCol), col(idCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
+    pairs.join(fromTotals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("__tot").cast("double"), 6).as("p"))
+  }
+
+  /** Conversion-delay distribution: for users whose first `toType`
+    * event comes strictly after their first `fromType` event, exact
+    * percentiles of the delay in microseconds — the "how long does
+    * conversion take" companion of [[funnel]]. Delays are exact
+    * integer microsecond differences (no float time math), reduced
+    * per user first (two conditional min aggregates in ONE user-keyed
+    * pass), then one exact-percentile aggregate (quantile_cont
+    * semantics, the [[graft.operators.Stats.exactQuantiles]] kind).
+    * Returns one row: (n_converted, p25_us, p50_us, p75_us, p90_us
+    * rounded 4dp). */
+  def conversionDelay(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, fromType: String, toType: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === fromType, unix_micros(col(tsCol))))
+          .as("__from"),
+        min(when(col(typeCol) === toType, unix_micros(col(tsCol)))).as("__to"))
+      .where(col("__from").isNotNull && col("__to").isNotNull &&
+        col("__to") > col("__from"))
+      .select((col("__to") - col("__from")).as("__delay"))
+    perUser.agg(count(lit(1)).as("n_converted"),
+        percentile(col("__delay"), typedLit(Seq(0.25, 0.5, 0.75, 0.9))).as("__qs"))
+      .select(col("n_converted"),
+        round(element_at(col("__qs"), 1), 4).as("p25_us"),
+        round(element_at(col("__qs"), 2), 4).as("p50_us"),
+        round(element_at(col("__qs"), 3), 4).as("p75_us"),
+        round(element_at(col("__qs"), 4), 4).as("p90_us"))
+  }
+
   /** Market-basket pair affinity: for item pairs co-occurring in at
     * least `minPairs` orders, support / confidence(a→b) / lift —
     * the association statistics behind cross-sell placement.

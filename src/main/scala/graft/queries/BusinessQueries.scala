@@ -511,6 +511,51 @@ object BusinessQueries {
                        RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING), 4) AS wow_pct
             FROM d2 ORDER BY day"""))
 
+  /** q124 — event transition matrix
+    * ([[graft.ops.Analytics.eventTransitions]]): per-user consecutive
+    * (from → to) event pairs with row-normalized probabilities, time
+    * order tie-broken by event id. The oracle replays the lead
+    * window, the pair counts, and every probability. */
+  private val q124 = Q("q124_event_transitions",
+    (s, d) => graft.ops.Analytics.eventTransitions(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type"),
+    Some("""WITH seq AS (SELECT user_id, event_type AS from_type,
+                                lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+                         FROM events),
+            pc AS (SELECT from_type, to_type, count(*) AS n
+                   FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+                  FROM pc GROUP BY 1)
+            SELECT pc.from_type, pc.to_type, pc.n,
+                   round(pc.n / CAST(t.tot AS DOUBLE), 6) AS p
+            FROM pc JOIN t USING (from_type) ORDER BY 1, 2"""))
+
+  /** q125 — conversion-delay percentiles
+    * ([[graft.ops.Analytics.conversionDelay]]): time from first view
+    * to first purchase per converting user, as exact integer
+    * microsecond delays reduced to quantile_cont percentiles. The
+    * oracle replays the conditional mins, the strictly-after filter,
+    * and all four cuts. */
+  private val q125 = Q("q125_conversion_delay",
+    (s, d) => graft.ops.Analytics.conversionDelay(Tables.events(s, d),
+      "user_id", "event_type", "ts", "view", "purchase"),
+    Some("""WITH pu AS (SELECT user_id,
+                               min(CASE WHEN event_type = 'view'
+                                        THEN epoch_us(ts) END) AS f,
+                               min(CASE WHEN event_type = 'purchase'
+                                        THEN epoch_us(ts) END) AS t
+                        FROM events GROUP BY 1),
+            d AS (SELECT t - f AS delay FROM pu
+                  WHERE f IS NOT NULL AND t IS NOT NULL AND t > f)
+            SELECT count(*) AS n_converted,
+                   round(quantile_cont(delay, 0.25), 4) AS p25_us,
+                   round(quantile_cont(delay, 0.5), 4) AS p50_us,
+                   round(quantile_cont(delay, 0.75), 4) AS p75_us,
+                   round(quantile_cont(delay, 0.9), 4) AS p90_us
+            FROM d"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
-    q70, q119, q120, q121, q122, q123)
+    q70, q119, q120, q121, q122, q123, q124, q125)
 }

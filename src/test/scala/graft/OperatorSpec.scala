@@ -1836,6 +1836,40 @@ class OperatorSpec extends SparkSpec {
       Tfidf.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), k = 1))
   }
 
+  test("eventTransitions: per-user ordering with id tiebreak, row-normalized probabilities") {
+    import graft.ops.Analytics
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 01:00:00")
+    val ev = Seq(
+      (1L, "a", t0, 10L), (1L, "b", t0, 11L), // simultaneous: id orders a->b
+      (1L, "c", t1, 12L),
+      (2L, "a", t0, 20L), (2L, "c", t1, 21L)  // users never interleave
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Analytics.eventTransitions(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out === Set(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
+      ("b", "c", 1L, 1.0)))
+  }
+
+  test("conversionDelay: strictly-after filter, exact micro delays, quantile cuts") {
+    import graft.ops.Analytics
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "view", t("2024-01-01 00:00:00")), (1L, "purchase", t("2024-01-01 00:00:01")),
+      (2L, "view", t("2024-01-01 00:00:00")), (2L, "purchase", t("2024-01-01 00:00:03")),
+      (3L, "purchase", t("2024-01-01 00:00:00")), (3L, "view", t("2024-01-01 00:00:05")),
+      (4L, "view", t("2024-01-01 00:00:00"))).toDF("user_id", "event_type", "ts")
+    val out = Analytics.conversionDelay(ev, "user_id", "event_type", "ts",
+      "view", "purchase").head()
+    // users 3 (purchase first) and 4 (never purchased) excluded;
+    // delays 1s and 3s in micros -> p50 = 2e6
+    assert(out.getLong(0) === 2L)
+    assert(out.getDouble(2) === 2000000.0)
+  }
+
   test("blockedHosts plans a broadcast left-semi join against the blocklist") {
     import graft.operators.Quality
     val hosts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
