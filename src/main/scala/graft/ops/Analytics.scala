@@ -112,23 +112,31 @@ object Analytics {
         col(tsCol).as("__ts"))
       .where(col("__t").isin(steps: _*)).persist()
     try {
-      // reach(i) = (user, time of first step-i event after reach(i-1))
+      // reach(i) = (user, time of first step-i event after reach(i-1));
+      // each reach is persisted and its count() materializes it, so
+      // step k+1 joins cached step-k output instead of re-running
+      // steps 1..k's aggregates (an O(k²) re-execution otherwise)
       var reach = ev.where(col("__t") === steps.head)
-        .groupBy("__u").agg(min("__ts").as("__r"))
+        .groupBy("__u").agg(min("__ts").as("__r")).persist()
       val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long)](
         (1, steps.head, reach.count()))
       for ((st, i) <- steps.zipWithIndex.drop(1)) {
+        val prev = reach
         reach = ev.where(col("__t") === st)
-          .join(reach.select(col("__u"), col("__r").as("__prev")), Seq("__u"))
+          .join(prev.select(col("__u"), col("__r").as("__prev")), Seq("__u"))
           .where(col("__ts") > col("__prev"))
-          .groupBy("__u").agg(min("__ts").as("__r"))
+          .groupBy("__u").agg(min("__ts").as("__r")).persist()
         counts += ((i + 1, st, reach.count()))
+        prev.unpersist(blocking = false)
       }
+      reach.unpersist(blocking = false)
       import spark.implicits._
       val base = counts.head._3
+      // empty step-1 audience -> NULL percentages (both engines);
+      // a 0.0 here would diverge from the oracle's divide-by-zero
       counts.toSeq.toDF("step", "event_type", "n_users")
         .withColumn("pct_of_step1",
-          when(lit(base) === 0, lit(0.0))
+          when(lit(base) === 0, lit(null).cast("double"))
             .otherwise(round(col("n_users") * lit(100.0) / lit(base), 4)))
     } finally ev.unpersist(blocking = false)
   }
@@ -141,8 +149,8 @@ object Analytics {
     * aggregate. The moving average is RANGE-framed over the day
     * ordinal, so calendar gaps count as absent days instead of
     * silently stretching the window. Returns (day, n_events,
-    * avg_7d rounded 4dp, wow_pct rounded 4dp — null for the first
-    * week's days / zero-baseline days). */
+    * avg_trailing rounded 4dp, wow_pct rounded 4dp — null when no
+    * event landed exactly 7 days earlier). */
   def rollingDaily(events: DataFrame, tsCol: String, window: Int = 7): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     import org.apache.spark.sql.expressions.Window
@@ -151,13 +159,16 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"))
       .withColumn("__ord", datediff(col("day"), lit("1970-01-01").cast("date")))
     val w = Window.orderBy(col("__ord")).rangeBetween(-(window - 1), 0)
-    val wPrev = Window.orderBy(col("__ord")).rangeBetween(-window, -window)
+    // the week-over-week lag is a FIXED calendar 7 days, independent
+    // of the trailing-average window — a 14-day average must not
+    // silently turn the growth column into 14-day-over-14-day
+    val wPrev = Window.orderBy(col("__ord")).rangeBetween(-7, -7)
     daily
-      .withColumn("avg_7d", round(avg(col("n_events")).over(w), 4))
+      .withColumn("avg_trailing", round(avg(col("n_events")).over(w), 4))
       .withColumn("wow_pct",
         round((col("n_events") - first(col("n_events")).over(wPrev)) * 100.0 /
           first(col("n_events")).over(wPrev), 4))
-      .select(col("day"), col("n_events"), col("avg_7d"), col("wow_pct"))
+      .select(col("day"), col("n_events"), col("avg_trailing"), col("wow_pct"))
   }
 
   /** Per-user event transition matrix (first-order Markov view of the
@@ -172,44 +183,51 @@ object Analytics {
       tsCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    // pairs feeds both the totals and the output join — persisted so
+    // the event-scale lead window runs once (the basketAffinity /
+    // cohortRetention discipline)
     val pairs = events
       .select(col(userCol), col(typeCol).as("from_type"), col(tsCol), col(idCol))
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .where(col("to_type").isNotNull)
       .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .persist()
     val fromTotals = pairs.groupBy("from_type").agg(sum("n").as("__tot"))
-    pairs.join(fromTotals, "from_type")
-      .select(col("from_type"), col("to_type"), col("n"),
-        round(col("n") / col("__tot").cast("double"), 6).as("p"))
+    graft.operators.Checkpoints.materialize(
+      pairs.join(fromTotals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / col("__tot").cast("double"), 6).as("p")),
+      pairs)
   }
 
-  /** Conversion-delay distribution: for users whose first `toType`
-    * event comes strictly after their first `fromType` event, exact
-    * percentiles of the delay in microseconds — the "how long does
-    * conversion take" companion of [[funnel]]. Delays are exact
-    * integer microsecond differences (no float time math), reduced
-    * per user first (two conditional min aggregates in ONE user-keyed
-    * pass), then one exact-percentile aggregate (quantile_cont
-    * semantics, the [[graft.operators.Stats.exactQuantiles]] kind).
-    * Returns one row: (n_converted, p25_us, p50_us, p75_us, p90_us
-    * rounded 4dp). */
+  /** Conversion-delay distribution: per converting user, the delay
+    * from the first `fromType` event to the first `toType` event
+    * STRICTLY AFTER it — exactly [[funnel]]'s two-step audience (a
+    * global-first `toType` would silently drop users who converted
+    * again after an earlier unrelated `toType`), so q122's final-step
+    * count and this population agree. Delays are exact integer
+    * microsecond differences (no float time math): one user-keyed
+    * first-`fromType` aggregate, one join of the `toType` events
+    * against it, then the percentile reduction DELEGATED to
+    * [[graft.operators.Stats.exactQuantiles]] (the repo's one
+    * quantile_cont implementation — no second copy of the
+    * rounding/labeling convention). Returns one row:
+    * (n_converted, p25_us, p50_us, p75_us, p90_us rounded 4dp). */
   def conversionDelay(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, fromType: String, toType: String): DataFrame = {
-    val perUser = events
-      .groupBy(col(userCol))
-      .agg(min(when(col(typeCol) === fromType, unix_micros(col(tsCol))))
-          .as("__from"),
-        min(when(col(typeCol) === toType, unix_micros(col(tsCol)))).as("__to"))
-      .where(col("__from").isNotNull && col("__to").isNotNull &&
-        col("__to") > col("__from"))
+    val firstFrom = events.where(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(unix_micros(col(tsCol))).as("__from"))
+    val delays = events.where(col(typeCol) === toType)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__t"))
+      .join(firstFrom, Seq(userCol))
+      .where(col("__t") > col("__from"))
+      .groupBy(col(userCol), col("__from")).agg(min("__t").as("__to"))
       .select((col("__to") - col("__from")).as("__delay"))
-    perUser.agg(count(lit(1)).as("n_converted"),
-        percentile(col("__delay"), typedLit(Seq(0.25, 0.5, 0.75, 0.9))).as("__qs"))
-      .select(col("n_converted"),
-        round(element_at(col("__qs"), 1), 4).as("p25_us"),
-        round(element_at(col("__qs"), 2), 4).as("p50_us"),
-        round(element_at(col("__qs"), 3), 4).as("p75_us"),
-        round(element_at(col("__qs"), 4), 4).as("p90_us"))
+    graft.operators.Stats
+      .exactQuantiles(delays, Seq(), col("__delay"), Seq(0.25, 0.5, 0.75, 0.9))
+      .select(col("n").as("n_converted"), col("p25").as("p25_us"),
+        col("p50").as("p50_us"), col("p75").as("p75_us"),
+        col("p90").as("p90_us"))
   }
 
   /** Market-basket pair affinity: for item pairs co-occurring in at

@@ -484,8 +484,9 @@ object BusinessQueries {
                   UNION ALL SELECT 2, 'click', (SELECT count(*) FROM r2)
                   UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM r3))
             SELECT step, event_type, n_users,
-                   round(n_users * CAST(100 AS DOUBLE)
-                     / (SELECT count(*) FROM r1), 4) AS pct_of_step1
+                   CASE WHEN (SELECT count(*) FROM r1) = 0 THEN NULL
+                        ELSE round(n_users * CAST(100 AS DOUBLE)
+                               / (SELECT count(*) FROM r1), 4) END AS pct_of_step1
             FROM c ORDER BY step"""))
 
   /** q123 — daily activity with trailing average and week-over-week
@@ -503,7 +504,7 @@ object BusinessQueries {
                    FROM daily)
             SELECT day, n_events,
                    round(avg(n_events) OVER (ORDER BY ord
-                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d,
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_trailing,
                    round((n_events - first_value(n_events) OVER (ORDER BY ord
                        RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING))
                      * CAST(100 AS DOUBLE)
@@ -534,21 +535,19 @@ object BusinessQueries {
 
   /** q125 — conversion-delay percentiles
     * ([[graft.ops.Analytics.conversionDelay]]): time from first view
-    * to first purchase per converting user, as exact integer
-    * microsecond delays reduced to quantile_cont percentiles. The
-    * oracle replays the conditional mins, the strictly-after filter,
-    * and all four cuts. */
+    * to the first purchase STRICTLY AFTER it per converting user
+    * (the q122 funnel audience), as exact integer microsecond delays
+    * reduced to quantile_cont percentiles. The oracle replays the
+    * staged first-reach mins and all four cuts. */
   private val q125 = Q("q125_conversion_delay",
     (s, d) => graft.ops.Analytics.conversionDelay(Tables.events(s, d),
       "user_id", "event_type", "ts", "view", "purchase"),
-    Some("""WITH pu AS (SELECT user_id,
-                               min(CASE WHEN event_type = 'view'
-                                        THEN epoch_us(ts) END) AS f,
-                               min(CASE WHEN event_type = 'purchase'
-                                        THEN epoch_us(ts) END) AS t
-                        FROM events GROUP BY 1),
-            d AS (SELECT t - f AS delay FROM pu
-                  WHERE f IS NOT NULL AND t IS NOT NULL AND t > f)
+    Some("""WITH ff AS (SELECT user_id, min(epoch_us(ts)) AS f
+                        FROM events WHERE event_type = 'view' GROUP BY 1),
+            d AS (SELECT min(epoch_us(e.ts)) - f AS delay
+                  FROM events e JOIN ff USING (user_id)
+                  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f
+                  GROUP BY e.user_id, f)
             SELECT count(*) AS n_converted,
                    round(quantile_cont(delay, 0.25), 4) AS p25_us,
                    round(quantile_cont(delay, 0.5), 4) AS p50_us,
