@@ -1258,6 +1258,54 @@ object Dedup {
       sigs)
   }
 
+  /** Blocked edit-distance near-duplicate pairs — the classic
+    * entity-resolution shape (blocking + bounded pairwise verify)
+    * applied to document prefixes. Texts are normalized (lowercase,
+    * non-alphanumeric stripped, single-space alphabet preserved) and
+    * compared on their first `prefixLen` normalized characters;
+    * a pair is reported when Levenshtein(prefix₁, prefix₂) ≤
+    * `maxDist`.
+    *
+    * Recall contract (standard ER blocking, stated honestly):
+    * candidates form ONLY within a block — same first `blockChars`
+    * normalized characters AND same `lenBand`-wide normalized-length
+    * band — so an edit inside the first `blockChars` characters, or a
+    * pair straddling a band boundary, is not reported. That is the
+    * deliberate trade that keeps the candidate set linear-ish in the
+    * corpus: blocks bound the quadratic term by the hottest block,
+    * not the corpus. A production deployment tunes the key (or runs
+    * multi-pass blocking) per recall target.
+    *
+    * Scale shape: one projection pass computes (prefix, block key),
+    * the self-join shuffles both sides on the compound block key (an
+    * equi join — no broadcast of the corpus), and the verify runs
+    * INSIDE the join as Spark's banded `levenshtein(l, r, threshold)`
+    * — O(maxDist·prefixLen) per candidate instead of
+    * O(prefixLen²), and codegen'd. No driver state. Returns
+    * (doc_id_1, doc_id_2, dist). */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 8, prefixLen: Int = 64, blockChars: Int = 4,
+      lenBand: Int = 32): DataFrame = {
+    require(maxDist >= 0 && prefixLen > blockChars && blockChars >= 1 &&
+      lenBand >= 1, s"bad blocking params ($maxDist, $prefixLen, $blockChars, $lenBand)")
+    val norm = lower(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", ""))
+    val blocked = docs.select(col(idCol),
+      substring(norm, 1, prefixLen).as("__p"),
+      substring(norm, 1, blockChars).as("__bk"),
+      floor(length(norm) / lenBand).as("__lb"))
+    val joined = blocked.as("a").join(blocked.as("b"),
+      col("a.__bk") === col("b.__bk") && col("a.__lb") === col("b.__lb") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+    // the threshold form returns −1 past the budget: one banded pass
+    // both filters and carries the distance, no second computation
+    joined
+      .withColumn("dist",
+        levenshtein(col("a.__p"), col("b.__p"), maxDist).cast("long"))
+      .where(col("dist") >= 0)
+      .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"),
+        col("dist"))
+  }
+
   /** Cross-document duplicated n-gram SPANS — the exact-substring
     * dedup family (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL'22), re-expressed relationally

@@ -171,6 +171,62 @@ object Analytics {
       .select(col("day"), col("n_events"), col("avg_trailing"), col("wow_pct"))
   }
 
+  /** Exponentially-weighted moving average of the daily event count
+    * per key — the standard trend smoother for operational series
+    * (anomaly baselines, traffic dashboards):
+    *
+    *   ewma₀ = n₀,   ewmaᵢ = α·nᵢ + (1−α)·ewmaᵢ₋₁,   α = aNum/aDen
+    *
+    * over the key's day-ordered series. Determinism is STRONGER than
+    * the pageRank round-at-9dp rule here: a recurrence that rounds a
+    * double each step generates exact decimal half-way cases (α=0.3
+    * over 6dp values yields ...5 at the 7th place constantly), and
+    * engines then disagree on which side the nearest double falls. So
+    * the state is exact FIXED-POINT: integer micro-units (1e-6), each
+    * step `(2·(aNum·n·1e6 + (aDen−aNum)·em) + aDen) div (2·aDen)` —
+    * half-up rounding in pure bigint arithmetic, bit-identical on any
+    * engine. Alpha is therefore a RATIONAL parameter. Daily grain uses
+    * COUNTS (exact integers) — a double-sum daily measure would make
+    * the recurrence's input depend on partition-level FP summation
+    * order. Overflow headroom: daily counts to ~1e11 fit the bigint
+    * intermediate.
+    *
+    * Scale shape: one map-side-combined aggregate to the (key, day)
+    * grain, then ONE aggregate to per-key day-sorted arrays folded by
+    * a sequential `aggregate` lambda. The fold is inherently serial
+    * per key (each step needs its predecessor), so the parallel unit
+    * is the key, and the collected series is CALENDAR-bounded — ten
+    * years of days is ~3.7k structs per key regardless of corpus
+    * size. A window-function formulation would shuffle the same rows
+    * and still serialize per key, with an extra sort. Returns
+    * (keyCol, day, n_events, ewma). */
+  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String,
+      alphaNum: Int = 3, alphaDen: Int = 10): DataFrame = {
+    require(alphaNum > 0 && alphaDen >= alphaNum,
+      s"alpha must be a rational in (0,1], got $alphaNum/$alphaDen")
+    val beta = alphaDen - alphaNum
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val ser = daily.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("__s"))
+    ser
+      .withColumn("__e", expr(
+        s"""aggregate(__s,
+              cast(array() as array<struct<day: date, n: bigint, em: bigint>>),
+              (acc, p) -> array_append(acc, named_struct(
+                'day', p.day, 'n', p.n,
+                'em', case when size(acc) = 0 then p.n * 1000000
+                      else (2 * ($alphaNum * p.n * 1000000
+                                 + $beta * element_at(acc, -1).em)
+                            + $alphaDen) div (2 * $alphaDen)
+                      end)))"""))
+      .select(col(keyCol), explode(col("__e")).as("__x"))
+      .select(col(keyCol), col("__x.day").as("day"),
+        col("__x.n").as("n_events"),
+        (col("__x.em").cast("double") / lit(1e6)).as("ewma"))
+  }
+
   /** Per-user event transition matrix (first-order Markov view of the
     * user journey): counts and row-normalized probabilities of each
     * consecutive (from → to) event pair, ordered per user by time

@@ -555,6 +555,36 @@ object BusinessQueries {
                    round(quantile_cont(delay, 0.9), 4) AS p90_us
             FROM d"""))
 
+  /** q128 — EWMA-smoothed daily event trend per event type
+    * ([[graft.ops.Analytics.ewmaDaily]], α = 3/10). The oracle replays
+    * the fixed-point recurrence as a recursive CTE over the
+    * row-numbered daily series — every bigint micro-unit step must
+    * agree bit-for-bit with Spark's per-key array fold (integer
+    * arithmetic: no FP rounding ties by construction). */
+  private val q128 = Q("q128_ewma_daily",
+    (s, d) => graft.ops.Analytics.ewmaDaily(Tables.events(s, d),
+        "event_type", "ts", alphaNum = 3, alphaDen = 10)
+      .orderBy("event_type", "day"),
+    Some("""WITH RECURSIVE daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            num AS (
+              SELECT event_type, day, n,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS rn
+              FROM daily),
+            rec AS (
+              SELECT event_type, day, n, rn, n * 1000000 AS em
+              FROM num WHERE rn = 1
+              UNION ALL
+              SELECT num.event_type, num.day, num.n, num.rn,
+                     (2 * (3 * num.n * 1000000 + 7 * rec.em) + 10) // 20 AS em
+              FROM rec JOIN num ON num.event_type = rec.event_type
+                               AND num.rn = rec.rn + 1)
+            SELECT event_type, day, n AS n_events,
+                   CAST(em AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ewma
+            FROM rec ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
-    q70, q119, q120, q121, q122, q123, q124, q125)
+    q70, q119, q120, q121, q122, q123, q124, q125, q128)
 }

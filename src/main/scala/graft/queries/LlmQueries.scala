@@ -3264,6 +3264,74 @@ object LlmQueries {
     * NeurIPS 2022): coarse cosine on the first 8 of 64 dims keeps a
     * 30-deep shortlist, full-precision re-rank yields top-5. The
     * oracle replays both passes with list_slice. */
+  /** q126 — per-node triangle count + local clustering coefficient
+    * ([[graft.operators.Graph.triangleStats]]) over the q110 link
+    * graph. The oracle counts each triangle once as an a<b<c 3-way
+    * self-join of the canonical undirected edge set — a DIFFERENT
+    * single-counting scheme than the operator's degree-ordered
+    * compact-forward orientation, so a hash match proves the
+    * orientation machinery changes the join volume, not the answer. */
+  private val q126 = Q("q126_triangle_stats",
+    (s, d) => {
+      graft.operators.Graph.triangleStats(linkEdges(s, d), "src", "dst")
+        .orderBy(col("triangles").desc, col("id")).limit(100)
+    },
+    Some("""WITH ed AS (
+              SELECT doc_id AS src,
+                     CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),
+                       '|e', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 400 AS dst
+              FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)
+              WHERE doc_id % 5 <> 0),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM ed WHERE src <> dst),
+            deg AS (SELECT id, count(*) AS degree
+                    FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+                    GROUP BY 1),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.b
+                    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            pern AS (SELECT id, count(*) AS triangles
+                     FROM (SELECT x AS id FROM tri
+                           UNION ALL SELECT y FROM tri
+                           UNION ALL SELECT z FROM tri)
+                     GROUP BY 1)
+            SELECT d.id, d.degree, coalesce(p.triangles, 0) AS triangles,
+                   round(CASE WHEN d.degree > 1
+                     THEN CAST(2 AS DOUBLE) * coalesce(p.triangles, 0)
+                          / (d.degree * (d.degree - 1))
+                     ELSE CAST(0 AS DOUBLE) END, 9) AS lcc
+            FROM deg d LEFT JOIN pern p USING (id)
+            ORDER BY triangles DESC, id LIMIT 100"""))
+
+  /** q127 — blocked edit-distance near-dup pairs
+    * ([[graft.operators.Dedup.editDistancePairs]]): ER-style blocking
+    * (4-char normalized prefix + 32-char length band) then banded
+    * Levenshtein ≤ 8 on 64-char normalized prefixes. The oracle
+    * re-runs the same blocking with DuckDB's unbounded levenshtein —
+    * a hash match proves Spark's threshold-banded verify agrees with
+    * the full O(n²) computation on every surviving pair. */
+  private val q127 = Q("q127_edit_distance_pairs",
+    (s, d) => {
+      Dedup.editDistancePairs(Tables.documents(s, d), "doc_id", "text",
+          maxDist = 8, prefixLen = 64, blockChars = 4, lenBand = 32)
+        .orderBy("doc_id_1", "doc_id_2")
+    },
+    Some("""WITH n AS (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS nt
+              FROM documents),
+            b AS (
+              SELECT doc_id, substr(nt, 1, 64) AS p, substr(nt, 1, 4) AS bk,
+                     CAST(floor(length(nt) / 32) AS BIGINT) AS lb
+              FROM n)
+            SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+                   levenshtein(x.p, y.p) AS dist
+            FROM b x JOIN b y
+              ON x.bk = y.bk AND x.lb = y.lb AND x.doc_id < y.doc_id
+            WHERE levenshtein(x.p, y.p) <= 8
+            ORDER BY doc_id_1, doc_id_2"""))
+
   private val q118 = Q("q118_prefix_dim_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -3297,5 +3365,5 @@ object LlmQueries {
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127)
 }

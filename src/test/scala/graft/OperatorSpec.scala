@@ -2029,6 +2029,87 @@ class OperatorSpec extends SparkSpec {
     assert(score("san sf") > score("zz b"))
   }
 
+  test("ewmaDaily: hand-computed recurrence, per-key independence, daily count grain") {
+    import graft.ops.Analytics
+    // key a: counts 4, 2, 1 on three days -> 4.0, 3.4, 2.68 at α=0.3;
+    // key b: single day, seeds at its own count (no bleed from a)
+    val rows = Seq(
+      ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 11:00:00"),
+      ("a", "2024-01-01 12:00:00"), ("a", "2024-01-01 13:00:00"),
+      ("a", "2024-01-02 10:00:00"), ("a", "2024-01-02 11:00:00"),
+      ("a", "2024-01-03 10:00:00"),
+      ("b", "2024-01-02 10:00:00"))
+    val events = rows.toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Analytics.ewmaDaily(events, "event_type", "ts",
+        alphaNum = 3, alphaDen = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(("a", "2024-01-01")) === ((4L, 4.0)))
+    assert(out(("a", "2024-01-02")) === ((2L, 3.4)))
+    assert(out(("a", "2024-01-03")) === ((1L, 2.68)))
+    assert(out(("b", "2024-01-02")) === ((1L, 1.0)))
+    assert(out.size === 4)
+  }
+
+  test("editDistancePairs: normalization, blocking gates, threshold boundary") {
+    val docs = Seq(
+      (1L, "abcd efgh"),         // base
+      (2L, "abcd efgx"),         // dist 1 from base
+      (3L, "abcd!! efgh"),       // normalizes IDENTICAL to base
+      (4L, "zbcd efgh"),         // different 4-char block -> never paired
+      (5L, "abcd efgh 123456"),  // same block, different length band
+      (6L, "abcd xxxx")          // same block+band, dist 4 > maxDist
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text",
+        maxDist = 2, prefixLen = 16, blockChars = 4, lenBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
+  }
+
+  test("triangleStats: K4 + pendant, direction/dup/self-loop collapsed") {
+    import graft.operators.Graph
+    // K4 on 1..4, pendant 5-1; plus noise the canonicalization must
+    // absorb: a reversed duplicate, an exact duplicate, a self-loop
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((2L, 1L), (3L, 4L), (5L, 1L), (3L, 3L)))
+      .toDF("src", "dst")
+    val out = Graph.triangleStats(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((4L, 3L, 0.5)))     // 2*3/(4*3)
+    assert(out(2L) === ((3L, 3L, 1.0)))
+    assert(out(3L) === ((3L, 3L, 1.0)))
+    assert(out(4L) === ((3L, 3L, 1.0)))
+    assert(out(5L) === ((1L, 0L, 0.0)))
+  }
+
+  test("triangleStats: degree-ordered counting matches naive enumeration on random graphs") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(0xe7)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(70)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val und = edges.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val nbrs = (und.map(_._1) ++ und.map(_._2)).map { v =>
+        v -> und.collect { case (a, b) if a == v => b; case (a, b) if b == v => a }
+      }.toMap
+      val expected = nbrs.map { case (v, ns) =>
+        val tri = ns.toSeq.combinations(2)
+          .count { case Seq(x, y) => und((math.min(x, y), math.max(x, y))) }
+        val d = ns.size
+        val lcc = if (d > 1) BigDecimal(2.0 * tri / (d.toDouble * (d - 1)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+        v -> ((d.toLong, tri.toLong, lcc))
+      }
+      val got = Graph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got === expected)
+    }
+  }
+
   test("pageRank: hand-computed iteration with dangling redistribution, mass conserved") {
     import graft.operators.Graph
     def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
