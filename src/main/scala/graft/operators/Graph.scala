@@ -145,19 +145,29 @@ object Graph {
     * exploded triangle corners; no driver state anywhere.
     *
     * Determinism: tri and deg are exact integers; lcc rounds to 9dp
-    * (the [[pageRank]] rule). Returns (id, degree, triangles, lcc). */
+    * (the [[pageRank]] rule). Every node the edge list MENTIONS (any
+    * non-null endpoint) gets a row — a node whose only edges are
+    * self-loops keeps its identity as (id, 0, 0, 0.0) rather than
+    * vanishing, so callers joining the stats back onto a host list
+    * see an explicit zero, not a missing row. Returns
+    * (id, degree, triangles, lcc). */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // canonical simple graph: null endpoints and self-loops carry no
-    // triangle information; least/greatest works for numeric AND
-    // string ids (the host-graph use), so no forced cast
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct().persist()
-    var pinned: List[DataFrame] = List(und)
+    // null endpoints carry no usable edge; everything else keeps its
+    // native type — least/greatest works for numeric AND string ids
+    // (the host-graph use), so no forced cast
+    val cleaned = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).persist()
+    var pinned: List[DataFrame] = List(cleaned)
     try {
+      val nodes = cleaned.select(col("src").as("id"))
+        .unionByName(cleaned.select(col("dst").as("id"))).distinct()
+      // canonical simple graph: self-loops and duplicate/reversed
+      // edges collapse; triangles live here
+      val und = cleaned.where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().persist()
+      pinned ::= und
       val deg = und.select(col("a").as("id"))
         .unionByName(und.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("degree")).persist()
@@ -182,9 +192,9 @@ object Graph {
       val perNode = tri
         .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("triangles"))
-      val d = col("degree")
-      deg.join(perNode, Seq("id"), "left")
-        .select(col("id"), d,
+      val d = coalesce(col("degree"), lit(0L))
+      nodes.join(deg, Seq("id"), "left").join(perNode, Seq("id"), "left")
+        .select(col("id"), d.as("degree"),
           coalesce(col("triangles"), lit(0L)).as("triangles"),
           round(when(d > 1,
               lit(2.0) * coalesce(col("triangles"), lit(0L)) / (d * (d - 1)))

@@ -191,6 +191,13 @@ object Analytics {
     * order. Overflow headroom: daily counts to ~1e11 fit the bigint
     * intermediate.
     *
+    * Zero days COUNT: the key's calendar is densified between its
+    * first and last active day, so a silent day enters the recurrence
+    * as n = 0 and the EWMA decays through an outage — the exact
+    * signal an anomaly baseline exists to capture. (Without this, the
+    * fold would see consecutive OBSERVATIONS and resume at the
+    * pre-outage level as if nothing happened.)
+    *
     * Scale shape: one map-side-combined aggregate to the (key, day)
     * grain, then ONE aggregate to per-key day-sorted arrays folded by
     * a sequential `aggregate` lambda. The fold is inherently serial
@@ -208,7 +215,16 @@ object Analytics {
     val daily = events
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
-    val ser = daily.groupBy(col(keyCol))
+    // densify: every calendar day in the key's [first, last] span gets
+    // a row (n = 0 on silent days); the explode is calendar-bounded
+    val dense = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day")))
+          .as("day"))
+      .join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val ser = dense.groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("__s"))
     ser
       .withColumn("__e", expr(

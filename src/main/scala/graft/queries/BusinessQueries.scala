@@ -568,11 +568,20 @@ object BusinessQueries {
     Some("""WITH RECURSIVE daily AS (
               SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
               FROM events GROUP BY 1, 2),
+            dense AS (
+              SELECT s.event_type, CAST(d AS DATE) AS day
+              FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                    FROM daily GROUP BY 1) s,
+                   unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                     CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+            filled AS (
+              SELECT dense.event_type, dense.day, coalesce(daily.n, 0) AS n
+              FROM dense LEFT JOIN daily USING (event_type, day)),
             num AS (
               SELECT event_type, day, n,
                      row_number() OVER (PARTITION BY event_type
                        ORDER BY day) AS rn
-              FROM daily),
+              FROM filled),
             rec AS (
               SELECT event_type, day, n, rn, n * 1000000 AS em
               FROM num WHERE rn = 1

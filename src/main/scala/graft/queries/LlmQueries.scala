@@ -3264,6 +3264,34 @@ object LlmQueries {
     * NeurIPS 2022): coarse cosine on the first 8 of 64 dims keeps a
     * 30-deep shortlist, full-precision re-rank yields top-5. The
     * oracle replays both passes with list_slice. */
+  private val q118 = Q("q118_prefix_dim_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.prefixDimTopK(emb, emb.filter(col("vec_id") < 10),
+          prefixDims = 8, shortlist = 30, k = 5)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 10),
+            c AS (SELECT vec_id AS nid, v AS ne FROM e),
+            coarse AS (SELECT qid, nid, qe, ne FROM (
+                         SELECT qid, nid, qe, ne,
+                                row_number() OVER (PARTITION BY qid
+                                  ORDER BY list_cosine_similarity(
+                                             list_slice(qe, 1, 8),
+                                             list_slice(ne, 1, 8)) DESC,
+                                           nid ASC) AS pr
+                         FROM q JOIN c ON nid <> qid)
+                       WHERE pr <= 30)
+            SELECT qid, rank, nid, round(cos, 6) AS cosine FROM (
+              SELECT qid, nid, cos,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, nid ASC) AS rank
+              FROM (SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos
+                    FROM coarse))
+            WHERE rank <= 5 ORDER BY qid, rank"""))
+
   /** q126 — per-node triangle count + local clustering coefficient
     * ([[graft.operators.Graph.triangleStats]]) over the q110 link
     * graph. The oracle counts each triangle once as an a<b<c 3-way
@@ -3282,6 +3310,7 @@ object LlmQueries {
                        '|e', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 400 AS dst
               FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)
               WHERE doc_id % 5 <> 0),
+            nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
                     FROM ed WHERE src <> dst),
             deg AS (SELECT id, count(*) AS degree
@@ -3296,12 +3325,13 @@ object LlmQueries {
                            UNION ALL SELECT y FROM tri
                            UNION ALL SELECT z FROM tri)
                      GROUP BY 1)
-            SELECT d.id, d.degree, coalesce(p.triangles, 0) AS triangles,
+            SELECT n.id, coalesce(d.degree, 0) AS degree,
+                   coalesce(p.triangles, 0) AS triangles,
                    round(CASE WHEN d.degree > 1
                      THEN CAST(2 AS DOUBLE) * coalesce(p.triangles, 0)
                           / (d.degree * (d.degree - 1))
                      ELSE CAST(0 AS DOUBLE) END, 9) AS lcc
-            FROM deg d LEFT JOIN pern p USING (id)
+            FROM nodes n LEFT JOIN deg d USING (id) LEFT JOIN pern p USING (id)
             ORDER BY triangles DESC, id LIMIT 100"""))
 
   /** q127 — blocked edit-distance near-dup pairs
@@ -3331,34 +3361,6 @@ object LlmQueries {
               ON x.bk = y.bk AND x.lb = y.lb AND x.doc_id < y.doc_id
             WHERE levenshtein(x.p, y.p) <= 8
             ORDER BY doc_id_1, doc_id_2"""))
-
-  private val q118 = Q("q118_prefix_dim_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.prefixDimTopK(emb, emb.filter(col("vec_id") < 10),
-          prefixDims = 8, shortlist = 30, k = 5)
-        .orderBy("qid", "rank")
-    },
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings),
-            q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 10),
-            c AS (SELECT vec_id AS nid, v AS ne FROM e),
-            coarse AS (SELECT qid, nid, qe, ne FROM (
-                         SELECT qid, nid, qe, ne,
-                                row_number() OVER (PARTITION BY qid
-                                  ORDER BY list_cosine_similarity(
-                                             list_slice(qe, 1, 8),
-                                             list_slice(ne, 1, 8)) DESC,
-                                           nid ASC) AS pr
-                         FROM q JOIN c ON nid <> qid)
-                       WHERE pr <= 30)
-            SELECT qid, rank, nid, round(cos, 6) AS cosine FROM (
-              SELECT qid, nid, cos,
-                     row_number() OVER (PARTITION BY qid
-                       ORDER BY cos DESC, nid ASC) AS rank
-              FROM (SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos
-                    FROM coarse))
-            WHERE rank <= 5 ORDER BY qid, rank"""))
 
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,

@@ -2038,7 +2038,11 @@ class OperatorSpec extends SparkSpec {
       ("a", "2024-01-01 12:00:00"), ("a", "2024-01-01 13:00:00"),
       ("a", "2024-01-02 10:00:00"), ("a", "2024-01-02 11:00:00"),
       ("a", "2024-01-03 10:00:00"),
-      ("b", "2024-01-02 10:00:00"))
+      ("b", "2024-01-02 10:00:00"),
+      // key c: silent 01-02 must enter the recurrence as n=0 and
+      // decay the baseline (2.0 -> 1.4 -> 1.28), not be skipped
+      ("c", "2024-01-01 10:00:00"), ("c", "2024-01-01 11:00:00"),
+      ("c", "2024-01-03 10:00:00"))
     val events = rows.toDF("event_type", "tss")
       .withColumn("ts", to_timestamp(col("tss")))
     val out = Analytics.ewmaDaily(events, "event_type", "ts",
@@ -2050,7 +2054,10 @@ class OperatorSpec extends SparkSpec {
     assert(out(("a", "2024-01-02")) === ((2L, 3.4)))
     assert(out(("a", "2024-01-03")) === ((1L, 2.68)))
     assert(out(("b", "2024-01-02")) === ((1L, 1.0)))
-    assert(out.size === 4)
+    assert(out(("c", "2024-01-01")) === ((2L, 2.0)))
+    assert(out(("c", "2024-01-02")) === ((0L, 1.4)))
+    assert(out(("c", "2024-01-03")) === ((1L, 1.28)))
+    assert(out.size === 7)
   }
 
   test("editDistancePairs: normalization, blocking gates, threshold boundary") {
@@ -2071,9 +2078,11 @@ class OperatorSpec extends SparkSpec {
   test("triangleStats: K4 + pendant, direction/dup/self-loop collapsed") {
     import graft.operators.Graph
     // K4 on 1..4, pendant 5-1; plus noise the canonicalization must
-    // absorb: a reversed duplicate, an exact duplicate, a self-loop
+    // absorb: a reversed duplicate, an exact duplicate, a self-loop,
+    // and a node (9) whose ONLY edge is a self-loop — it must keep
+    // its identity as an explicit zero row, not vanish
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
-    val edges = (k4 ++ Seq((2L, 1L), (3L, 4L), (5L, 1L), (3L, 3L)))
+    val edges = (k4 ++ Seq((2L, 1L), (3L, 4L), (5L, 1L), (3L, 3L), (9L, 9L)))
       .toDF("src", "dst")
     val out = Graph.triangleStats(edges, "src", "dst")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
@@ -2083,6 +2092,8 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L) === ((3L, 3L, 1.0)))
     assert(out(4L) === ((3L, 3L, 1.0)))
     assert(out(5L) === ((1L, 0L, 0.0)))
+    assert(out(9L) === ((0L, 0L, 0.0)))
+    assert(out.size === 6)
   }
 
   test("triangleStats: degree-ordered counting matches naive enumeration on random graphs") {
@@ -2092,7 +2103,8 @@ class OperatorSpec extends SparkSpec {
       val edges = Seq.fill(70)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
       val und = edges.collect { case (a, b) if a != b =>
         (math.min(a, b), math.max(a, b)) }.toSet
-      val nbrs = (und.map(_._1) ++ und.map(_._2)).map { v =>
+      val allNodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+      val nbrs = allNodes.map { v =>
         v -> und.collect { case (a, b) if a == v => b; case (a, b) if b == v => a }
       }.toMap
       val expected = nbrs.map { case (v, ns) =>
