@@ -212,9 +212,13 @@ object Analytics {
     require(alphaNum > 0 && alphaDen >= alphaNum,
       s"alpha must be a rational in (0,1], got $alphaNum/$alphaDen")
     val beta = alphaDen - alphaNum
+    // daily feeds both the span aggregate and the densify join —
+    // persisted so the event-scale aggregate runs once (the
+    // eventTransitions discipline)
     val daily = events
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
+      .persist()
     // densify: every calendar day in the key's [first, last] span gets
     // a row (n = 0 on silent days); the explode is calendar-bounded
     val dense = daily.groupBy(col(keyCol))
@@ -226,7 +230,7 @@ object Analytics {
       .select(col(keyCol), col("day"), coalesce(col("n"), lit(0L)).as("n"))
     val ser = dense.groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("__s"))
-    ser
+    val out = ser
       .withColumn("__e", expr(
         s"""aggregate(__s,
               cast(array() as array<struct<day: date, n: bigint, em: bigint>>),
@@ -241,6 +245,7 @@ object Analytics {
       .select(col(keyCol), col("__x.day").as("day"),
         col("__x.n").as("n_events"),
         (col("__x.em").cast("double") / lit(1e6)).as("ewma"))
+    graft.operators.Checkpoints.materialize(out, daily)
   }
 
   /** Per-user event transition matrix (first-order Markov view of the
