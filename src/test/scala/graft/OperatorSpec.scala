@@ -2029,6 +2029,19 @@ class OperatorSpec extends SparkSpec {
     assert(score("san sf") > score("zz b"))
   }
 
+  test("editDistancePairs: block predicate plans as an equi join, never nested-loop") {
+    // the blocking keys are the whole scale contract — if the equi
+    // condition ever degrades (e.g. a refactor moves the levenshtein
+    // bound into the join condition alone), the self-join falls back
+    // to a nested-loop/cartesian plan that is quadratic in the corpus
+    val docs = Seq((1L, "abcd efgh"), (2L, "abcd efgx")).toDF("doc_id", "text")
+    val plan = Dedup.editDistancePairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocking must stay an equi join:\n$plan")
+  }
+
   test("ewmaDaily: hand-computed recurrence, per-key independence, daily count grain") {
     import graft.ops.Analytics
     // key a: counts 4, 2, 1 on three days -> 4.0, 3.4, 2.68 at α=0.3;
