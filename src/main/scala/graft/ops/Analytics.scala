@@ -307,6 +307,134 @@ object Analytics {
         col("p90").as("p90_us"))
   }
 
+  /** Multi-touch revenue attribution: each conversion event's value is
+    * credited to the user's touch events inside a lookback window
+    * strictly before the conversion, under the three standard models
+    * side by side — first-touch (all credit to the earliest touch),
+    * last-touch (all credit to the latest), and linear (value split
+    * evenly across the window's touches). Conversions with NO touch in
+    * the window land on the explicit `(none)` row, so every model's
+    * revenue column sums to total conversion revenue — the
+    * conservation law a marketing dashboard reconciles against
+    * finance, and the property the spec pins.
+    *
+    * Determinism: first/last pick by min/max over
+    * `struct(touch_ts, touch_id, ...)` — the (ts, id) pair is unique
+    * per event, so simultaneous touches tie-break on id exactly like
+    * [[eventTransitions]]'s window ordering. Linear shares are
+    * value/n with n an exact integer; revenue sums round 2dp (the
+    * q36 money convention).
+    *
+    * Scale shape: one corpus pass filters to the conversion and touch
+    * types (codegen'd, pushdown-friendly); the only corpus-scale join
+    * keys on the USER (uniform — no hot key unless one user owns the
+    * corpus), with the window predicate applied as a post-join filter;
+    * per-conversion reduction is one map-side-combined aggregate keyed
+    * on the unique conversion id. The three per-type frames are
+    * touch-type-cardinality tiny, merged broadcast. Returns
+    * (touch_type, n_attributions, first_touch_rev, last_touch_rev,
+    * linear_rev). */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, valueCol: String, convType: String,
+      touchTypes: Seq[String], lookbackDays: Int = 7): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type $convType cannot also be a touch type")
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
+    val lookbackUs = lookbackDays.toLong * 86400L * 1000000L
+    // exact integer microsecond time math (the conversionDelay rule);
+    // null conversion values count as zero revenue rather than
+    // silently dropping the conversion from the audience
+    val convs = events.where(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(idCol).as("__cid"),
+        unix_micros(col(tsCol)).as("__cts"),
+        coalesce(col(valueCol), lit(0.0)).as("__v"))
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__tt"),
+        unix_micros(col(tsCol)).as("__tts"), col(idCol).as("__tid"))
+    // joined feeds the per-conversion reduction AND the linear model —
+    // persisted so the corpus-scale user join runs once
+    val joined = convs.join(touches, Seq("__u"))
+      .where(col("__tts") < col("__cts") &&
+        col("__tts") >= col("__cts") - lit(lookbackUs))
+      .persist()
+    val perConv = joined.groupBy(col("__cid"), col("__v"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__tts"), col("__tid"), col("__tt"))).as("__first"),
+        max(struct(col("__tts"), col("__tid"), col("__tt"))).as("__last"))
+      .persist()
+    val firstRev = perConv.groupBy(col("__first.__tt").as("touch_type"))
+      .agg(sum("__v").as("__fr"))
+    val lastRev = perConv.groupBy(col("__last.__tt").as("touch_type"))
+      .agg(sum("__v").as("__lr"))
+    val linear = joined
+      .join(perConv.select(col("__cid"), col("__n")), Seq("__cid"))
+      .groupBy(col("__tt").as("touch_type"))
+      .agg(count(lit(1)).as("n_attributions"),
+        sum(col("__v") / col("__n")).as("__linr"))
+    // the unattributed remainder: conversions whose window held no
+    // touch keep full value under every model on the '(none)' row
+    val none = convs.join(joined.select("__cid").distinct(),
+        Seq("__cid"), "left_anti")
+      .agg(count(lit(1)).as("n_attributions"), sum("__v").as("__rev"))
+      .where(col("n_attributions") > 0)
+      .select(lit("(none)").as("touch_type"), col("n_attributions"),
+        col("__rev").as("__fr"), col("__rev").as("__lr"),
+        col("__rev").as("__linr"))
+    val out = linear
+      .join(firstRev, Seq("touch_type"), "full")
+      .join(lastRev, Seq("touch_type"), "full")
+      .select(col("touch_type"), coalesce(col("n_attributions"), lit(0L))
+          .as("n_attributions"), col("__fr"), col("__lr"), col("__linr"))
+      .unionByName(none)
+      .select(col("touch_type"), col("n_attributions"),
+        round(coalesce(col("__fr"), lit(0.0)), 2).as("first_touch_rev"),
+        round(coalesce(col("__lr"), lit(0.0)), 2).as("last_touch_rev"),
+        round(coalesce(col("__linr"), lit(0.0)), 2).as("linear_rev"))
+    graft.operators.Checkpoints.materialize(out, joined, perConv)
+  }
+
+  /** Gap-based batch sessionization: a user's time-ordered events
+    * split into sessions wherever the gap from the previous event
+    * exceeds `gapMinutes` — the canonical web-analytics session
+    * definition, as a batch operator (the streaming twin is
+    * [[graft.streaming.EventStream]]'s session windows). Returns the
+    * per-session grain (user, session_seq, n_events, n_event_types,
+    * started_at, duration_us) — the frame downstream session-length /
+    * engagement analyses aggregate further.
+    *
+    * Determinism: ordering ties break on the event id (the
+    * [[eventTransitions]] rule); duration is an exact integer
+    * microsecond difference; session_seq is the running count of
+    * session starts, so it is dense, 1-based, and reproducible.
+    *
+    * Scale shape: ONE user-keyed window pass over the events (two
+    * functions, same window spec — one sort) and one
+    * (user, session)-keyed map-side-combined aggregate. User keys are
+    * uniform; no corpus-scale join anywhere. */
+  def sessionize(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1, got $gapMinutes")
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__ts"), col(idCol))
+    events
+      .select(col(userCol), col(typeCol).as("__et"),
+        unix_micros(col(tsCol)).as("__ts"), col(idCol))
+      .withColumn("__new",
+        when(col("__ts") - lag(col("__ts"), 1).over(w) > gapUs, 1L)
+          .when(lag(col("__ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      // (ts, id) is unique per user, so a ROWS running sum over the
+      // same ordering is the cumulative session-start count
+      .withColumn("session_seq", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__et")).as("n_event_types"),
+        timestamp_micros(min(col("__ts"))).as("started_at"),
+        (max(col("__ts")) - min(col("__ts"))).as("duration_us"))
+  }
+
   /** Market-basket pair affinity: for item pairs co-occurring in at
     * least `minPairs` orders, support / confidence(a→b) / lift —
     * the association statistics behind cross-sell placement.

@@ -594,6 +594,81 @@ object BusinessQueries {
                    CAST(em AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ewma
             FROM rec ORDER BY event_type, day"""))
 
+  /** q129 — multi-touch revenue attribution
+    * ([[graft.ops.Analytics.attribution]]): purchase value credited to
+    * the user's view/click touches in a 7-day lookback under
+    * first-touch / last-touch / linear, with the unattributed
+    * remainder on the explicit `(none)` row. The oracle replays the
+    * window join, both row_number picks (the min/max-struct
+    * tie-break), the per-conversion linear split, and the anti-joined
+    * remainder. */
+  private val q129 = Q("q129_attribution",
+    (s, d) => graft.ops.Analytics.attribution(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id", "value",
+        convType = "purchase", touchTypes = Seq("view", "click"),
+        lookbackDays = 7)
+      .orderBy("touch_type"),
+    Some("""WITH c AS (SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cts,
+                              coalesce(value, 0) AS v
+                       FROM events WHERE event_type = 'purchase'),
+            t AS (SELECT user_id AS u, event_type AS tt, epoch_us(ts) AS tts,
+                         event_id AS tid
+                  FROM events WHERE event_type IN ('view', 'click')),
+            j AS (SELECT cid, v, tt, tts, tid FROM c JOIN t USING (u)
+                  WHERE tts < cts AND tts >= cts - 604800000000),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY cid
+                           ORDER BY tts, tid) AS rf,
+                         row_number() OVER (PARTITION BY cid
+                           ORDER BY tts DESC, tid DESC) AS rl,
+                         count(*) OVER (PARTITION BY cid) AS n
+                  FROM j),
+            fr AS (SELECT tt, sum(v) AS fr FROM r WHERE rf = 1 GROUP BY 1),
+            lr AS (SELECT tt, sum(v) AS lr FROM r WHERE rl = 1 GROUP BY 1),
+            lin AS (SELECT tt, count(*) AS na, sum(v / n) AS linr
+                    FROM r GROUP BY 1),
+            un AS (SELECT count(*) AS na, sum(v) AS rev FROM c
+                   WHERE cid NOT IN (SELECT cid FROM j))
+            SELECT tt AS touch_type, na AS n_attributions,
+                   round(coalesce(fr, 0), 2) AS first_touch_rev,
+                   round(coalesce(lr, 0), 2) AS last_touch_rev,
+                   round(coalesce(linr, 0), 2) AS linear_rev
+            FROM lin LEFT JOIN fr USING (tt) LEFT JOIN lr USING (tt)
+            UNION ALL
+            SELECT '(none)', na, round(rev, 2), round(rev, 2), round(rev, 2)
+            FROM un WHERE na > 0
+            ORDER BY touch_type"""))
+
+  /** q130 — gap-based sessionization
+    * ([[graft.ops.Analytics.sessionize]], 30-minute gap): the
+    * per-session grain with exact integer start/duration
+    * microseconds. The oracle replays the lag window, the running
+    * session-start sum, and the per-session aggregate. */
+  private val q130 = Q("q130_sessionize",
+    (s, d) => graft.ops.Analytics.sessionize(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id", gapMinutes = 30)
+      .withColumn("started_us", unix_micros(col("started_at")))
+      .drop("started_at")
+      .orderBy("user_id", "session_seq"),
+    Some("""WITH f AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                        > 1800000000
+                                   THEN 1 ELSE 0 END AS nw
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)),
+            s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+                    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+                    AS session_seq
+                  FROM f)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_event_types,
+                   max(t) - min(t) AS duration_us,
+                   min(t) AS started_us
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
-    q70, q119, q120, q121, q122, q123, q124, q125, q128)
+    q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130)
 }

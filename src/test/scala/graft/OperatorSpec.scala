@@ -2246,4 +2246,56 @@ class OperatorSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getLong(1)).toSeq
     assert(out === Seq(10L, 12L, 11L), s"got $out")
   }
+
+  test("attribution: models conserve total revenue; first/last/linear hand-checked") {
+    import graft.ops.Analytics
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-10 10:$m%02d:00")
+    // user 1: view@1, click@2, view@3, purchase@4 (v=100)
+    //   first=view, last=view, linear: view 2/3, click 1/3
+    // user 2: purchase@5 (v=50) with no touches -> (none)
+    // user 3: touch AFTER its purchase only -> (none)
+    val ev = Seq(
+      (1L, 1L, "view", ts(1), null.asInstanceOf[java.lang.Double]),
+      (2L, 1L, "click", ts(2), null.asInstanceOf[java.lang.Double]),
+      (3L, 1L, "view", ts(3), null.asInstanceOf[java.lang.Double]),
+      (4L, 1L, "purchase", ts(4), java.lang.Double.valueOf(100.0)),
+      (5L, 2L, "purchase", ts(5), java.lang.Double.valueOf(50.0)),
+      (6L, 3L, "purchase", ts(6), java.lang.Double.valueOf(25.0)),
+      (7L, 3L, "view", ts(7), null.asInstanceOf[java.lang.Double]))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Analytics.attribution(ev, "user_id", "event_type", "ts",
+        "event_id", "value", "purchase", Seq("view", "click"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("view") === ((2L, 100.0, 100.0, 66.67)))
+    assert(out("click") === ((1L, 0.0, 0.0, 33.33)))
+    assert(out("(none)") === ((2L, 75.0, 75.0, 75.0)))
+    // conservation: every model's column sums to total conversion value
+    Seq(2, 3, 4).foreach { i =>
+      val tot = out.values.map(v => i match {
+        case 2 => v._2; case 3 => v._3; case _ => v._4
+      }).sum
+      assert(math.abs(tot - 175.0) < 0.011, s"model col $i sums to $tot")
+    }
+  }
+
+  test("sessionize: gap splits, tie-break on id, exact durations") {
+    import graft.ops.Analytics
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-10 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, "view", ts(10, 0)), (2L, 1L, "click", ts(10, 20)),
+      (3L, 1L, "view", ts(11, 30)), // 70-min gap -> new session
+      (4L, 2L, "view", ts(9, 0)))   // other user independent
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.sessionize(ev, "user_id", "event_type", "ts",
+        "event_id", gapMinutes = 30)
+      .orderBy("user_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    assert(out === Array(
+      (1L, 1L, 2L, 2L, 20L * 60L * 1000000L),
+      (1L, 2L, 1L, 1L, 0L),
+      (2L, 1L, 1L, 1L, 0L)))
+  }
 }
