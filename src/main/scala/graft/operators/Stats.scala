@@ -60,6 +60,48 @@ object Stats {
       .select("bin", "bin_lo", "n")
   }
 
+  /** Winsorized robust statistics per group: exact percentile cuts at
+    * (`loP`, `hiP`), values clipped into [lo_cut, hi_cut], and the
+    * mean recomputed on the clipped column — the outlier-resistant
+    * location estimate a profile run reports next to the raw mean
+    * (one fat-finger price ruins a mean; it cannot move a winsorized
+    * one past the cut). Clip counts are exact integers, so the tail
+    * mass is visible, not silently absorbed.
+    *
+    * Determinism: cuts come from the [[exactQuantiles]] percentile
+    * (quantile_cont semantics) rounded 6dp BEFORE any comparison —
+    * the [[graft.ops.Analytics.rfmSegments]] rule, so an external
+    * replay clips against identical boundaries. Means round 4dp (sums
+    * of clipped doubles follow the q36 money convention).
+    *
+    * Scale shape: two grouped corpus passes — one for the cuts (the
+    * exact-percentile sort buffer is the price of oracle-exact cuts;
+    * [[sketchProfile]] is the sketch path when bounds may be
+    * approximate), one for the clipped aggregate — bridged by a
+    * group-cardinality cuts frame joined back broadcast-sized.
+    * Returns (group, n, lo_cut, hi_cut, n_clipped_lo, n_clipped_hi,
+    * mean_raw, mean_wins). */
+  def winsorizedStats(df: DataFrame, groupCol: Column, valueCol: Column,
+      loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
+    require(loP > 0.0 && hiP < 1.0 && loP < hiP,
+      s"need 0 < loP < hiP < 1, got ($loP, $hiP)")
+    val cuts = df.groupBy(groupCol.as("grp"))
+      .agg(round(percentile(valueCol, lit(loP)), 6).as("lo_cut"),
+        round(percentile(valueCol, lit(hiP)), 6).as("hi_cut"))
+    df.select(groupCol.as("grp"), valueCol.as("__v"))
+      .join(broadcast(cuts), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        first(col("lo_cut")).as("lo_cut"), first(col("hi_cut")).as("hi_cut"),
+        sum(when(col("__v") < col("lo_cut"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("__v") > col("hi_cut"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        round(sum(col("__v")) / count(lit(1)), 4).as("mean_raw"),
+        round(sum(greatest(least(col("__v"), col("hi_cut")), col("lo_cut"))) /
+          count(lit(1)), 4).as("mean_wins"))
+  }
+
   /** Token-distribution drift between two corpus slices — the check a
     * training-data pipeline runs when a new crawl batch lands: has the
     * vocabulary distribution moved, and which tokens moved it?

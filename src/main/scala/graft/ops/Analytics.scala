@@ -207,11 +207,14 @@ object Analytics {
     * size. A window-function formulation would shuffle the same rows
     * and still serialize per key, with an extra sort. Returns
     * (keyCol, day, n_events, ewma). */
-  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String,
-      alphaNum: Int = 3, alphaDen: Int = 10): DataFrame = {
-    require(alphaNum > 0 && alphaDen >= alphaNum,
-      s"alpha must be a rational in (0,1], got $alphaNum/$alphaDen")
-    val beta = alphaDen - alphaNum
+  /** Per-key daily event counts DENSIFIED over each key's [first,
+    * last] calendar span (n = 0 on silent days) — the shared front of
+    * [[ewmaDaily]] and [[dailyAnomalies]], where a missing day is
+    * signal (an outage), not absence. Returns (dense frame with
+    * (keyCol, day, n), persisted daily aggregate the caller must
+    * release via Checkpoints.materialize). */
+  private def densifiedDaily(events: DataFrame, keyCol: String,
+      tsCol: String): (DataFrame, DataFrame) = {
     // daily feeds both the span aggregate and the densify join —
     // persisted so the event-scale aggregate runs once (the
     // eventTransitions discipline)
@@ -219,8 +222,8 @@ object Analytics {
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
       .persist()
-    // densify: every calendar day in the key's [first, last] span gets
-    // a row (n = 0 on silent days); the explode is calendar-bounded
+    // the explode is calendar-bounded: ten years of days is ~3.7k
+    // rows per key regardless of corpus size
     val dense = daily.groupBy(col(keyCol))
       .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
       .select(col(keyCol),
@@ -228,6 +231,15 @@ object Analytics {
           .as("day"))
       .join(daily, Seq(keyCol, "day"), "left")
       .select(col(keyCol), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    (dense, daily)
+  }
+
+  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String,
+      alphaNum: Int = 3, alphaDen: Int = 10): DataFrame = {
+    require(alphaNum > 0 && alphaDen >= alphaNum,
+      s"alpha must be a rational in (0,1], got $alphaNum/$alphaDen")
+    val beta = alphaDen - alphaNum
+    val (dense, daily) = densifiedDaily(events, keyCol, tsCol)
     val ser = dense.groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("__s"))
     val out = ser
@@ -246,6 +258,60 @@ object Analytics {
         col("__x.n").as("n_events"),
         (col("__x.em").cast("double") / lit(1e6)).as("ewma"))
     graft.operators.Checkpoints.materialize(out, daily)
+  }
+
+  /** Rolling z-score anomaly flags on the per-key daily event series —
+    * the alerting companion of [[ewmaDaily]]: each day scored against
+    * the TRAILING `window` days (current day excluded — a spike must
+    * not inflate its own baseline), flagged when |z| > `zThresh`.
+    * Runs on the [[densifiedDaily]] series, so a silent day both
+    * SCORES (an outage is the textbook anomaly) and drags the
+    * baseline like the zero it is.
+    *
+    * Determinism: the window reduces to INTEGER sums (Σn, Σn², count
+    * — exact at any aggregation order), and mean/variance derive from
+    * them in one pinned double expression:
+    * var = (cnt·Σn² − (Σn)²) / cnt², z = (n − mean)/√var. No
+    * accumulation-order FP anywhere — the [[ewmaDaily]] principle,
+    * without needing fixed-point because nothing recurses. z is null
+    * (and the flag false) until `minPeriods` trailing days exist and
+    * variance is positive — scoring against a 1-day or constant
+    * baseline is division noise, not signal.
+    *
+    * Scale shape: one map-side-combined aggregate to the (key, day)
+    * grain, the calendar-bounded densify, then ONE key-partitioned
+    * RANGE window over the day ordinal (each partition is a key's
+    * calendar — thousands of rows, never corpus-scale). Returns
+    * (keyCol, day, n_events, mean_trail, z, is_anomaly). */
+  def dailyAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+      window: Int = 7, zThresh: Double = 2.0, minPeriods: Int = 3): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minPeriods >= 2 && minPeriods <= window,
+      s"minPeriods must be in [2, window], got $minPeriods")
+    require(zThresh > 0.0, s"zThresh must be positive, got $zThresh")
+    import org.apache.spark.sql.expressions.Window
+    val (dense, daily) = densifiedDaily(events, keyCol, tsCol)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-window, -1)
+    val cnt = count(lit(1)).over(w)
+    val s1 = sum(col("n")).over(w)
+    val s2 = sum(col("n") * col("n")).over(w)
+    val scored = dense
+      .withColumn("__cnt", cnt).withColumn("__s1", s1).withColumn("__s2", s2)
+      .withColumn("__mean", col("__s1").cast("double") / col("__cnt"))
+      .withColumn("__var",
+        (col("__s2").cast("double") * col("__cnt") -
+          col("__s1").cast("double") * col("__s1")) /
+          (col("__cnt").cast("double") * col("__cnt")))
+      .withColumn("z",
+        when(col("__cnt") >= minPeriods && col("__var") > 0.0,
+          round((col("n") - col("__mean")) / sqrt(col("__var")), 4)))
+      .select(col(keyCol), col("day"), col("n").as("n_events"),
+        when(col("__cnt") >= 1, round(col("__mean"), 4)).as("mean_trail"),
+        col("z"),
+        coalesce(abs(col("z")) > zThresh, lit(false)).as("is_anomaly"))
+    graft.operators.Checkpoints.materialize(scored, daily)
   }
 
   /** Per-user event transition matrix (first-order Markov view of the

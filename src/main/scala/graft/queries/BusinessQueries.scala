@@ -669,6 +669,80 @@ object BusinessQueries {
                    min(t) AS started_us
             FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q131 — winsorized robust price statistics
+    * ([[graft.operators.Stats.winsorizedStats]], cuts at p05/p95):
+    * per return flag, exact 6dp-rounded percentile cuts, exact clip
+    * counts, raw vs winsorized mean. The oracle replays the cuts, the
+    * clip, and both means with the identical expression shape. */
+  private val q131 = Q("q131_winsorized_stats",
+    (s, d) => graft.operators.Stats.winsorizedStats(Tables.lineitem(s, d),
+        col("l_returnflag"), col("l_extendedprice"))
+      .withColumnRenamed("grp", "l_returnflag")
+      .orderBy("l_returnflag"),
+    Some("""WITH cuts AS (
+              SELECT l_returnflag AS grp,
+                     round(quantile_cont(l_extendedprice, 0.05), 6) AS lo_cut,
+                     round(quantile_cont(l_extendedprice, 0.95), 6) AS hi_cut
+              FROM lineitem GROUP BY 1)
+            SELECT grp AS l_returnflag, count(*) AS n, lo_cut, hi_cut,
+                   CAST(sum(CASE WHEN l_extendedprice < lo_cut
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+                   CAST(sum(CASE WHEN l_extendedprice > hi_cut
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+                   round(sum(l_extendedprice) / count(*), 4) AS mean_raw,
+                   round(sum(greatest(least(l_extendedprice, hi_cut), lo_cut))
+                     / count(*), 4) AS mean_wins
+            FROM lineitem JOIN cuts ON l_returnflag = grp
+            GROUP BY grp, lo_cut, hi_cut ORDER BY grp"""))
+
+  /** q132 — rolling z-score anomaly flags
+    * ([[graft.ops.Analytics.dailyAnomalies]], 7-day trailing window,
+    * |z| > 2): per event type's densified daily series, integer-sum
+    * windows reduced to a pinned double mean/var expression. The
+    * oracle replays the densify, the RANGE window sums, and the exact
+    * variance formula. */
+  private val q132 = Q("q132_daily_anomalies",
+    (s, d) => graft.ops.Analytics.dailyAnomalies(Tables.events(s, d),
+        "event_type", "ts", window = 7, zThresh = 2.0)
+      .orderBy("event_type", "day"),
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            dense AS (
+              SELECT s.event_type, CAST(d AS DATE) AS day
+              FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                    FROM daily GROUP BY 1) s,
+                   unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                     CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+            filled AS (
+              SELECT dense.event_type, dense.day, coalesce(daily.n, 0) AS n,
+                     datediff('day', DATE '1970-01-01', dense.day) AS ord
+              FROM dense LEFT JOIN daily USING (event_type, day)),
+            win AS (
+              SELECT event_type, day, n,
+                     count(*) OVER w AS cnt,
+                     CAST(sum(n) OVER w AS BIGINT) AS s1,
+                     CAST(sum(n * n) OVER w AS BIGINT) AS s2
+              FROM filled
+              WINDOW w AS (PARTITION BY event_type ORDER BY ord
+                           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+            sc AS (
+              SELECT event_type, day, n, cnt,
+                     CAST(s1 AS DOUBLE) / cnt AS mean,
+                     (CAST(s2 AS DOUBLE) * cnt - CAST(s1 AS DOUBLE) * s1)
+                       / (CAST(cnt AS DOUBLE) * cnt) AS var
+              FROM win),
+            z AS (
+              SELECT event_type, day, n, cnt, mean,
+                     CASE WHEN cnt >= 3 AND var > 0.0
+                          THEN round((n - mean) / sqrt(var), 4) END AS z
+              FROM sc)
+            SELECT event_type, day, n AS n_events,
+                   CASE WHEN cnt >= 1 THEN round(mean, 4) END AS mean_trail,
+                   z, coalesce(abs(z) > 2.0, false) AS is_anomaly
+            FROM z ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
-    q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130)
+    q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
+    q132)
 }

@@ -2247,6 +2247,55 @@ class OperatorSpec extends SparkSpec {
     assert(out === Seq(10L, 12L, 11L), s"got $out")
   }
 
+  test("winsorizedStats: cuts clip the planted outlier, clip counts exact") {
+    import graft.operators.Stats
+    // group A: 1..19 plus a 10000 outlier; p05 cut 1.95, p95 cut
+    // (19 values 1..19 + outlier): quantile_cont over 20 values
+    val df = ((1 to 19).map(i => ("A", i.toDouble)) :+ ("A", 10000.0))
+      .toDF("g", "v")
+    val r = Stats.winsorizedStats(df, col("g"), col("v"), 0.05, 0.95).head()
+    val lo = r.getAs[Double]("lo_cut"); val hi = r.getAs[Double]("hi_cut")
+    // quantile_cont: p05 over sorted[1..19,10000] = 1 + 0.95*(2-1)
+    // 6dp-rounded quantile_cont cuts: p05 = 1 + 0.95*(2-1), p95 =
+    // 19 + 0.05*(10000-19) = 518.05 — compared against the rounded
+    // literal, not a re-derived float expression
+    assert(lo === 1.95)
+    assert(hi === 518.05)
+    assert(r.getAs[Long]("n_clipped_lo") === 1L)
+    assert(r.getAs[Long]("n_clipped_hi") === 1L)
+    // winsorized mean is outlier-resistant: far below the raw mean
+    assert(r.getAs[Double]("mean_wins") < 60.0)
+    assert(r.getAs[Double]("mean_raw") > 500.0)
+  }
+
+  test("dailyAnomalies: spike flags against trailing baseline, silent day scores as zero") {
+    import graft.ops.Analytics
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:${i % 60}%02d.${i}%06d")
+    // key k: days 1-7 have 4,5,6,4,5,6,4 events; day 8 is SILENT
+    // (zero, densified); day 9 has 30 events (the spike)
+    val counts = Seq(4, 5, 6, 4, 5, 6, 4, 0, 30)
+    val rows = counts.zipWithIndex.flatMap { case (c, di) =>
+      (0 until c).map(i => ("k", ts(di + 1, i)))
+    }
+    val out = Analytics.dailyAnomalies(rows.toDF("k", "ts"), "k", "ts",
+        window = 7, zThresh = 2.0)
+      .orderBy("day").collect()
+    assert(out.length === 9)
+    val byDay = out.map(r => r.getDate(1).toString -> r).toMap
+    // day 8 exists with n=0 (densified) and is flagged: an outage IS
+    // an anomaly vs a ~4.9 baseline
+    val d8 = byDay("2024-01-08")
+    assert(d8.getLong(2) === 0L && d8.getBoolean(5), s"day8: $d8")
+    // day 9's spike flags high
+    val d9 = byDay("2024-01-09")
+    assert(d9.getLong(2) === 30L && d9.getBoolean(5) &&
+      d9.getDouble(4) > 2.0, s"day9: $d9")
+    // days 1-3: under minPeriods, z null, never flagged
+    assert(byDay("2024-01-01").isNullAt(4) && !byDay("2024-01-01").getBoolean(5))
+    assert(byDay("2024-01-03").isNullAt(4))
+  }
+
   test("attribution: models conserve total revenue; first/last/linear hand-checked") {
     import graft.ops.Analytics
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-10 10:$m%02d:00")
