@@ -260,6 +260,82 @@ object Analytics {
     graft.operators.Checkpoints.materialize(out, daily)
   }
 
+  /** Holt linear-trend double exponential smoothing of the per-key
+    * daily event count — [[ewmaDaily]]'s two-state sibling for series
+    * with drift (an EWMA lags a trending series forever; Holt carries
+    * an explicit trend term and its one-step forecast is unbiased on
+    * a linear ramp):
+    *
+    *   l₀ = n₀, b₀ = 0
+    *   lᵢ = α·nᵢ + (1−α)·(lᵢ₋₁ + bᵢ₋₁)
+    *   bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁
+    *
+    * Determinism: the [[ewmaDaily]] fixed-point discipline, with one
+    * twist the single-state EWMA never faces — the TREND state goes
+    * NEGATIVE on any downturn, and integer `div` truncates toward
+    * zero (both Spark's `div` and DuckDB's `//`), which breaks
+    * half-up rounding below zero (trunc(−3.25 + ½) = −2, not −3). So
+    * each step rounds via true FLOOR division,
+    * `floor((2x + d) / (2d))` — here as the pure-integer
+    * `(a − pmod(a, 2d)) div 2d` (pmod's non-negative remainder makes
+    * the numerator exactly divisible). An external replay may use
+    * exact-double floor division instead; the two agree while states
+    * stay under 2^53 micro-units (daily counts to ~4·10⁸ — far past
+    * any real series). Both alphas are RATIONAL parameters, as in
+    * [[ewmaDaily]].
+    *
+    * Scale shape: identical to [[ewmaDaily]] — the [[densifiedDaily]]
+    * front (zero days decay the level and pull the trend down, the
+    * outage signal), then one per-key day-sorted array fold; the
+    * serial unit is the key, the series is calendar-bounded. Returns
+    * (keyCol, day, n_events, level, trend, forecast_next) — level and
+    * trend as micro-unit-exact doubles, forecast_next = level + trend
+    * (the one-step-ahead prediction an alerting threshold compares
+    * tomorrow's count against). */
+  def holtDaily(events: DataFrame, keyCol: String, tsCol: String,
+      alphaNum: Int = 3, alphaDen: Int = 10,
+      betaNum: Int = 2, betaDen: Int = 10): DataFrame = {
+    require(alphaNum > 0 && alphaDen >= alphaNum,
+      s"alpha must be a rational in (0,1], got $alphaNum/$alphaDen")
+    require(betaNum > 0 && betaDen >= betaNum,
+      s"beta must be a rational in (0,1], got $betaNum/$betaDen")
+    val aGap = alphaDen - alphaNum
+    val bGap = betaDen - betaNum
+    val (dense, daily) = densifiedDaily(events, keyCol, tsCol)
+    // floor((x) / d) in pure bigint arithmetic; x is duplicated in the
+    // generated SQL, which stays exact (no CSE concerns — pure exprs)
+    def fdiv(x: String, d: Long) = s"(($x) - pmod(($x), $d)) div $d"
+    val prevL = "element_at(acc, -1).lm"
+    val prevB = "element_at(acc, -1).bm"
+    val lm2 = fdiv(
+      s"2 * ($alphaNum * p.n * 1000000 + $aGap * ($prevL + $prevB)) + $alphaDen",
+      2L * alphaDen)
+    val bm2 = fdiv(
+      s"2 * ($betaNum * (($lm2) - $prevL) + $bGap * $prevB) + $betaDen",
+      2L * betaDen)
+    val ser = dense.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("__s"))
+    val out = ser
+      .withColumn("__e", expr(
+        s"""aggregate(__s,
+              cast(array() as array<struct<day: date, n: bigint,
+                                           lm: bigint, bm: bigint>>),
+              (acc, p) -> array_append(acc, named_struct(
+                'day', p.day, 'n', p.n,
+                'lm', case when size(acc) = 0 then p.n * 1000000
+                      else $lm2 end,
+                'bm', case when size(acc) = 0 then cast(0 as bigint)
+                      else $bm2 end)))"""))
+      .select(col(keyCol), explode(col("__e")).as("__x"))
+      .select(col(keyCol), col("__x.day").as("day"),
+        col("__x.n").as("n_events"),
+        (col("__x.lm").cast("double") / lit(1e6)).as("level"),
+        (col("__x.bm").cast("double") / lit(1e6)).as("trend"),
+        ((col("__x.lm") + col("__x.bm")).cast("double") / lit(1e6))
+          .as("forecast_next"))
+    graft.operators.Checkpoints.materialize(out, daily)
+  }
+
   /** Rolling z-score anomaly flags on the per-key daily event series —
     * the alerting companion of [[ewmaDaily]]: each day scored against
     * the TRAILING `window` days (current day excluded — a spike must

@@ -742,7 +742,57 @@ object BusinessQueries {
                    z, coalesce(abs(z) > 2.0, false) AS is_anomaly
             FROM z ORDER BY event_type, day"""))
 
+  /** q133 — Holt linear-trend smoothing of the daily event series
+    * ([[graft.ops.Analytics.holtDaily]], α = 3/10, β = 2/10): the
+    * two-state fixed-point recurrence, replayed by the oracle as a
+    * recursive CTE. The level step appears twice in the trend's
+    * expression (recursive CTEs have no lateral alias) — both engines
+    * evaluate the identical pure-integer formula, with the oracle's
+    * floor-of-double division exact under 2^53 micro-units. */
+  private val q133 = Q("q133_holt_daily",
+    (s, d) => graft.ops.Analytics.holtDaily(Tables.events(s, d),
+        "event_type", "ts", alphaNum = 3, alphaDen = 10,
+        betaNum = 2, betaDen = 10)
+      .orderBy("event_type", "day"),
+    Some("""WITH RECURSIVE daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            dense AS (
+              SELECT s.event_type, CAST(d AS DATE) AS day
+              FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                    FROM daily GROUP BY 1) s,
+                   unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                     CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+            filled AS (
+              SELECT dense.event_type, dense.day, coalesce(daily.n, 0) AS n
+              FROM dense LEFT JOIN daily USING (event_type, day)),
+            num AS (
+              SELECT event_type, day, n,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS rn
+              FROM filled),
+            rec AS (
+              SELECT event_type, day, n, rn,
+                     n * 1000000 AS lm, CAST(0 AS BIGINT) AS bm
+              FROM num WHERE rn = 1
+              UNION ALL
+              SELECT num.event_type, num.day, num.n, num.rn,
+                     CAST(floor((2 * (3 * num.n * 1000000
+                         + 7 * (rec.lm + rec.bm)) + 10) / 20.0)
+                       AS BIGINT) AS lm,
+                     CAST(floor((2 * (2 * (CAST(floor((2 * (3 * num.n * 1000000
+                           + 7 * (rec.lm + rec.bm)) + 10) / 20.0) AS BIGINT)
+                           - rec.lm) + 8 * rec.bm) + 10) / 20.0)
+                       AS BIGINT) AS bm
+              FROM rec JOIN num ON num.event_type = rec.event_type
+                               AND num.rn = rec.rn + 1)
+            SELECT event_type, day, n AS n_events,
+                   CAST(lm AS DOUBLE) / 1000000.0 AS level,
+                   CAST(bm AS DOUBLE) / 1000000.0 AS trend,
+                   CAST(lm + bm AS DOUBLE) / 1000000.0 AS forecast_next
+            FROM rec ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
-    q132)
+    q132, q133)
 }

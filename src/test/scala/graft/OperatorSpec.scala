@@ -2247,6 +2247,26 @@ class OperatorSpec extends SparkSpec {
     assert(out === Seq(10L, 12L, 11L), s"got $out")
   }
 
+  test("holtDaily: hand-computed recurrence, negative trend rounds by floor-div") {
+    import graft.ops.Analytics
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-02-$day%02d 09:00:00.${i}%06d")
+    // counts 10, 10, 4, 4: a downturn drives the trend state negative,
+    // the exact case truncating div would round wrong
+    val counts = Seq(10, 10, 4, 4)
+    val rows = counts.zipWithIndex.flatMap { case (c, di) =>
+      (0 until c).map(i => ("k", ts(di + 1, i)))
+    }
+    val out = Analytics.holtDaily(rows.toDF("k", "ts"), "k", "ts",
+        alphaNum = 3, alphaDen = 10, betaNum = 2, betaDen = 10)
+      .orderBy("day").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // hand-run: l = 10, 10, 8.2, 6.688; b = 0, 0, -0.36, -0.5904
+    assert(out === Array(
+      (10.0, 0.0, 10.0), (10.0, 0.0, 10.0),
+      (8.2, -0.36, 7.84), (6.688, -0.5904, 6.0976)))
+  }
+
   test("winsorizedStats: cuts clip the planted outlier, clip counts exact") {
     import graft.operators.Stats
     // group A: 1..19 plus a 10000 outlier; p05 cut 1.95, p95 cut
