@@ -3362,10 +3362,49 @@ object LlmQueries {
             WHERE levenshtein(x.p, y.p) <= 8
             ORDER BY doc_id_1, doc_id_2"""))
 
+  /** q134 — link-prediction scores
+    * ([[graft.operators.Graph.linkPrediction]]): top-50 non-adjacent
+    * distance-2 pairs of the q110 link graph by resource-allocation
+    * index, with common-neighbor counts and Jaccard overlap. The
+    * oracle replays the canonical simple graph, the wedge
+    * enumeration, the adjacency anti join, and all three scores —
+    * 1/deg terms as double CASTs (the q110 decimal-literal rule). */
+  private val q134 = Q("q134_link_prediction",
+    (s, d) => graft.operators.Graph.linkPrediction(linkEdges(s, d),
+      "src", "dst", topN = 50),
+    Some("""WITH ed AS (
+              SELECT doc_id AS src,
+                     CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),
+                       '|e', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 400 AS dst
+              FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)
+              WHERE doc_id % 5 <> 0),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM ed WHERE src <> dst),
+            nb AS (SELECT a AS u, b AS z FROM und
+                   UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT u AS id, count(*) AS d FROM nb GROUP BY 1),
+            cand AS (SELECT x.u AS n1, y.u AS n2, count(*) AS cn,
+                            round(sum(CAST(1 AS DOUBLE) / dz.d), 6) AS ra
+                     FROM nb x JOIN deg dz ON x.z = dz.id
+                          JOIN nb y ON x.z = y.z AND x.u < y.u
+                     GROUP BY 1, 2),
+            nonadj AS (SELECT cand.* FROM cand LEFT JOIN und
+                         ON cand.n1 = und.a AND cand.n2 = und.b
+                       WHERE und.a IS NULL)
+            SELECT n1 AS node_1, n2 AS node_2, cn AS common_neighbors,
+                   ra AS resource_alloc,
+                   round(cn / CAST(d1.d + d2.d - cn AS DOUBLE), 6) AS jaccard
+            FROM nonadj JOIN deg d1 ON n1 = d1.id JOIN deg d2 ON n2 = d2.id
+            ORDER BY resource_alloc DESC, common_neighbors DESC,
+                     node_1, node_2
+            LIMIT 50"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
+    q134)
 }

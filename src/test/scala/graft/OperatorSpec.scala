@@ -2247,6 +2247,29 @@ class OperatorSpec extends SparkSpec {
     assert(out === Seq(10L, 12L, 11L), s"got $out")
   }
 
+  test("linkPrediction: square graph hand-checked, adjacency excluded, hub cap") {
+    import graft.operators.Graph
+    // square 1-2-3-4-1 (one edge duplicated + reversed to prove
+    // collapse): the two diagonals are the only distance-2 pairs
+    val square = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 2L))
+      .toDF("s", "t")
+    val out = Graph.linkPrediction(square, "s", "t", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(out === Set((1L, 3L, 2L, 1.0, 1.0), (2L, 4L, 2L, 1.0, 1.0)))
+    // closing one diagonal removes it from candidates and re-weights
+    // the other: centers 1 and 3 now have degree 3 -> ra = 2/3
+    val withDiag = square.unionByName(Seq((1L, 3L)).toDF("s", "t"))
+    val out2 = Graph.linkPrediction(withDiag, "s", "t", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(out2 === Set((2L, 4L, 2L, 0.666667, 1.0)))
+    // the hub cap drops high-degree centers (and reports nothing here:
+    // both shared neighbors exceed the cap)
+    assert(Graph.linkPrediction(withDiag, "s", "t", topN = 10,
+      maxCenterDegree = 2).count() === 0L)
+  }
+
   test("holtDaily: hand-computed recurrence, negative trend rounds by floor-div") {
     import graft.ops.Analytics
     def ts(day: Int, i: Int) =
