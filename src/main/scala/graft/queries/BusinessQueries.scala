@@ -792,7 +792,84 @@ object BusinessQueries {
                    CAST(lm + bm AS DOUBLE) / 1000000.0 AS forecast_next
             FROM rec ORDER BY event_type, day"""))
 
+  /** q135 — ranking-quality evaluation
+    * ([[graft.operators.Ranking.rankEval]], k = 10): a
+    * temporal-split recommendation backtest — each customer's top-10
+    * parts by pre-1999 quantity scored as a ranked run against their
+    * post-1999 purchases as graded qrels (grade 1..4 by quantity
+    * band). nDCG discounts are driver-computed literals interpolated
+    * into BOTH plans, so no libm log() enters either engine. */
+  private val q135 = {
+    val discSql = graft.operators.Ranking.dcgDiscounts(10)
+      .map { case (r, w) => s"($r, CAST($w AS DOUBLE))" }.mkString(", ")
+    Q("q135_rank_eval",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("query"), col("l_partkey").as("doc"),
+            col("l_quantity").as("__qty"), col("o_orderdate").as("__od"))
+        val cutoff = lit("1999-01-01").cast("date")
+        val run = li.where(col("__od") < cutoff)
+          .groupBy("query", "doc").agg(sum("__qty").as("__s"))
+          .withColumn("rank", row_number().over(Window.partitionBy("query")
+            .orderBy(col("__s").desc, col("doc"))))
+          .where(col("rank") <= 10)
+        val qrels = li.where(col("__od") >= cutoff)
+          .groupBy("query", "doc")
+          .agg((least(floor(sum("__qty") / 25), lit(3L)) + 1).as("grade"))
+        graft.operators.Ranking.rankEval(run, qrels, k = 10)
+          .orderBy("query")
+      },
+      Some(s"""WITH li AS (
+                SELECT o_custkey AS q, l_partkey AS doc, l_quantity AS qty,
+                       o_orderdate AS od
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              disc(r, w) AS (VALUES $discSql),
+              run AS (
+                SELECT * FROM (
+                  SELECT q, doc, row_number() OVER (PARTITION BY q
+                    ORDER BY sum(qty) DESC, doc) AS rk
+                  FROM li WHERE od < DATE '1999-01-01' GROUP BY q, doc)
+                WHERE rk <= 10),
+              rel AS (
+                SELECT q, doc,
+                       least(CAST(floor(sum(qty) / 25) AS BIGINT), 3) + 1 AS g
+                FROM li WHERE od >= DATE '1999-01-01' GROUP BY q, doc),
+              nrel AS (SELECT q, count(*) AS n_rel FROM rel GROUP BY 1),
+              ideal AS (SELECT q, g, row_number() OVER (PARTITION BY q
+                          ORDER BY g DESC, doc) AS ir
+                        FROM rel),
+              idcg AS (SELECT q, sum(g * w) AS idcg
+                       FROM ideal JOIN disc ON ir = r
+                       WHERE ir <= 10 GROUP BY q),
+              graded AS (SELECT run.q, run.rk, coalesce(rel.g, 0) AS g
+                         FROM run LEFT JOIN rel
+                           ON run.q = rel.q AND run.doc = rel.doc),
+              cum AS (SELECT q, rk, g, w,
+                             sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY q ORDER BY rk
+                                     ROWS UNBOUNDED PRECEDING) AS ch
+                      FROM graded JOIN disc ON rk = r),
+              per AS (SELECT q, sum(g * w) AS dcg,
+                             min(CASE WHEN g > 0 THEN rk END) AS fh,
+                             sum(CASE WHEN g > 0
+                                 THEN ch / CAST(rk AS DOUBLE) END) AS apn
+                      FROM cum GROUP BY q)
+              SELECT per.q AS query, coalesce(n_rel, 0) AS n_rel,
+                     round(CAST(1 AS DOUBLE) / fh, 6) AS rr,
+                     CASE WHEN n_rel > 0
+                          THEN round(coalesce(apn, 0.0)
+                            / CAST(least(n_rel, 10) AS DOUBLE), 6) END AS ap,
+                     CASE WHEN idcg > 0.0
+                          THEN round(dcg / idcg, 6) END AS ndcg
+              FROM per LEFT JOIN nrel ON per.q = nrel.q
+                       LEFT JOIN idcg ON per.q = idcg.q
+              ORDER BY query"""))
+  }
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
-    q132, q133)
+    q132, q133, q135)
 }

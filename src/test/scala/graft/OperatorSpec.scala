@@ -2247,6 +2247,30 @@ class OperatorSpec extends SparkSpec {
     assert(out === Seq(10L, 12L, 11L), s"got $out")
   }
 
+  test("rankEval: hand-computed nDCG/MRR/AP, unjudged query yields nulls") {
+    import graft.operators.Ranking
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val run = Seq((1L, "A", 1), (1L, "B", 2), (1L, "C", 3),
+      (2L, "X", 1)).toDF("query", "doc", "rank")
+    // D is relevant but never retrieved: it lowers nDCG via the ideal
+    // and AP via n_rel, exactly what a run must be punished for
+    val qrels = Seq((1L, "B", 2L), (1L, "C", 1L), (1L, "D", 3L))
+      .toDF("query", "doc", "grade")
+    val out = Ranking.rankEval(run, qrels, k = 3)
+      .orderBy("query").collect()
+    val w = Ranking.dcgDiscounts(3).map(_._2) // 1, 1/log2(3), 0.5
+    val q1 = out(0)
+    assert(q1.getLong(1) === 3L)
+    assert(q1.getDouble(2) === 0.5) // first hit at rank 2
+    assert(q1.getDouble(3) === r6((1.0 / 2 + 2.0 / 3) / 3)) // AP
+    assert(q1.getDouble(4) ===
+      r6((2 * w(1) + 1 * w(2)) / (3 * w(0) + 2 * w(1) + 1 * w(2))))
+    val q2 = out(1)
+    assert(q2.getLong(1) === 0L && q2.isNullAt(2) && q2.isNullAt(3) &&
+      q2.isNullAt(4))
+  }
+
   test("linkPrediction: square graph hand-checked, adjacency excluded, hub cap") {
     import graft.operators.Graph
     // square 1-2-3-4-1 (one edge duplicated + reversed to prove
