@@ -105,4 +105,52 @@ object Tfidf {
     tf.unpersist(blocking = false)
     out
   }
+
+  /** Exact phrase search over a positional token index — the
+    * token-boundary query [[bm25TopK]]'s bag-of-terms scoring cannot
+    * express ("new york" must not match "york, new"). Occurrences are
+    * counted at TOKEN granularity, overlapping matches included
+    * ("w w w" holds two "w w" occurrences) — the positional-join
+    * semantics, which no substring-count replay can reproduce.
+    *
+    * Execution: ONE corpus tokenize pass position-explodes and
+    * immediately filters to the phrase's tokens (the posting frame —
+    * phrase-token rows only, never the full token stream; the filter
+    * sits directly over the generator). The phrase then assembles by
+    * m−1 equi joins on (doc, position−offset) — each join can only
+    * shrink the frame, all shuffles key on the uniform (doc, pos)
+    * pair. A production engine would anchor on the rarest token
+    * first; with equi joins AQE's runtime stats reorder the small
+    * sides anyway, so the static order stays the readable one.
+    *
+    * Returns (idCol, n_occurrences, first_pos) for matching docs
+    * only — positions 1-BASED (the SQL/DuckDB list convention, so
+    * oracle replays need no off-by-one). Exact integers throughout;
+    * no FP anywhere. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one token")
+    require(phrase.forall(t => t.nonEmpty && !t.contains(" ")),
+      s"phrase tokens must be non-empty and space-free, got $phrase")
+    val idx = docs
+      .select(col(idCol), posexplode(tokens(col(textCol)))
+        .as(Seq("__pos", "__tok")))
+      .where(col("__tok").isin(phrase.distinct: _*))
+      .select(col(idCol), (col("__pos") + 1).cast("long").as("__pos"),
+        col("__tok"))
+      .persist()
+    var cur = idx.where(col("__tok") === phrase.head)
+      .select(col(idCol), col("__pos"))
+    phrase.zipWithIndex.drop(1).foreach { case (t, i) =>
+      cur = cur.join(
+        idx.where(col("__tok") === t)
+          .select(col(idCol), (col("__pos") - i).as("__pos")),
+        Seq(idCol, "__pos"))
+    }
+    graft.operators.Checkpoints.materialize(
+      cur.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(col("__pos")).as("first_pos")),
+      idx)
+  }
 }

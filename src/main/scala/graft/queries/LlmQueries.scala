@@ -3400,11 +3400,33 @@ object LlmQueries {
                      node_1, node_2
             LIMIT 50"""))
 
+  /** q136 — positional phrase search
+    * ([[graft.operators.Tfidf.phraseSearch]]): exact token-boundary
+    * occurrences of the phrase "table table" — a REPEATED-token
+    * phrase on purpose, so the oracle must reproduce overlapping
+    * matches ("table table table" = two occurrences), which only the
+    * positional join does. 1-based positions on both engines. */
+  private val q136 = Q("q136_phrase_search",
+    (s, d) => Tfidf.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+        Seq("table", "table"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS lst
+                       FROM documents),
+            p AS (SELECT doc_id, i, lst[i] AS tok
+                  FROM t, unnest(range(1, len(lst) + 1)) AS u(i)
+                  WHERE lst[i] = 'table'),
+            m AS (SELECT a.doc_id, a.i
+                  FROM p a JOIN p b
+                    ON a.doc_id = b.doc_id AND a.i = b.i - 1)
+            SELECT doc_id, count(*) AS n_occurrences,
+                   CAST(min(i) AS BIGINT) AS first_pos
+            FROM m GROUP BY 1 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
-    q134)
+    q134, q136)
 }

@@ -2247,6 +2247,26 @@ class OperatorSpec extends SparkSpec {
     assert(out === Seq(10L, 12L, 11L), s"got $out")
   }
 
+  test("phraseSearch: overlapping matches counted, boundaries exact, 1-based pos") {
+    import graft.operators.Tfidf
+    val docs = Seq(
+      (1L, "a table table table b"), // two OVERLAPPING "table table"
+      (2L, "table x table"),         // tokens present, phrase absent
+      (3L, "table table"),           // exact-doc match at pos 1
+      (4L, "no match here"))
+      .toDF("doc_id", "text")
+    val out = Tfidf.phraseSearch(docs, "doc_id", "text",
+        Seq("table", "table"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((1L, 2L, 2L), (3L, 1L, 1L)))
+    // a 3-token phrase crosses both joins
+    val tri = Tfidf.phraseSearch(docs, "doc_id", "text",
+        Seq("table", "table", "table"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri === Array((1L, 1L, 2L)))
+  }
+
   test("rankEval: hand-computed nDCG/MRR/AP, unjudged query yields nulls") {
     import graft.operators.Ranking
     def r6(x: Double) =
