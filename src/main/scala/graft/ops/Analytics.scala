@@ -336,6 +336,118 @@ object Analytics {
     graft.operators.Checkpoints.materialize(out, daily)
   }
 
+  /** Theil-Sen robust trend of the per-key daily event count: the
+    * median over all day pairs (i < j) of the pairwise slope
+    * (nⱼ − nᵢ)/(ordⱼ − ordᵢ), with the matching intercept
+    * median(nᵢ − slope·ordᵢ) — the estimator a single outlier day
+    * cannot drag (breakdown point 29%), where an OLS fit follows any
+    * spike. The trend complement of [[dailyAnomalies]]: one flags
+    * days, this summarizes the drift per key.
+    *
+    * Determinism: every slope divides exact integers (daily counts
+    * over day ordinals) — identical doubles on any engine; the median
+    * is [[graft.operators.Stats.exactQuantiles]]'s quantile_cont
+    * interpolation (midpoint of two exact doubles), rounded 6dp; the
+    * intercept residuals multiply an integer ordinal by the
+    * 6dp-rounded slope — pinned inputs, pinned expression.
+    *
+    * Scale shape: the pair explosion is CALENDAR² — the
+    * [[densifiedDaily]] frame is day-grain, so ten years of data
+    * makes ~6.7M pairs per key (a per-key flatMap-shaped self-join on
+    * the key, uniform), while the corpus-scale work stays the one
+    * daily aggregate. Returns (keyCol, n_days, slope, intercept). */
+  def theilSenDaily(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val (dense, daily) = densifiedDaily(events, keyCol, tsCol)
+    val pts = dense.select(col(keyCol),
+      datediff(col("day"), lit("1970-01-01").cast("date")).as("__o"),
+      col("n")).persist()
+    val slopes = pts.as("i")
+      .join(pts.as("j"), col(s"i.$keyCol") === col(s"j.$keyCol") &&
+        col("i.__o") < col("j.__o"))
+      .select(col(s"i.$keyCol"),
+        ((col("j.n") - col("i.n")).cast("double") /
+          (col("j.__o") - col("i.__o"))).as("__s"))
+    val slope = slopes.groupBy(col(keyCol))
+      .agg(round(percentile(col("__s"), lit(0.5)), 6).as("slope"))
+    val out = pts.join(slope, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"), first(col("slope")).as("slope"),
+        round(percentile(col("n") - col("slope") * col("__o"), lit(0.5)), 6)
+          .as("intercept"))
+    graft.operators.Checkpoints.materialize(out, daily, pts)
+  }
+
+  /** Two-sided CUSUM changepoint/level-shift detection on the per-key
+    * daily event count (Page 1954): against the key's own overall
+    * mean μ with slack k, the one-sided sums
+    *
+    *   hi₀ = max(0, n₀ − μ − k)        lo₀ = max(0, μ − n₀ − k)
+    *   hiᵢ = max(0, hiᵢ₋₁ + nᵢ − μ − k)
+    *   loᵢ = max(0, loᵢ₋₁ + μ − nᵢ − k)
+    *
+    * alarm when either exceeds the decision interval h. Where
+    * [[dailyAnomalies]] scores each day against a LOCAL trailing
+    * window (sharp spikes), CUSUM accumulates small persistent drift
+    * from a GLOBAL baseline — the slow regression no single-day
+    * z-score ever trips.
+    *
+    * Determinism: the [[ewmaDaily]] fixed-point discipline end to
+    * end — μ is the floor of the key's exact mean in integer
+    * micro-units (one `div`, no FP), k and h derive from μ by integer
+    * division (k = μ/`kDen`, h = `hMult`·k), and the recurrences are
+    * pure bigint add/max. No rounding rule is even needed: max(0, ·)
+    * keeps every state exact.
+    *
+    * Scale shape: identical to [[ewmaDaily]] — the [[densifiedDaily]]
+    * front (a silent day drives the LOW side, exactly the outage
+    * CUSUM exists to accumulate), one per-key day-sorted array fold.
+    * Returns (keyCol, day, n_events, cusum_hi, cusum_lo, alarm) with
+    * the sums as micro-unit-exact doubles. */
+  def cusumDaily(events: DataFrame, keyCol: String, tsCol: String,
+      kDen: Int = 4, hMult: Int = 5): DataFrame = {
+    require(kDen >= 1, s"kDen must be >= 1, got $kDen")
+    require(hMult >= 1, s"hMult must be >= 1, got $hMult")
+    val (dense, daily) = densifiedDaily(events, keyCol, tsCol)
+    // per-key baseline in exact micro-units: μ = floor(Σn·1e6 / days);
+    // counts are non-negative, so floor div IS truncating div here
+    // integer `div` keeps μ and k exact for ANY kDen (a double
+    // division is only exact for power-of-two divisors)
+    val base = dense.groupBy(col(keyCol))
+      .agg(sum(col("n")).as("__sn"), count(lit(1)).as("__nd"))
+      .withColumn("__mu", expr("(__sn * 1000000) div __nd"))
+      .withColumn("__k", expr(s"__mu div $kDen"))
+      .withColumn("__h", col("__k") * hMult)
+      .drop("__sn", "__nd")
+    val ser = dense.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("__s"))
+      .join(base, Seq(keyCol))
+    // empty-acc guards stay CASE-shaped: ANSI element_at(-1) on an
+    // empty array throws (the ewmaDaily rule)
+    val out = ser
+      .withColumn("__e", expr(
+        """aggregate(__s,
+              cast(array() as array<struct<day: date, n: bigint,
+                                           hi: bigint, lo: bigint>>),
+              (acc, p) -> array_append(acc, named_struct(
+                'day', p.day, 'n', p.n,
+                'hi', greatest(cast(0 as bigint),
+                        (case when size(acc) = 0 then cast(0 as bigint)
+                              else element_at(acc, -1).hi end)
+                        + p.n * 1000000 - __mu - __k),
+                'lo', greatest(cast(0 as bigint),
+                        (case when size(acc) = 0 then cast(0 as bigint)
+                              else element_at(acc, -1).lo end)
+                        + __mu - p.n * 1000000 - __k))))"""))
+      .select(col(keyCol), col("__h"), explode(col("__e")).as("__x"))
+      .select(col(keyCol), col("__x.day").as("day"),
+        col("__x.n").as("n_events"),
+        (col("__x.hi").cast("double") / lit(1e6)).as("cusum_hi"),
+        (col("__x.lo").cast("double") / lit(1e6)).as("cusum_lo"),
+        (col("__x.hi") > col("__h") || col("__x.lo") > col("__h"))
+          .as("alarm"))
+    graft.operators.Checkpoints.materialize(out, daily)
+  }
+
   /** Rolling z-score anomaly flags on the per-key daily event series —
     * the alerting companion of [[ewmaDaily]]: each day scored against
     * the TRAILING `window` days (current day excluded — a spike must
@@ -575,6 +687,51 @@ object Analytics {
         countDistinct(col("__et")).as("n_event_types"),
         timestamp_micros(min(col("__ts"))).as("started_at"),
         (max(col("__ts")) - min(col("__ts"))).as("duration_us"))
+  }
+
+  /** 2-D skyline (Pareto frontier): the distinct (x, y) points not
+    * STRICTLY dominated by any other — q dominates p when q.x ≤ p.x,
+    * q.y ≥ p.y, and they differ (minimize x, maximize y; the
+    * cheapest-vs-biggest product tradeoff, the classic Börzsönyi
+    * et al. ICDE 2001 operator). Equal points never dominate each
+    * other; duplicates collapse to one output row carrying their
+    * count.
+    *
+    * Execution — sort-based, never the quadratic NOT-EXISTS: on the
+    * distinct grain ordered (x asc, y desc), a point is dominated IFF
+    * the running max of y over PRECEDING rows reaches its own y
+    * (a preceding row has smaller x — or equal x with strictly larger
+    * y — so running-max ≥ y is exactly strict dominance; ties of both
+    * coords can't precede themselves on the distinct grain).
+    *
+    * Scale shape: dominance within ANY subset implies global
+    * dominance, so the filter runs two-level — a LOCAL pass
+    * partitioned by a value-hash bucket (parallel, arbitrary subsets,
+    * only ever removes certainly-dominated points), then the same
+    * window GLOBAL over the local survivors. The global pass is a
+    * single-partition sort, but its input is the union of ≤ nBuckets
+    * local frontiers — frontier-sized in practice, and exact
+    * regardless of bucketing (determinism does not depend on the
+    * partition count). The corpus-scale work is one distinct
+    * aggregate + one bucketed window. Returns (x, y, n) — n = rows
+    * collapsed into the point. */
+  def skyline2d(df: DataFrame, xCol: Column, yCol: Column,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    def frontier(points: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      points
+        .withColumn("__ymax", max(col("y")).over(
+          w.orderBy(col("x").asc, col("y").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .where(col("__ymax").isNull || col("__ymax") < col("y"))
+        .drop("__ymax")
+    val distinctPts = df.select(xCol.as("x"), yCol.as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n"))
+    val local = frontier(distinctPts,
+      Window.partitionBy(pmod(hash(col("x"), col("y")), lit(nBuckets))))
+    frontier(local, Window.partitionBy())
+      .orderBy("x", "y")
   }
 
   /** Market-basket pair affinity: for item pairs co-occurring in at

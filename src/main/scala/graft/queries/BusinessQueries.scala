@@ -869,7 +869,110 @@ object BusinessQueries {
               ORDER BY query"""))
   }
 
+  /** q137 — 2-D skyline ([[graft.ops.Analytics.skyline2d]]): the
+    * Pareto frontier of parts minimizing retail price while
+    * maximizing size. The oracle is the O(n²) NOT-EXISTS dominance
+    * definition — the sort-based two-level window must reproduce it
+    * exactly. */
+  private val q137 = Q("q137_skyline",
+    (s, d) => graft.ops.Analytics.skyline2d(Tables.part(s, d),
+      col("p_retailprice"), col("p_size")),
+    Some("""WITH d AS (SELECT p_retailprice AS x, p_size AS y, count(*) AS n
+                       FROM part GROUP BY 1, 2)
+            SELECT x, y, n FROM d p
+            WHERE NOT EXISTS (SELECT 1 FROM d q
+                              WHERE q.x <= p.x AND q.y >= p.y
+                                AND (q.x < p.x OR q.y > p.y))
+            ORDER BY x, y"""))
+
+  /** q138 — Theil-Sen robust daily trend
+    * ([[graft.ops.Analytics.theilSenDaily]]): median pairwise slope
+    * and intercept per event type over the densified daily series.
+    * Every slope is an exact-integer division; the oracle replays the
+    * day-pair join and both quantile_cont medians. */
+  private val q138 = Q("q138_theil_sen_trend",
+    (s, d) => graft.ops.Analytics.theilSenDaily(Tables.events(s, d),
+        "event_type", "ts")
+      .orderBy("event_type"),
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            dense AS (
+              SELECT s.event_type, CAST(d AS DATE) AS day
+              FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                    FROM daily GROUP BY 1) s,
+                   unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                     CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+            pts AS (
+              SELECT dense.event_type, coalesce(daily.n, 0) AS n,
+                     datediff('day', DATE '1970-01-01', dense.day) AS ord
+              FROM dense LEFT JOIN daily USING (event_type, day)),
+            sl AS (SELECT i.event_type,
+                          CAST(j.n - i.n AS DOUBLE) / (j.ord - i.ord) AS s
+                   FROM pts i JOIN pts j ON i.event_type = j.event_type
+                                        AND i.ord < j.ord),
+            m AS (SELECT event_type, round(quantile_cont(s, 0.5), 6) AS slope
+                  FROM sl GROUP BY 1)
+            SELECT p.event_type, count(*) AS n_days, slope,
+                   round(quantile_cont(p.n - m.slope * p.ord, 0.5), 6)
+                     AS intercept
+            FROM pts p JOIN m ON p.event_type = m.event_type
+            GROUP BY p.event_type, m.slope
+            ORDER BY p.event_type"""))
+
+  /** q139 — two-sided CUSUM level-shift detection
+    * ([[graft.ops.Analytics.cusumDaily]], k = μ/4, h = 5k): pure
+    * bigint micro-unit recurrences against each key's own mean
+    * baseline, replayed by the oracle as a recursive CTE (`//` and
+    * Spark's `div` agree — every operand is non-negative). */
+  private val q139 = Q("q139_cusum_daily",
+    (s, d) => graft.ops.Analytics.cusumDaily(Tables.events(s, d),
+        "event_type", "ts", kDen = 4, hMult = 5)
+      .orderBy("event_type", "day"),
+    Some("""WITH RECURSIVE daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            dense AS (
+              SELECT s.event_type, CAST(d AS DATE) AS day
+              FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                    FROM daily GROUP BY 1) s,
+                   unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                     CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+            filled AS (
+              SELECT dense.event_type, dense.day, coalesce(daily.n, 0) AS n
+              FROM dense LEFT JOIN daily USING (event_type, day)),
+            num AS (
+              SELECT event_type, day, n,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS rn
+              FROM filled),
+            kp AS (
+              SELECT event_type,
+                     (CAST(sum(n) AS BIGINT) * 1000000) // count(*) AS mu,
+                     ((CAST(sum(n) AS BIGINT) * 1000000) // count(*)) // 4
+                       AS kk
+              FROM filled GROUP BY 1),
+            rec AS (
+              SELECT num.event_type, day, n, rn,
+                     greatest(0, n * 1000000 - mu - kk) AS hi,
+                     greatest(0, mu - n * 1000000 - kk) AS lo
+              FROM num JOIN kp ON num.event_type = kp.event_type
+              WHERE rn = 1
+              UNION ALL
+              SELECT num.event_type, num.day, num.n, num.rn,
+                     greatest(0, rec.hi + num.n * 1000000 - kp.mu - kp.kk),
+                     greatest(0, rec.lo + kp.mu - num.n * 1000000 - kp.kk)
+              FROM rec JOIN num ON num.event_type = rec.event_type
+                               AND num.rn = rec.rn + 1
+                       JOIN kp ON num.event_type = kp.event_type)
+            SELECT rec.event_type, day, n AS n_events,
+                   CAST(hi AS DOUBLE) / 1000000.0 AS cusum_hi,
+                   CAST(lo AS DOUBLE) / 1000000.0 AS cusum_lo,
+                   (hi > kk * 5 OR lo > kk * 5) AS alarm
+            FROM rec JOIN kp ON rec.event_type = kp.event_type
+            ORDER BY rec.event_type, day"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
-    q132, q133, q135)
+    q132, q133, q135, q137, q138, q139)
 }

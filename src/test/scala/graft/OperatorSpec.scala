@@ -2247,6 +2247,72 @@ class OperatorSpec extends SparkSpec {
     assert(out === Seq(10L, 12L, 11L), s"got $out")
   }
 
+  test("skyline2d: dominance exact vs NOT-EXISTS, duplicates collapse, bucket-independent") {
+    import graft.ops.Analytics
+    val pts = Seq((1.0, 5), (1.0, 5), (2.0, 7), (2.0, 6), (3.0, 7),
+      (0.5, 3), (4.0, 8), (4.0, 1), (2.5, 7))
+      .toDF("x", "y")
+    def naive = {
+      val d = pts.groupBy("x", "y").count().collect()
+        .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2)))
+      d.filter { case (x, y, _) => !d.exists { case (qx, qy, _) =>
+        qx <= x && qy >= y && (qx < x || qy > y) } }.sortBy(p => (p._1, p._2))
+    }
+    for (buckets <- Seq(1, 2, 64)) {
+      val got = Analytics.skyline2d(pts, col("x"), col("y"), buckets)
+        .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2)))
+      assert(got.toSeq === naive.toSeq, s"buckets=$buckets")
+    }
+    // the duplicated frontier point carries its collapse count
+    assert(naive.contains((1.0, 5, 2L)))
+    // (3.0, 7) is dominated by (2.0, 7); (2.5, 7) likewise
+    assert(!naive.exists(p => p._1 == 3.0 || p._1 == 2.5))
+  }
+
+  test("theilSenDaily: one outlier day cannot drag the median slope") {
+    import graft.ops.Analytics
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 08:00:00.${i}%06d")
+    // counts 1,2,3,100,5 over 5 consecutive days: 8 of 10 pairwise
+    // slopes are 1, so the median holds 1.0 against the spike (an OLS
+    // fit would report ~12)
+    val counts = Seq(1, 2, 3, 100, 5)
+    val rows = counts.zipWithIndex.flatMap { case (c, di) =>
+      (0 until c).map(i => ("k", ts(di + 1, i)))
+    }
+    val r = Analytics.theilSenDaily(rows.toDF("k", "ts"), "k", "ts").head()
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(r.getAs[Double]("slope") === 1.0)
+    // residuals n - 1*ord are (1-ord0) four times and (97-ord0) once
+    val ord0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay.toDouble
+    assert(r.getAs[Double]("intercept") === 1.0 - ord0)
+  }
+
+  test("cusumDaily: persistent level shift alarms where per-day z never would") {
+    import graft.ops.Analytics
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-04-$day%02d 08:00:00.${i}%06d")
+    // 8 days at 10 then 4 days at 25: mu = 15, k = 3.75, h = 18.75;
+    // hi climbs 6.25/day through the shift and alarms on day 12 only
+    // (day 11 reaches exactly h, and the alarm is strict >)
+    val counts = Seq.fill(8)(10) ++ Seq.fill(4)(25)
+    val rows = counts.zipWithIndex.flatMap { case (c, di) =>
+      (0 until c).map(i => ("k", ts(di + 1, i)))
+    }
+    val out = Analytics.cusumDaily(rows.toDF("k", "ts"), "k", "ts",
+        kDen = 4, hMult = 5)
+      .orderBy("day").collect()
+    val hi = out.map(_.getDouble(3))
+    val alarms = out.map(_.getBoolean(5))
+    assert(hi.take(8).forall(_ === 0.0))
+    assert(hi.drop(8).toSeq === Seq(6.25, 12.5, 18.75, 25.0))
+    assert(alarms.toSeq === Seq.fill(11)(false) :+ true)
+    // the low side accumulated during the below-mean baseline but
+    // never reached h
+    val lo = out.map(_.getDouble(4))
+    assert(lo(7) === 10.0 && lo.forall(_ < 18.75))
+  }
+
   test("phraseSearch: overlapping matches counted, boundaries exact, 1-based pos") {
     import graft.operators.Tfidf
     val docs = Seq(
