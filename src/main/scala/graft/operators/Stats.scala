@@ -102,6 +102,108 @@ object Stats {
           count(lit(1)), 4).as("mean_wins"))
   }
 
+  /** Benford first-significant-digit audit — the fraud/entry-error
+    * screen for naturally-occurring amounts (Benford 1938; Nigrini's
+    * forensic-accounting use): observed share of each leading digit
+    * 1..9 against the Benford expectation log₁₀(1 + 1/d), with the
+    * χ² distance. Values below 1 (no leading digit in this integer
+    * formulation) and nulls are excluded as non-samples — the
+    * [[histogram]] NaN rule.
+    *
+    * Determinism: the digit extracts STRUCTURALLY — first character
+    * of the exact integer part's decimal rendering (floor is exact,
+    * bigint-to-string is engine-identical) — never via
+    * floor(x/10^floor(log10 x)), whose libm log10 can misplace a
+    * power-of-ten boundary by an ulp. Expectations are driver-pinned
+    * literals (the [[Ranking.dcgDiscounts]] rule), so no log enters
+    * either engine at runtime; shares derive from exact counts.
+    *
+    * One grouped aggregate (≤ 9 groups) over a codegen'd expression;
+    * the χ² is a 9-term reduction broadcast back. Returns one row per
+    * OBSERVED digit: (digit, n, share, expected, excess =
+    * share − expected, chi2 — the corpus statistic repeated per row,
+    * the [[klDrift]] total_kl convention). */
+  def benford(df: DataFrame, valueCol: Column): DataFrame = {
+    val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expDf = broadcast(expected.toDF("digit", "expected"))
+    val digit = substring(floor(valueCol).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df
+      .where(valueCol.isNotNull && !isnan(valueCol.cast("double")) &&
+        valueCol >= 1)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      .join(expDf, Seq("digit"), "right")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("expected"))
+      .persist()
+    val tot = counts.agg(sum("n").as("__tot"),
+      // chi2 = N * sum_d (share_d - exp_d)^2 / exp_d
+      sum(col("n") * col("n") / col("expected")).as("__se"))
+    val out = counts.crossJoin(broadcast(tot))
+      .where(col("n") > 0)
+      .select(col("digit"), col("n"),
+        round(col("n") / col("__tot").cast("double"), 6).as("share"),
+        round(col("expected"), 6).as("expected"),
+        round(col("n") / col("__tot").cast("double") - col("expected"), 6)
+          .as("excess"),
+        round(col("__se") / col("__tot") - col("__tot"), 4).as("chi2"))
+    graft.operators.Checkpoints.materialize(out, counts)
+  }
+
+  /** Association between two categorical columns — the dependence
+    * screen a profiling pass runs on every dimension pair: Pearson χ²
+    * over the full r×c contingency table (zero-observed cells
+    * included — they carry expectation mass), Cramér's V
+    * (√(χ²/(n·(min(r,c)−1))), the [0,1]-normalized effect size χ²'s
+    * raw magnitude hides), and mutual information in nats over
+    * observed cells (0·ln 0 = 0).
+    *
+    * Determinism: every statistic derives from exact integer counts;
+    * MI's per-cell ln terms round 9dp before summation (the
+    * [[klDrift]] rule — the one place a libm log enters, at a
+    * magnitude where a last-ulp disagreement cannot cross the 9dp
+    * boundary in practice); χ² and V are pinned arithmetic on
+    * integers, no transcendental at all.
+    *
+    * One (a, b)-keyed corpus aggregate; margins reduce from the cell
+    * frame (category-cardinality — tiny); the full table materializes
+    * as margin × margin joined against observed cells, fine for the
+    * dimension-pair cardinalities this audits (a million-cell table
+    * means the columns weren't categorical). Returns one row:
+    * (n, card_a, card_b, chi2, cramers_v, mi). */
+  def categoricalAssociation(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("__a"), bCol.as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+      .persist()
+    val ma = cells.groupBy("__a").agg(sum("__o").as("__na"))
+    val mb = cells.groupBy("__b").agg(sum("__o").as("__nb"))
+    val full = ma.crossJoin(mb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val scalars = ma.agg(sum("__na").as("__n"), count(lit(1)).as("card_a"))
+      .crossJoin(mb.agg(count(lit(1)).as("card_b")))
+    val e = col("__na").cast("double") * col("__nb") / col("__n")
+    val out = full.crossJoin(broadcast(scalars))
+      .select(col("__n"), col("card_a"), col("card_b"),
+        ((col("__o") - e) * (col("__o") - e) / e).as("__x2"),
+        when(col("__o") > 0, round(
+          (col("__o") / col("__n").cast("double")) *
+            log(col("__o").cast("double") * col("__n") /
+              (col("__na").cast("double") * col("__nb"))), 9))
+          .otherwise(lit(0.0)).as("__mi"))
+      .groupBy(col("__n").as("n"), col("card_a"), col("card_b"))
+      .agg(round(sum("__x2"), 4).as("chi2"), sum("__mi").as("__misum"))
+      .select(col("n"), col("card_a"), col("card_b"), col("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n") * (least(col("card_a"), col("card_b")) - 1))), 6)
+          .as("cramers_v"),
+        round(col("__misum"), 6).as("mi"))
+    graft.operators.Checkpoints.materialize(out, cells)
+  }
+
   /** Token-distribution drift between two corpus slices — the check a
     * training-data pipeline runs when a new crawl batch lands: has the
     * vocabulary distribution moved, and which tokens moved it?

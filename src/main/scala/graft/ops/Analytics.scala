@@ -734,6 +734,57 @@ object Analytics {
       .orderBy("x", "y")
   }
 
+  /** Revenue concentration: the Lorenz decile view plus the Gini
+    * coefficient of per-customer revenue — "what share of revenue do
+    * the top customers carry", the concentration-risk question next
+    * to [[rfmSegments]]'s behavioral one. Customers sort ascending by
+    * revenue into `nBands` equal-count bands (ntile); the Gini is the
+    * rank formulation G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over that
+    * sorted order.
+    *
+    * Determinism: per-customer revenue rounds to cents BEFORE any
+    * ranking (the [[rfmSegments]] rule), the sort key is
+    * (revenue, customer) — total — and every downstream number is
+    * pinned arithmetic on those rounded values; FP sums round 6dp
+    * (2dp for money).
+    *
+    * Scale shape: one fact-scale aggregate to the customer grain,
+    * then a GLOBAL sort window over the customer-cardinality frame —
+    * inherently so (ranks against the whole population are the
+    * definition), and customer grain is orders of magnitude below
+    * fact grain; both ntile and row_number ride the one sort.
+    * Returns one row per band: (band, n_customers, revenue,
+    * cum_share, gini — the population statistic repeated per row, the
+    * [[graft.operators.Stats.klDrift]] convention). */
+  def revenueConcentration(orders: DataFrame, custCol: String,
+      amtCol: String, nBands: Int = 10): DataFrame = {
+    require(nBands >= 2, s"nBands must be >= 2, got $nBands")
+    import org.apache.spark.sql.expressions.Window
+    val perCust = orders.groupBy(col(custCol))
+      .agg(round(sum(col(amtCol)), 2).as("__rev"))
+      .persist()
+    val w = Window.orderBy(col("__rev"), col(custCol))
+    val ranked = perCust
+      .withColumn("__i", row_number().over(w))
+      .withColumn("band", ntile(nBands).over(w))
+      .persist()
+    val scalars = ranked.agg(count(lit(1)).as("__n"),
+      sum("__rev").as("__tot"), sum(col("__rev") * col("__i")).as("__si"))
+    val wCum = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranked.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("__rev"), 2).as("revenue"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("cum_share",
+        round(sum(col("revenue")).over(wCum) / col("__tot"), 6))
+      .select(col("band"), col("n_customers"), col("revenue"),
+        col("cum_share"),
+        round(lit(2.0) * col("__si") / (col("__n") * col("__tot")) -
+          (col("__n") + 1) / col("__n").cast("double"), 6).as("gini"))
+    graft.operators.Checkpoints.materialize(out, perCust, ranked)
+  }
+
   /** Market-basket pair affinity: for item pairs co-occurring in at
     * least `minPairs` orders, support / confidence(a→b) / lift —
     * the association statistics behind cross-sell placement.

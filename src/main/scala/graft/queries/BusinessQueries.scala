@@ -972,7 +972,108 @@ object BusinessQueries {
             FROM rec JOIN kp ON rec.event_type = kp.event_type
             ORDER BY rec.event_type, day"""))
 
+  /** q140 — Benford first-digit audit
+    * ([[graft.operators.Stats.benford]]) of order totals: structural
+    * digit extraction (never log10), driver-pinned expectation
+    * literals shared with the oracle, χ² via the expanded identity
+    * both engines replay term-for-term. */
+  private val q140 = {
+    val expSql = (1 to 9)
+      .map(dd => s"($dd, CAST(${math.log10(1.0 + 1.0 / dd)} AS DOUBLE))")
+      .mkString(", ")
+    Q("q140_benford_audit",
+      (s, d) => graft.operators.Stats.benford(Tables.orders(s, d),
+          col("o_totalprice"))
+        .orderBy("digit"),
+      Some(s"""WITH expd(digit, expected) AS (VALUES $expSql),
+              c0 AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+                              AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+                            AS digit,
+                            count(*) AS n
+                     FROM orders
+                     WHERE o_totalprice IS NOT NULL
+                       AND NOT isnan(o_totalprice) AND o_totalprice >= 1
+                     GROUP BY 1),
+              c AS (SELECT expd.digit, coalesce(n, 0) AS n, expected
+                    FROM expd LEFT JOIN c0 USING (digit)),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                           sum(n * n / expected) AS se
+                    FROM c)
+              SELECT digit, n, round(n / CAST(tot AS DOUBLE), 6) AS share,
+                     round(expected, 6) AS expected,
+                     round(n / CAST(tot AS DOUBLE) - expected, 6) AS excess,
+                     round(se / tot - tot, 4) AS chi2
+              FROM c, t WHERE n > 0 ORDER BY digit"""))
+  }
+
+  /** q141 — categorical association
+    * ([[graft.operators.Stats.categoricalAssociation]]) between event
+    * type and hour of day: χ² over the full 5×24 table, Cramér's V,
+    * and mutual information with 9dp-rounded ln terms (the klDrift
+    * rule). */
+  private val q141 = Q("q141_categorical_assoc",
+    (s, d) => graft.operators.Stats.categoricalAssociation(
+      Tables.events(s, d), col("event_type"), hour(col("ts"))),
+    Some("""WITH cells AS (
+              SELECT event_type AS a, hour(ts) AS b, count(*) AS o
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2),
+            ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS na
+                   FROM cells GROUP BY 1),
+            mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb
+                   FROM cells GROUP BY 1),
+            fl AS (SELECT ma.a, mb.b, na, nb, coalesce(o, 0) AS o
+                   FROM ma CROSS JOIN mb
+                   LEFT JOIN cells ON ma.a = cells.a AND mb.b = cells.b),
+            sc AS (SELECT (SELECT CAST(sum(na) AS BIGINT) FROM ma) AS n,
+                          (SELECT count(*) FROM ma) AS card_a,
+                          (SELECT count(*) FROM mb) AS card_b),
+            terms AS (
+              SELECT n, card_a, card_b,
+                     (o - CAST(na AS DOUBLE) * nb / n)
+                       * (o - CAST(na AS DOUBLE) * nb / n)
+                       / (CAST(na AS DOUBLE) * nb / n) AS x2,
+                     CASE WHEN o > 0
+                          THEN round((o / CAST(n AS DOUBLE))
+                            * ln(CAST(o AS DOUBLE) * n
+                                 / (CAST(na AS DOUBLE) * nb)), 9)
+                          ELSE 0.0 END AS mi
+              FROM fl, sc)
+            SELECT n, card_a, card_b, round(sum(x2), 4) AS chi2,
+                   round(sqrt(round(sum(x2), 4)
+                     / (n * (least(card_a, card_b) - 1))), 6) AS cramers_v,
+                   round(sum(mi), 6) AS mi
+            FROM terms GROUP BY 1, 2, 3"""))
+
+  /** q142 — revenue concentration
+    * ([[graft.ops.Analytics.revenueConcentration]]): Lorenz deciles
+    * of per-customer revenue with the rank-formulation Gini repeated
+    * per row. Revenue rounds to cents before ranking so both engines
+    * sort identical values. */
+  private val q142 = Q("q142_revenue_concentration",
+    (s, d) => graft.ops.Analytics.revenueConcentration(Tables.orders(s, d),
+        "o_custkey", "o_totalprice", nBands = 10)
+      .orderBy("band"),
+    Some("""WITH pc AS (SELECT o_custkey AS c, round(sum(o_totalprice), 2) AS rev
+                        FROM orders GROUP BY 1),
+            r AS (SELECT c, rev, row_number() OVER (ORDER BY rev, c) AS i,
+                         ntile(10) OVER (ORDER BY rev, c) AS band
+                  FROM pc),
+            sc AS (SELECT count(*) AS n, sum(rev) AS tot,
+                          sum(rev * i) AS si
+                   FROM r),
+            b AS (SELECT band, count(*) AS n_customers,
+                         round(sum(rev), 2) AS revenue
+                  FROM r GROUP BY 1)
+            SELECT band, n_customers, revenue,
+                   round(sum(revenue) OVER (ORDER BY band
+                     ROWS UNBOUNDED PRECEDING) / tot, 6) AS cum_share,
+                   round(2.0 * si / (n * tot)
+                     - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+            FROM b, sc ORDER BY band"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
-    q132, q133, q135, q137, q138, q139)
+    q132, q133, q135, q137, q138, q139, q140, q141, q142)
 }

@@ -2247,6 +2247,42 @@ class OperatorSpec extends SparkSpec {
     assert(out === Seq(10L, 12L, 11L), s"got $out")
   }
 
+  test("benford: structural digit, sub-1 excluded, shares exact") {
+    import graft.operators.Stats
+    val df = Seq(1.0, 12.0, 15.0, 0.3, 25.0).toDF("v")
+    val out = Stats.benford(df, col("v")).orderBy("digit").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      === Seq((1, 3L, 0.75), (2, 1L, 0.25)))
+    // 0.3 was excluded (no leading digit), and chi2 is shared per row
+    assert(out.map(_.getDouble(5)).distinct.length === 1)
+  }
+
+  test("categoricalAssociation: perfect dependence gives V = 1, MI = ln 2") {
+    import graft.operators.Stats
+    val df = (Seq.fill(5)(("x", 1)) ++ Seq.fill(5)(("y", 2))).toDF("a", "b")
+    val r = Stats.categoricalAssociation(df, col("a"), col("b")).head()
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Double]("chi2") === 10.0)
+    assert(r.getAs[Double]("cramers_v") === 1.0)
+    assert(r.getAs[Double]("mi") === 0.693147) // ln 2, 6dp
+  }
+
+  test("revenueConcentration: equal revenues gini 0; concentration hand-checked") {
+    import graft.ops.Analytics
+    val eq = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0)).toDF("c", "amt")
+    val g0 = Analytics.revenueConcentration(eq, "c", "amt", nBands = 2)
+      .head().getAs[Double]("gini")
+    assert(g0 === 0.0)
+    val skew = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 5.0)).toDF("c", "amt")
+    val out = Analytics.revenueConcentration(skew, "c", "amt", nBands = 2)
+      .orderBy("band").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    // G = 2*(1+2+3+20)/(4*8) - 5/4 = 0.375
+    assert(out.toSeq === Seq((1, 2L, 2.0, 0.25, 0.375),
+      (2, 2L, 6.0, 1.0, 0.375)))
+  }
+
   test("skyline2d: dominance exact vs NOT-EXISTS, duplicates collapse, bucket-independent") {
     import graft.ops.Analytics
     val pts = Seq((1.0, 5), (1.0, 5), (2.0, 7), (2.0, 6), (3.0, 7),
