@@ -120,6 +120,16 @@ object Graph {
     } finally pinned.foreach(_.unpersist(blocking = false))
   }
 
+  /** Canonical SIMPLE undirected edge list (a < b) from a possibly
+    * directed multi-edge list: self-loops dropped, duplicates and
+    * reversals collapsed. Ids keep their native type (least/greatest
+    * orders numerics AND the host-graph strings). */
+  private def undirectedSimple(cleaned: DataFrame): DataFrame =
+    cleaned.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
   /** Per-node triangle count + local clustering coefficient over the
     * SIMPLE UNDIRECTED graph induced by a (possibly directed, possibly
     * multi-) edge list: direction, duplicate edges, and self-loops are
@@ -151,15 +161,6 @@ object Graph {
     * vanishing, so callers joining the stats back onto a host list
     * see an explicit zero, not a missing row. Returns
     * (id, degree, triangles, lcc). */
-  /** Canonical SIMPLE undirected edge list (a < b) from a possibly
-    * directed multi-edge list: self-loops dropped, duplicates and
-    * reversals collapsed. Ids keep their native type (least/greatest
-    * orders numerics AND the host-graph strings). */
-  private def undirectedSimple(cleaned: DataFrame): DataFrame =
-    cleaned.where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
 
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // null endpoints carry no usable edge; everything else keeps its

@@ -76,9 +76,19 @@ object Ranking {
       .where(col("__ir") <= k)
       .join(disc, col("__ir") === col("__r"))
       .groupBy(q).agg(sum(col("__g") * col("__w")).as("__idcg"))
-    // the run truncated at k, graded by the left-joined qrels
+    // the run truncated at k, graded by the left-joined qrels. Ranks
+    // are a 1-BASED contract and violations FAIL (raise_error in the
+    // projection, so pruning can't drop the check): a 0-based run —
+    // many retrieval libraries' default — would otherwise silently
+    // lose its TOP document at the discount join and every metric
+    // downstream would be plausible but wrong
     val graded = run.where(col(rankCol) <= k)
-      .select(q, col(docCol), col(rankCol).cast("int").as("__rk"))
+      .select(q, col(docCol),
+        when(col(rankCol) >= 1, col(rankCol).cast("int"))
+          .otherwise(raise_error(
+            concat(lit("rankEval expects 1-based ranks, got "),
+              col(rankCol).cast("string"))).cast("int"))
+          .as("__rk"))
       .join(rel.select(q, col(docCol), col("__g")), Seq(queryCol, docCol),
         "left")
       .withColumn("__g", coalesce(col("__g"), lit(0L)))

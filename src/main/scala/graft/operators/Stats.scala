@@ -85,10 +85,15 @@ object Stats {
       loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
     require(loP > 0.0 && hiP < 1.0 && loP < hiP,
       s"need 0 < loP < hiP < 1, got ($loP, $hiP)")
-    val cuts = df.groupBy(groupCol.as("grp"))
+    // null/NaN are not samples (the histogram rule) — without this,
+    // least/greatest's null-skipping would clip a NULL row to hi_cut
+    // and count() would tally it, silently corrupting every mean
+    val clean = df
+      .where(valueCol.isNotNull && !isnan(valueCol.cast("double")))
+    val cuts = clean.groupBy(groupCol.as("grp"))
       .agg(round(percentile(valueCol, lit(loP)), 6).as("lo_cut"),
         round(percentile(valueCol, lit(hiP)), 6).as("hi_cut"))
-    df.select(groupCol.as("grp"), valueCol.as("__v"))
+    clean.select(groupCol.as("grp"), valueCol.as("__v"))
       .join(broadcast(cuts), Seq("grp"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
@@ -130,9 +135,13 @@ object Stats {
     val expDf = broadcast(expected.toDF("digit", "expected"))
     val digit = substring(floor(valueCol).cast("long").cast("string"), 1, 1)
       .cast("int")
+    // the upper bound (the largest double below 2^63) keeps the long
+    // cast exact: past it a non-ANSI cast saturates to Long.MaxValue
+    // (first char '9') and +Infinity would tally as digit 9 — both
+    // excluded as non-samples, like NaN
     val counts = df
       .where(valueCol.isNotNull && !isnan(valueCol.cast("double")) &&
-        valueCol >= 1)
+        valueCol >= 1 && valueCol < 9.223372036854775e18)
       .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
       .join(expDf, Seq("digit"), "right")
       .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
@@ -197,8 +206,12 @@ object Stats {
       .groupBy(col("__n").as("n"), col("card_a"), col("card_b"))
       .agg(round(sum("__x2"), 4).as("chi2"), sum("__mi").as("__misum"))
       .select(col("n"), col("card_a"), col("card_b"), col("chi2"),
-        round(sqrt(col("chi2") /
-          (col("n") * (least(col("card_a"), col("card_b")) - 1))), 6)
+        // a 1-category column makes the denominator 0 and chi2 0.0 —
+        // V is UNDEFINED there (0/0 → NaN), so report null, the
+        // convention rankEval's ndcg/ap use for undefined statistics
+        when(least(col("card_a"), col("card_b")) > 1,
+          round(sqrt(col("chi2") /
+            (col("n") * (least(col("card_a"), col("card_b")) - 1))), 6))
           .as("cramers_v"),
         round(col("__misum"), 6).as("mi"))
     graft.operators.Checkpoints.materialize(out, cells)

@@ -369,7 +369,10 @@ object Analytics {
           (col("j.__o") - col("i.__o"))).as("__s"))
     val slope = slopes.groupBy(col(keyCol))
       .agg(round(percentile(col("__s"), lit(0.5)), 6).as("slope"))
-    val out = pts.join(slope, Seq(keyCol))
+    // LEFT join: a key whose whole series is one day has no pairs and
+    // no slope — it must still come back (n_days = 1, null trend),
+    // not silently vanish from a frame callers join onto key lists
+    val out = pts.join(slope, Seq(keyCol), "left")
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_days"), first(col("slope")).as("slope"),
         round(percentile(col("n") - col("slope") * col("__o"), lit(0.5)), 6)

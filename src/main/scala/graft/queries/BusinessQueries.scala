@@ -683,7 +683,10 @@ object BusinessQueries {
               SELECT l_returnflag AS grp,
                      round(quantile_cont(l_extendedprice, 0.05), 6) AS lo_cut,
                      round(quantile_cont(l_extendedprice, 0.95), 6) AS hi_cut
-              FROM lineitem GROUP BY 1)
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND NOT isnan(l_extendedprice)
+              GROUP BY 1)
             SELECT grp AS l_returnflag, count(*) AS n, lo_cut, hi_cut,
                    CAST(sum(CASE WHEN l_extendedprice < lo_cut
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
@@ -693,6 +696,7 @@ object BusinessQueries {
                    round(sum(greatest(least(l_extendedprice, hi_cut), lo_cut))
                      / count(*), 4) AS mean_wins
             FROM lineitem JOIN cuts ON l_returnflag = grp
+            WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
             GROUP BY grp, lo_cut, hi_cut ORDER BY grp"""))
 
   /** q132 — rolling z-score anomaly flags
@@ -916,7 +920,7 @@ object BusinessQueries {
             SELECT p.event_type, count(*) AS n_days, slope,
                    round(quantile_cont(p.n - m.slope * p.ord, 0.5), 6)
                      AS intercept
-            FROM pts p JOIN m ON p.event_type = m.event_type
+            FROM pts p LEFT JOIN m ON p.event_type = m.event_type
             GROUP BY p.event_type, m.slope
             ORDER BY p.event_type"""))
 
@@ -993,6 +997,7 @@ object BusinessQueries {
                      FROM orders
                      WHERE o_totalprice IS NOT NULL
                        AND NOT isnan(o_totalprice) AND o_totalprice >= 1
+                       AND o_totalprice < 9.223372036854775e18
                      GROUP BY 1),
               c AS (SELECT expd.digit, coalesce(n, 0) AS n, expected
                     FROM expd LEFT JOIN c0 USING (digit)),
@@ -1041,8 +1046,10 @@ object BusinessQueries {
                           ELSE 0.0 END AS mi
               FROM fl, sc)
             SELECT n, card_a, card_b, round(sum(x2), 4) AS chi2,
-                   round(sqrt(round(sum(x2), 4)
-                     / (n * (least(card_a, card_b) - 1))), 6) AS cramers_v,
+                   CASE WHEN least(card_a, card_b) > 1
+                        THEN round(sqrt(round(sum(x2), 4)
+                          / (n * (least(card_a, card_b) - 1))), 6)
+                        END AS cramers_v,
                    round(sum(mi), 6) AS mi
             FROM terms GROUP BY 1, 2, 3"""))
 

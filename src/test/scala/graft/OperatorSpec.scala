@@ -2265,6 +2265,10 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Double]("chi2") === 10.0)
     assert(r.getAs[Double]("cramers_v") === 1.0)
     assert(r.getAs[Double]("mi") === 0.693147) // ln 2, 6dp
+    // a constant column makes V undefined (0/0) -> null, never NaN
+    val const = Seq(("x", 1), ("x", 2)).toDF("a", "b")
+    val rc = Stats.categoricalAssociation(const, col("a"), col("b")).head()
+    assert(rc.isNullAt(rc.fieldIndex("cramers_v")))
   }
 
   test("revenueConcentration: equal revenues gini 0; concentration hand-checked") {
@@ -2322,6 +2326,12 @@ class OperatorSpec extends SparkSpec {
     // residuals n - 1*ord are (1-ord0) four times and (97-ord0) once
     val ord0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay.toDouble
     assert(r.getAs[Double]("intercept") === 1.0 - ord0)
+    // a single-day key has no pairs: it must come back with a null
+    // trend, not vanish from the output
+    val one = Analytics.theilSenDaily(
+      Seq(("solo", ts(9, 0))).toDF("k", "ts"), "k", "ts").head()
+    assert(one.getAs[Long]("n_days") === 1L && one.isNullAt(2) &&
+      one.isNullAt(3))
   }
 
   test("cusumDaily: persistent level shift alarms where per-day z never would") {
@@ -2391,6 +2401,14 @@ class OperatorSpec extends SparkSpec {
     val q2 = out(1)
     assert(q2.getLong(1) === 0L && q2.isNullAt(2) && q2.isNullAt(3) &&
       q2.isNullAt(4))
+    // a 0-based run fails loudly instead of silently dropping its top
+    // document at the discount join
+    val zeroBased = Seq((1L, "A", 0), (1L, "B", 1)).toDF("query", "doc", "rank")
+    val err = intercept[Exception] {
+      Ranking.rankEval(zeroBased, qrels, k = 3).collect()
+    }
+    assert(err.getMessage.contains("1-based") ||
+      Option(err.getCause).exists(_.getMessage.contains("1-based")))
   }
 
   test("linkPrediction: square graph hand-checked, adjacency excluded, hub cap") {
@@ -2455,6 +2473,14 @@ class OperatorSpec extends SparkSpec {
     // winsorized mean is outlier-resistant: far below the raw mean
     assert(r.getAs[Double]("mean_wins") < 60.0)
     assert(r.getAs[Double]("mean_raw") > 500.0)
+    // a NULL row is not a sample: identical stats with one mixed in
+    // (unguarded, least/greatest would clip it to hi_cut and count it)
+    val withNull = df.unionByName(
+      Seq(("A", null.asInstanceOf[java.lang.Double])).toDF("g", "v"))
+    val r2 = Stats.winsorizedStats(withNull, col("g"), col("v"), 0.05, 0.95)
+      .head()
+    assert(r2.getAs[Long]("n") === 20L && r2.getAs[Double]("mean_wins")
+      === r.getAs[Double]("mean_wins"))
   }
 
   test("dailyAnomalies: spike flags against trailing baseline, silent day scores as zero") {
