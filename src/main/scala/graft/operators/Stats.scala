@@ -161,6 +161,45 @@ object Stats {
     graft.operators.Checkpoints.materialize(out, counts)
   }
 
+  /** Two-proportion z-test for an A/B experiment readout: conversion
+    * rates per arm and the pooled z statistic
+    *
+    *   z = (p_a − p_b) / √( p̂(1−p̂)(1/n_a + 1/n_b) ),  p̂ pooled
+    *
+    * — the "is the lift real" number next to the raw rates. The
+    * p-value is deliberately NOT computed: a normal CDF means erf(),
+    * a libm the engine-replayability rules exclude; |z| ≥ 1.96 IS the
+    * 5% two-sided decision, read directly.
+    *
+    * Determinism: all four inputs are exact integer counts from one
+    * corpus aggregate; rates and z are one pinned double expression
+    * (divisions and one sqrt — both correctly-rounded IEEE), rounded
+    * 6dp (rates) / 4dp (z). z is null when either arm is empty or
+    * the pooled variance is 0 (all-convert / none-convert — no
+    * sampling noise to test against).
+    *
+    * One aggregate over a codegen'd projection; nothing else. Returns
+    * one row: (n_a, conv_a, rate_a, n_b, conv_b, rate_b, z). */
+  def twoProportionZ(df: DataFrame, inA: Column, success: Column): DataFrame = {
+    val agg = df
+      .select(inA.cast("boolean").as("__a"), success.cast("boolean").as("__s"))
+      .where(col("__a").isNotNull && col("__s").isNotNull)
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a") && col("__s"), 1L).otherwise(0L)).as("conv_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__a") && col("__s"), 1L).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a") / col("n_a").cast("double")
+    val pb = col("conv_b") / col("n_b").cast("double")
+    val pool = (col("conv_a") + col("conv_b")) /
+      (col("n_a") + col("n_b")).cast("double")
+    val se2 = pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+    agg.select(col("n_a"), col("conv_a"), round(pa, 6).as("rate_a"),
+      col("n_b"), col("conv_b"), round(pb, 6).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se2 > 0.0,
+        round((pa - pb) / sqrt(se2), 4)).as("z"))
+  }
+
   /** Association between two categorical columns — the dependence
     * screen a profiling pass runs on every dimension pair: Pearson χ²
     * over the full r×c contingency table (zero-observed cells

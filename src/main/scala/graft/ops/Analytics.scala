@@ -788,6 +788,74 @@ object Analytics {
     graft.operators.Checkpoints.materialize(out, perCust, ranked)
   }
 
+  /** Kaplan-Meier survival estimator (Kaplan & Meier, JASA 1958) over
+    * right-censored durations — the time-to-event curve behind "how
+    * long until customers reorder / users return / subscriptions
+    * churn", where subjects still event-free at the observation
+    * horizon are CENSORED, not events (dropping them — or counting
+    * them as events — both bias the curve, which is the whole reason
+    * this estimator exists):
+    *
+    *   S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)
+    *
+    * with dᵢ events at time tᵢ and nᵢ the at-risk count (subjects
+    * with duration ≥ tᵢ, censored or not).
+    *
+    * Determinism: dᵢ, censoring counts, and risk sets are exact
+    * integers; each factor 1 − d/n is ONE exact-input IEEE division;
+    * the product folds SEQUENTIALLY over the time-sorted grain (the
+    * [[ewmaDaily]] array-fold shape) so both an engine and an
+    * external replay multiply identical doubles in identical order —
+    * no exp(Σln) transcendental detour needed. Censored-only times
+    * multiply by exactly 1.0 inside the fold and are then dropped
+    * from the output (the standard event-time-step curve).
+    *
+    * Scale shape: one corpus-scale aggregate to the duration-grain
+    * (distinct duration values — calendar-bounded for day
+    * granularities), one window for the at-risk cumulative, one
+    * single-group array fold over that bounded grain. Returns
+    * (t, n_risk, n_events, n_censored, survival rounded 6dp) at
+    * event times, ascending. */
+  def kaplanMeier(df: DataFrame, durationCol: Column, eventCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = df
+      .select(durationCol.cast("long").as("__t"),
+        eventCol.cast("boolean").as("__e"))
+      .where(col("__t").isNotNull && col("__t") >= 0 && col("__e").isNotNull)
+      .groupBy("__t")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        count(lit(1)).as("__l"))
+      .persist()
+    val total = grain.agg(sum("__l").as("__N"))
+    val wPrev = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRisk = grain.crossJoin(broadcast(total))
+      .withColumn("__nr",
+        col("__N") - coalesce(sum(col("__l")).over(wPrev), lit(0L)))
+      .select("__t", "__d", "__l", "__nr")
+    val ser = withRisk
+      .agg(sort_array(collect_list(struct(col("__t"), col("__d"),
+        col("__l"), col("__nr")))).as("__s"))
+    val out = ser
+      .withColumn("__r", expr(
+        """aggregate(__s,
+              cast(array() as array<struct<t: bigint, d: bigint,
+                                           l: bigint, nr: bigint,
+                                           s: double>>),
+              (acc, p) -> array_append(acc, named_struct(
+                't', p.__t, 'd', p.__d, 'l', p.__l, 'nr', p.__nr,
+                's', (case when size(acc) = 0 then cast(1.0 as double)
+                      else element_at(acc, -1).s end)
+                     * (1.0d - cast(p.__d as double) / p.__nr))))"""))
+      .select(explode(col("__r")).as("__x"))
+      .where(col("__x.d") > 0)
+      .select(col("__x.t").as("t"), col("__x.nr").as("n_risk"),
+        col("__x.d").as("n_events"),
+        (col("__x.l") - col("__x.d")).as("n_censored"),
+        round(col("__x.s"), 6).as("survival"))
+    graft.operators.Checkpoints.materialize(out, grain)
+  }
+
   /** Market-basket pair affinity: for item pairs co-occurring in at
     * least `minPairs` orders, support / confidence(a→b) / lift —
     * the association statistics behind cross-sell placement.

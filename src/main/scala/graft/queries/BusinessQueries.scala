@@ -1080,7 +1080,128 @@ object BusinessQueries {
                      - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
             FROM b, sc ORDER BY band"""))
 
+  /** q143 — Kaplan-Meier time-to-reorder survival
+    * ([[graft.ops.Analytics.kaplanMeier]]): per customer, days from
+    * first to second order — customers with no second order are
+    * right-CENSORED at the corpus's last order date. The oracle
+    * replays the duration derivation, the at-risk cumulative, and
+    * the sequential product as a recursive CTE (identical doubles in
+    * identical order — no transcendental). */
+  private val q143 = Q("q143_kaplan_meier",
+    (s, d) => {
+      val po = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")))
+      val first = po.where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderdate").as("d1"))
+      val second = po.where(col("rn") === 2)
+        .select(col("o_custkey"), col("o_orderdate").as("d2"))
+      val mx = Tables.orders(s, d).agg(max("o_orderdate").as("m"))
+      val dur = first.join(second, Seq("o_custkey"), "left")
+        .crossJoin(broadcast(mx))
+        .select(when(col("d2").isNull, datediff(col("m"), col("d1")))
+            .otherwise(datediff(col("d2"), col("d1"))).as("t"),
+          col("d2").isNotNull.as("e"))
+      graft.ops.Analytics.kaplanMeier(dur, col("t"), col("e"))
+        .orderBy("t")
+    },
+    Some("""WITH RECURSIVE po AS (
+              SELECT o_custkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders),
+            f AS (SELECT a.o_custkey, a.o_orderdate AS d1, b.o_orderdate AS d2
+                  FROM po a LEFT JOIN po b
+                    ON a.o_custkey = b.o_custkey AND b.rn = 2
+                  WHERE a.rn = 1),
+            mx AS (SELECT max(o_orderdate) AS m FROM orders),
+            dur AS (SELECT CASE WHEN d2 IS NULL
+                                THEN datediff('day', d1, m)
+                                ELSE datediff('day', d1, d2) END AS t,
+                           (d2 IS NOT NULL) AS e
+                    FROM f, mx),
+            g AS (SELECT t,
+                         CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT)
+                           AS d,
+                         count(*) AS l
+                  FROM dur GROUP BY 1),
+            nr AS (SELECT t, d, l,
+                          (SELECT count(*) FROM dur)
+                            - coalesce(CAST(sum(l) OVER (ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS BIGINT), 0) AS n_risk,
+                          row_number() OVER (ORDER BY t) AS rn
+                   FROM g),
+            rec AS (
+              SELECT t, d, l, n_risk, rn,
+                     1.0 * (1.0 - CAST(d AS DOUBLE) / n_risk) AS s
+              FROM nr WHERE rn = 1
+              UNION ALL
+              SELECT nr.t, nr.d, nr.l, nr.n_risk, nr.rn,
+                     rec.s * (1.0 - CAST(nr.d AS DOUBLE) / nr.n_risk)
+              FROM rec JOIN nr ON nr.rn = rec.rn + 1)
+            SELECT t, n_risk, d AS n_events, l - d AS n_censored,
+                   round(s, 6) AS survival
+            FROM rec WHERE d > 0 ORDER BY t"""))
+
+  /** q144 — two-proportion A/B z-test
+    * ([[graft.operators.Stats.twoProportionZ]]): users
+    * md5-split into two arms (the deterministic assignment a real
+    * experiment service uses), converted = has ≥1 purchase event;
+    * pooled z from exact integer counts, replayed term-for-term. */
+  private val q144 = Q("q144_ab_test_z",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__conv"))
+      graft.operators.Stats.twoProportionZ(perUser,
+        pmod(graft.functions.TextFunctions.md5Long(
+          concat(col("user_id").cast("string"), lit("|ab"))), lit(2)) === 0,
+        col("__conv") === 1)
+    },
+    Some("""WITH pu AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS conv,
+                     (CAST(('0x' || substr(md5(concat(
+                        CAST(user_id AS VARCHAR), '|ab')), 1, 15))
+                        AS BIGINT) % 2 = 0) AS arm_a
+              FROM events GROUP BY user_id),
+            c AS (SELECT
+                    CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_a,
+                    CAST(sum(CASE WHEN arm_a AND conv = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+                    CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b,
+                    CAST(sum(CASE WHEN NOT arm_a AND conv = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+                  FROM pu)
+            SELECT n_a, conv_a,
+                   round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+                   n_b, conv_b,
+                   round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 AND
+                             (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)
+                               * (CAST(1 AS DOUBLE)
+                                  - (conv_a + conv_b)
+                                    / CAST(n_a + n_b AS DOUBLE))
+                               * (CAST(1 AS DOUBLE) / n_a
+                                  + CAST(1 AS DOUBLE) / n_b) > 0.0
+                        THEN round((conv_a / CAST(n_a AS DOUBLE)
+                               - conv_b / CAST(n_b AS DOUBLE))
+                             / sqrt((conv_a + conv_b)
+                                 / CAST(n_a + n_b AS DOUBLE)
+                               * (CAST(1 AS DOUBLE)
+                                  - (conv_a + conv_b)
+                                    / CAST(n_a + n_b AS DOUBLE))
+                               * (CAST(1 AS DOUBLE) / n_a
+                                  + CAST(1 AS DOUBLE) / n_b)), 4)
+                        END AS z
+            FROM c"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
-    q132, q133, q135, q137, q138, q139, q140, q141, q142)
+    q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144)
 }

@@ -2247,6 +2247,37 @@ class OperatorSpec extends SparkSpec {
     assert(out === Seq(10L, 12L, 11L), s"got $out")
   }
 
+  test("kaplanMeier: hand-computed curve, censoring shrinks risk sets without stepping S") {
+    import graft.ops.Analytics
+    // events at t=2 (x2) and t=5; censored at t=3 and t=7:
+    // S(2) = 1-2/5 = 0.6; the t=3 censor leaves S untouched but
+    // shrinks the t=5 risk set to 2 -> S(5) = 0.6 * (1-1/2) = 0.3
+    val df = Seq((2L, true), (2L, true), (3L, false), (5L, true),
+      (7L, false)).toDF("t", "e")
+    val out = Analytics.kaplanMeier(df, col("t"), col("e"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq((2L, 5L, 2L, 0L, 0.6), (5L, 2L, 1L, 0L, 0.3)))
+  }
+
+  test("twoProportionZ: hand-computed z, degenerate variance yields null") {
+    import graft.operators.Stats
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = ((1 to 10).map(i => (true, i <= 5)) ++
+      (1 to 10).map(i => (false, i <= 2))).toDF("arm", "s")
+    val r = Stats.twoProportionZ(df, col("arm"), col("s")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      === ((10L, 5L, 10L, 2L)))
+    val pool = 7.0 / 20
+    val se2 = pool * (1.0 - pool) * (1.0 / 10 + 1.0 / 10)
+    assert(r.getDouble(6) === r4((0.5 - 0.2) / math.sqrt(se2)))
+    // everyone converts: zero pooled variance, z undefined -> null
+    val all = Seq((true, true), (false, true)).toDF("arm", "s")
+    assert(Stats.twoProportionZ(all, col("arm"), col("s")).head().isNullAt(6))
+  }
+
   test("benford: structural digit, sub-1 excluded, shares exact") {
     import graft.operators.Stats
     val df = Seq(1.0, 12.0, 15.0, 0.3, 25.0).toDF("v")
