@@ -3422,11 +3422,70 @@ object LlmQueries {
                    CAST(min(i) AS BIGINT) AS first_pos
             FROM m GROUP BY 1 ORDER BY doc_id"""))
 
+  private val q145Runs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q145 — the streaming EWMA under the batch oracle
+    * ([[graft.streaming.EventStream.ewmaDaily]]): stage the events,
+    * run the stateful flatMapGroupsWithState recurrence as a real
+    * AvailableNow query, and hash-compare the sink against q128's
+    * recursive-CTE oracle — streaming == batch for a NUMERIC
+    * fixed-point recurrence, held to the external oracle (q91 gates
+    * the windowed-aggregation streaming path; this gates the custom-
+    * state path). */
+  private val q145 = Q("q145_stream_ewma",
+    (s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_q145_").toString
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          coalesce(col("value"), lit(0.0)).as("value"),
+          coalesce(col("props"), lit("")).as("props"))
+        .write.mode("overwrite").parquet(dir)
+      val sink = s"q145_sink_${q145Runs.incrementAndGet()}"
+      val q = graft.streaming.EventStream.ewmaDaily(
+          graft.streaming.EventStream.readStream(s, dir)
+            .drop("props").as[graft.streaming.EventStream.Event])
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("event_type", "day")
+    },
+    Some("""WITH RECURSIVE daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            dense AS (
+              SELECT s.event_type, CAST(d AS DATE) AS day
+              FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                    FROM daily GROUP BY 1) s,
+                   unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                     CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+            filled AS (
+              SELECT dense.event_type, dense.day, coalesce(daily.n, 0) AS n
+              FROM dense LEFT JOIN daily USING (event_type, day)),
+            num AS (
+              SELECT event_type, day, n,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS rn
+              FROM filled),
+            rec AS (
+              SELECT event_type, day, n, rn, n * 1000000 AS em
+              FROM num WHERE rn = 1
+              UNION ALL
+              SELECT num.event_type, num.day, num.n, num.rn,
+                     (2 * (3 * num.n * 1000000 + 7 * rec.em) + 10) // 20 AS em
+              FROM rec JOIN num ON num.event_type = rec.event_type
+                               AND num.rn = rec.rn + 1)
+            SELECT event_type, day, n AS n_events,
+                   CAST(em AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ewma
+            FROM rec ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
-    q134, q136)
+    q134, q136, q145)
 }

@@ -183,6 +183,79 @@ object EventStream {
         })
   }
 
+  final case class EwmaState(lastEpochDay: Long, em: Long)
+  final case class EwmaRow(event_type: String, day: java.sql.Date,
+      n_events: Long, ewma: Double)
+
+  /** Streaming face of [[graft.ops.Analytics.ewmaDaily]]: the same
+    * exact bigint micro-unit recurrence (identical α as aNum/aDen,
+    * identical half-up `(2·(aN·n·1e6 + β·em) + aDen) div (2·aDen)`
+    * step, identical zero-day densification), carried as
+    * flatMapGroupsWithState state (lastDay, em) so the trend CONTINUES
+    * across micro-batches instead of restarting — the online anomaly
+    * baseline a daily-ingest pipeline keeps warm.
+    *
+    * Contract: micro-batches deliver whole, non-decreasing days per
+    * key (the daily-ingest shape — each batch is one or more closed
+    * days). A batch that replays a day at or before the state's last
+    * folded day would silently corrupt the recurrence, so it THROWS
+    * instead. Within a batch, days may arrive in any order and gaps
+    * densify to n = 0 exactly like batch. State is one (long, long)
+    * per key — bounded by key cardinality, no timeout needed.
+    *
+    * Streaming == batch is held two ways: the spec replays two
+    * batches against one batch run, and the oracle gate (q145) runs
+    * THIS code through a real AvailableNow query against q128's
+    * recursive-CTE oracle. */
+  def ewmaDaily(events: Dataset[Event], alphaNum: Int = 3,
+      alphaDen: Int = 10): Dataset[EwmaRow] = {
+    require(alphaNum > 0 && alphaDen >= alphaNum,
+      s"alpha must be a rational in (0,1], got $alphaNum/$alphaDen")
+    import events.sparkSession.implicits._
+    val beta = alphaDen - alphaNum
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[Event], state: GroupState[EwmaState]) => {
+          val utc = java.time.ZoneOffset.UTC
+          val counts = scala.collection.mutable.LongMap.empty[Long]
+          rows.foreach { e =>
+            val d = e.ts.toInstant.atZone(utc).toLocalDate.toEpochDay
+            counts(d) = counts.getOrElse(d, 0L) + 1L
+          }
+          if (counts.isEmpty) Iterator.empty
+          else {
+            val minDay = counts.keys.min
+            val maxDay = counts.keys.max
+            val (startDay, prior) = state.getOption match {
+              case Some(s) =>
+                if (minDay <= s.lastEpochDay) throw new IllegalStateException(
+                  s"ewmaDaily stream for '$key' got day $minDay at or " +
+                    s"before already-folded day ${s.lastEpochDay} — " +
+                    "micro-batches must deliver whole, advancing days")
+                (s.lastEpochDay + 1, Some(s.em))
+              case None => (minDay, None)
+            }
+            var em = prior.getOrElse(0L)
+            var first = prior.isEmpty
+            val out = Seq.newBuilder[EwmaRow]
+            var d = startDay
+            while (d <= maxDay) {
+              val n = counts.getOrElse(d, 0L)
+              em = if (first) { first = false; n * 1000000L }
+              else (2L * (alphaNum * n * 1000000L + beta * em) + alphaDen) /
+                (2L * alphaDen)
+              out += EwmaRow(key,
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)),
+                n, em.toDouble / 1e6)
+              d += 1
+            }
+            state.update(EwmaState(maxDay, em))
+            out.result().iterator
+          }
+        })
+  }
+
   /** Run any streaming transform over everything currently in `dir`,
     * then stop — Trigger.AvailableNow. Results land in an in-memory
     * table named `sink`. Complete mode suits the windowed aggregates

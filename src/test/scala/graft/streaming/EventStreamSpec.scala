@@ -238,4 +238,56 @@ class EventStreamSpec extends SparkSpec {
     assert(s1b.session_start === ts(55) && s1b.session_end === ts(60))
     assert(s2.user_id === 2 && s2.n_events === 1 && s2.total_value === 3.0)
   }
+
+  test("streaming ewmaDaily: state continues across micro-batches, equals batch") {
+    import java.nio.file.{Path, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    def dts(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-05-$day%02d 10:00:${i % 60}%02d")
+    val watched = Files.createTempDirectory("graft_ewma_wm_")
+    def stage(name: String, mod: Int, events: Seq[EventStream.Event]): Unit = {
+      val tmp = Files.createTempDirectory("graft_ewma_stage_")
+      events.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = Paths.get(watched.toString, name)
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1700000000000L + mod * 60000L))
+    }
+    var id = 0L
+    def evs(day: Int, n: Int) = (0 until n).map { i =>
+      id += 1; EventStream.Event(id, dts(day, i), 1L, "a", 0.0)
+    }
+    // batch 1: days 1 and 3 (day 2 densifies inside the batch);
+    // batch 2: day 5 only — day 4 is the CROSS-BATCH gap the carried
+    // state must densify
+    val b1 = evs(1, 3) ++ evs(3, 2)
+    val b2 = evs(5, 4)
+    stage("b1.parquet", 1, b1)
+    stage("b2.parquet", 2, b2)
+    val q = EventStream.ewmaDaily(
+        spark.readStream.schema(EventStream.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+          .as[EventStream.Event], alphaNum = 3, alphaDen = 10)
+      .writeStream.format("memory").queryName("ewma_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ewma_sink")
+      .select(col("event_type"), col("day").cast("string"),
+        col("n_events"), col("ewma"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = graft.ops.Analytics.ewmaDaily(
+        (b1 ++ b2).toDS().toDF().withColumnRenamed("event_type", "et"),
+        "et", "ts", alphaNum = 3, alphaDen = 10)
+      .select(col("et"), col("day").cast("string"), col("n_events"),
+        col("ewma"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed === batch, s"streamed $streamed vs batch $batch")
+    assert(streamed.size === 5) // days 1-5, gaps densified
+  }
 }
