@@ -543,6 +543,63 @@ object Dedup {
     * the shingling pass is the single most expensive map over the raw
     * corpus. Recomputing a 100 TB text scan per branch is the cost
     * model to avoid; the cached form is ~50× smaller than the text. */
+  /** Asymmetric shingle-containment pairs: for candidate pairs,
+    * C(A⊂B) = |A∩B| / |A| in BOTH directions — the quote/subset
+    * detector Jaccard structurally under-scores (a tweet quoted
+    * inside a long article shares nearly all of ITS shingles, yet
+    * divides by the article's size under Jaccard and vanishes; see
+    * Broder 1997's resemblance-vs-containment distinction). Pairs
+    * where either direction reaches `threshold` survive.
+    *
+    * Candidate generation: the [[ngramJaccardPairs]] inverted-index
+    * shape under the same df cap (stopword shingles carry no
+    * containment signal and cause the quadratic blowup) and the same
+    * rarest-shingle `rn = 1` fallback, so byte-identical docs always
+    * collide. No PPJoin prefix: the prefix bound is a SYMMETRIC
+    * Jaccard argument and does not hold for one-sided containment —
+    * every capped shingle indexes. Verification is exact over the
+    * full shingle sets (the verify join streams pairs against the
+    * AQE-broadcastable doc-side arrays).
+    *
+    * Determinism: intersection and set sizes are exact integers; each
+    * containment is one exact-input division rounded 4dp (the
+    * [[verifyJaccard]] convention). Returns (doc_id_1, doc_id_2,
+    * c_1_in_2, c_2_in_1) with doc_id_1 < doc_id_2. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8, dfCap: Long = 100,
+      shared: Option[ShingleCache] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val (shingled, owned) =
+      resolveShingles(shared, docs, idCol, textCol, shingleSize)
+    val inv = shingled.select(col(idCol), explode(col("sh")).as("s"))
+    val dfCount = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    // persisted + counted: the count materializes the cache and sizes
+    // the candidate exchange off the real occurrence count (the
+    // ngramJaccardPairsPlan discipline)
+    val withDf = inv.join(dfCount, "s").persist()
+    val nParts = partsFor(withDf.count(), docs.sparkSession)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
+    val indexed = withDf.withColumn("rn", row_number().over(w))
+      .where(col("df") <= dfCap || col("rn") === 1)
+      .select(col(idCol), col("s"))
+    val cand = indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
+      .repartition(nParts, col("doc_id_1"), col("doc_id_2"))
+      .distinct()
+    val s1 = shingled.select(col(idCol).as("doc_id_1"), col("sh").as("sh1"))
+    val s2 = shingled.select(col(idCol).as("doc_id_2"), col("sh").as("sh2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val out = cand.join(s1, "doc_id_1").join(s2, "doc_id_2")
+      .withColumn("c_1_in_2", round(inter / size(col("sh1")), 4))
+      .withColumn("c_2_in_1", round(inter / size(col("sh2")), 4))
+      .where(col("c_1_in_2") >= threshold || col("c_2_in_1") >= threshold)
+      .select("doc_id_1", "doc_id_2", "c_1_in_2", "c_2_in_1")
+    finish(out, (Seq(withDf) ++ (if (owned) Seq(shingled) else Nil)): _*)
+  }
+
   private def hashedShingled(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     hashedShingledPlan(docs, idCol, textCol, shingleSize).persist()

@@ -106,6 +106,39 @@ object Tfidf {
     out
   }
 
+  /** Boolean posting-list retrieval: documents containing EVERY
+    * `must` term, ranked by how many distinct `should` terms they
+    * also contain — the AND/OR query layer under [[bm25TopK]]'s
+    * scoring (a filter bar's "all of these, prefer more of those").
+    *
+    * One corpus tokenize pass filtered to the query's terms (the
+    * bm25TopK posting-list shape — matching (doc, term) pairs are all
+    * that shuffles), one doc-keyed distinct-count aggregate, a HAVING
+    * on the exact must-count, TakeOrdered for the top-k
+    * (should-hits desc, id asc — total order). All counts exact;
+    * no FP anywhere. Returns (idCol, n_should). */
+  def booleanTopK(docs: DataFrame, idCol: String, textCol: String,
+      must: Seq[String], should: Seq[String], k: Int): DataFrame = {
+    require(must.nonEmpty || should.nonEmpty,
+      "booleanTopK needs at least one must or should term")
+    require((must ++ should).distinct.size == must.size + should.size,
+      s"terms must be distinct across must and should: $must / $should")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val all = must ++ should
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .where(col("__t").isin(all: _*))
+      .groupBy(col(idCol))
+      .agg(size(array_intersect(collect_set(col("__t")),
+          typedLit(must))).as("__nm"),
+        size(array_intersect(collect_set(col("__t")),
+          typedLit(should))).as("n_should"))
+      .where(col("__nm") === must.size)
+      .select(col(idCol), col("n_should").cast("long").as("n_should"))
+      .orderBy(col("n_should").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact phrase search over a positional token index — the
     * token-boundary query [[bm25TopK]]'s bag-of-terms scoring cannot
     * express ("new york" must not match "york, new"). Occurrences are

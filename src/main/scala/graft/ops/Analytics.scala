@@ -856,6 +856,39 @@ object Analytics {
     graft.operators.Checkpoints.materialize(out, grain)
   }
 
+  /** Top-k consecutive event-type n-grams across user journeys —
+    * [[eventTransitions]]'s higher-order sibling (the transition
+    * matrix is exactly n = 2): which length-n PATHS dominate, the
+    * question a first-order Markov view provably cannot answer when
+    * behavior is non-Markovian (A→B→C frequent while A→B→D never
+    * happens, yet both share the A→B edge).
+    *
+    * One user-keyed window pass builds the n−1 leads (one sort, n−1
+    * frame-sharing functions), one path-keyed map-side-combined
+    * count, then TakeOrdered for the top-k (count desc, path asc — a
+    * total order). Paths render as `a > b > c` strings so the output
+    * is n-agnostic. All counts exact integers. */
+  def journeyNgrams(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, n: Int = 3, topK: Int = 20): DataFrame = {
+    require(n >= 2, s"n must be >= 2 (n = 1 is a plain type count), got $n")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val steps = (0 until n).map {
+      case 0 => col(typeCol).as("__s0")
+      case i => lead(col(typeCol), i).over(w).as(s"__s$i")
+    }
+    events.select((Seq(col(userCol), col(tsCol), col(idCol)) ++
+        Seq(col(typeCol))): _*)
+      .select(steps: _*)
+      .where(col(s"__s${n - 1}").isNotNull)
+      .select(concat_ws(" > ", (0 until n).map(i => col(s"__s$i")): _*)
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_journeys"))
+      .orderBy(col("n_journeys").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Market-basket pair affinity: for item pairs co-occurring in at
     * least `minPairs` orders, support / confidence(a→b) / lift —
     * the association statistics behind cross-sell placement.

@@ -1201,7 +1201,26 @@ object BusinessQueries {
                         END AS z
             FROM c"""))
 
+  /** q146 — top journey trigrams
+    * ([[graft.ops.Analytics.journeyNgrams]], n = 3): the dominant
+    * length-3 user paths, the non-Markovian view q124's transition
+    * matrix cannot express. The oracle replays the lead windows, the
+    * path render, and the top-20 cut. */
+  private val q146 = Q("q146_journey_trigrams",
+    (s, d) => graft.ops.Analytics.journeyNgrams(Tables.events(s, d),
+      "user_id", "event_type", "ts", "event_id", n = 3, topK = 20),
+    Some("""WITH seq AS (
+              SELECT event_type AS s0,
+                     lead(event_type, 1) OVER w AS s1,
+                     lead(event_type, 2) OVER w AS s2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT concat(s0, ' > ', s1, ' > ', s2) AS path,
+                   count(*) AS n_journeys
+            FROM seq WHERE s2 IS NOT NULL
+            GROUP BY 1 ORDER BY n_journeys DESC, path LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
-    q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144)
+    q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146)
 }

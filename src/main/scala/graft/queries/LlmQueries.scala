@@ -3481,11 +3481,90 @@ object LlmQueries {
                    CAST(em AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ewma
             FROM rec ORDER BY event_type, day"""))
 
+  /** q147 — boolean posting-list retrieval
+    * ([[graft.operators.Tfidf.booleanTopK]]): docs containing BOTH
+    * must terms, ranked by distinct should-term coverage. The oracle
+    * replays the posting filter, both distinct counts, the HAVING,
+    * and the total-order cut. */
+  private val q147 = Q("q147_boolean_retrieval",
+    (s, d) => Tfidf.booleanTopK(Tables.documents(s, d), "doc_id", "text",
+      must = Seq("table", "query"), should = Seq("stream", "window", "merge"),
+      k = 20),
+    Some("""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+                       FROM documents),
+            p AS (SELECT doc_id,
+                         count(DISTINCT CASE WHEN tok IN ('table', 'query')
+                               THEN tok END) AS nm,
+                         count(DISTINCT CASE WHEN tok IN
+                               ('stream', 'window', 'merge')
+                               THEN tok END) AS ns
+                  FROM t
+                  WHERE tok IN ('table', 'query', 'stream', 'window', 'merge')
+                  GROUP BY 1)
+            SELECT doc_id, CAST(ns AS BIGINT) AS n_should FROM p
+            WHERE nm = 2 ORDER BY n_should DESC, doc_id LIMIT 20"""))
+
+  /** q148 — asymmetric shingle containment
+    * ([[graft.operators.Dedup.containmentPairs]]): every 11th doc
+    * gets a planted 15-token PREFIX clone — near-full containment of
+    * the clone in its source at tiny Jaccard, exactly the pair q33's
+    * symmetric threshold is blind to. The oracle replays shingling,
+    * df cap + rarest-shingle fallback, candidates, and both
+    * containment directions. */
+  private val q148 = Q("q148_containment_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val subsets = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 15)).as("text"))
+      Dedup.containmentPairs(docs.unionByName(subsets), "doc_id", "text",
+          shingleSize = 3, threshold = 0.8, dfCap = 100)
+        .orderBy("doc_id_1", "doc_id_2")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 30000,
+                     array_to_string(list_slice(str_split(text, ' '), 1, 15),
+                                     ' ')
+              FROM documents WHERE doc_id % 11 = 0),
+            shs AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                       i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+                       AS shs
+              FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM base)
+              WHERE len(ws) >= 3),
+            sh AS (
+              SELECT doc_id, list_transform(shs,
+                     s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+              FROM shs),
+            inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+            dfc AS (SELECT s, count(*) AS df FROM inv GROUP BY 1),
+            idx AS (SELECT doc_id, s FROM (
+                      SELECT i.doc_id, i.s, d.df,
+                             row_number() OVER (PARTITION BY i.doc_id
+                               ORDER BY d.df, i.s) AS rn
+                      FROM inv i JOIN dfc d USING (s))
+                    WHERE df <= 100 OR rn = 1),
+            cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                     FROM idx a JOIN idx b
+                       ON a.s = b.s AND a.doc_id < b.doc_id),
+            v AS (SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+                         round(len(list_intersect(x.sh, y.sh)) * 1.0
+                           / len(x.sh), 4) AS c_1_in_2,
+                         round(len(list_intersect(x.sh, y.sh)) * 1.0
+                           / len(y.sh), 4) AS c_2_in_1
+                  FROM cand JOIN sh x ON x.doc_id = d1
+                            JOIN sh y ON y.doc_id = d2)
+            SELECT * FROM v WHERE c_1_in_2 >= 0.8 OR c_2_in_1 >= 0.8
+            ORDER BY doc_id_1, doc_id_2"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
-    q134, q136, q145)
+    q134, q136, q145, q147, q148)
 }

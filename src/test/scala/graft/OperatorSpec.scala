@@ -2247,6 +2247,58 @@ class OperatorSpec extends SparkSpec {
     assert(out === Seq(10L, 12L, 11L), s"got $out")
   }
 
+  test("journeyNgrams: trigram paths counted, incomplete tails dropped") {
+    import graft.ops.Analytics
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-10 10:$m%02d:00")
+    // user 1: a,b,c,b,c -> trigrams (a>b>c), (b>c>b), (c>b>c)
+    // user 2: a,b -> too short for any trigram
+    val ev = Seq((1L, 1L, "a", ts(1)), (2L, 1L, "b", ts(2)),
+      (3L, 1L, "c", ts(3)), (4L, 1L, "b", ts(4)), (5L, 1L, "c", ts(5)),
+      (6L, 2L, "a", ts(1)), (7L, 2L, "b", ts(2)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.journeyNgrams(ev, "user_id", "event_type", "ts",
+        "event_id", n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(("a > b > c", 1L), ("b > c > b", 1L),
+      ("c > b > c", 1L)))
+  }
+
+  test("booleanTopK: AND gate exact, ranked by distinct should coverage") {
+    import graft.operators.Tfidf
+    val docs = Seq(
+      (1L, "x y both here z w"),     // no must terms
+      (2L, "m1 m2 s1 s2"),           // both musts, 2 shoulds
+      (3L, "m1 m2 s1 s1 s1"),        // both musts, 1 DISTINCT should
+      (4L, "m1 s1 s2 s3"),           // missing m2 -> out
+      (5L, "m2 m1"))                 // both musts, 0 shoulds
+      .toDF("doc_id", "text")
+    val out = Tfidf.booleanTopK(docs, "doc_id", "text",
+        must = Seq("m1", "m2"), should = Seq("s1", "s2", "s3"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((2L, 2L), (3L, 1L), (5L, 0L)))
+  }
+
+  test("containmentPairs: planted prefix scores ~1 one-way where Jaccard is blind") {
+    import graft.operators.Dedup
+    // doc 2 is a strict 5-token prefix of doc 1's 40 tokens: its
+    // shingles are a subset -> c(2 in 1) = 1.0 while Jaccard is small
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 5).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, "totally different text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 2L, round4(3.0 / 38), 1.0)))
+    // symmetric Jaccard on the same pair is tiny: 3/38 - the blind spot
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleSize = 3,
+      threshold = 0.5, dfCap = 100).count() === 0L)
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("kaplanMeier: hand-computed curve, censoring shrinks risk sets without stepping S") {
     import graft.ops.Analytics
     // events at t=2 (x2) and t=5; censored at t=3 and t=7:
