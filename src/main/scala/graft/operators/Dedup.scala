@@ -543,6 +543,47 @@ object Dedup {
     * the shingling pass is the single most expensive map over the raw
     * corpus. Recomputing a 100 TB text scan per branch is the cost
     * model to avoid; the cached form is ~50× smaller than the text. */
+  /** Pair-mining evaluation: a FOUND pair set scored against an exact
+    * TRUTH pair set — the dedup twin of
+    * [[Similarity.recallAtK]] (which tunes nProbe/m for ANN; this
+    * tunes bands/bucketCap/dfCap for the LSH family). Both inputs'
+    * first two columns are the pair ids; order within a pair and
+    * duplicate rows are canonicalized away, so found-vs-truth compare
+    * as SETS of unordered pairs.
+    *
+    * One full outer join on the canonical (a, b) key + one 1-row
+    * aggregate; counts exact, recall/precision single divisions
+    * rounded 6dp, null when the denominator is 0 (no truth pairs /
+    * no found pairs — "100% recall of nothing" is a lie a dashboard
+    * would believe). Returns one row:
+    * (n_truth, n_found, n_hit, recall, precision). */
+  def pairRecall(found: DataFrame, truth: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame = {
+      require(df.columns.length >= 2,
+        s"pair frame needs two id columns, got ${df.columns.toSeq}")
+      val Seq(c1, c2) = df.columns.take(2).toSeq
+      df.select(least(col(c1), col(c2)).as("a"),
+        greatest(col(c1), col(c2)).as("b")).distinct()
+    }
+    val joined = canon(truth).withColumn("__t", lit(1L))
+      .join(canon(found).withColumn("__f", lit(1L)), Seq("a", "b"), "full")
+    joined
+      .agg(sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("__f"), lit(0L))).as("n_found"),
+        sum(when(col("__t").isNotNull && col("__f").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      // empty-both-sides: the 1-row aggregate over zero rows yields
+      // null sums — report explicit zero counts, null rates
+      .select(coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_truth") > 0,
+          round(col("n_hit") / col("n_truth").cast("double"), 6)).as("recall"),
+        when(col("n_found") > 0,
+          round(col("n_hit") / col("n_found").cast("double"), 6))
+          .as("precision"))
+  }
+
   /** Asymmetric shingle-containment pairs: for candidate pairs,
     * C(A⊂B) = |A∩B| / |A| in BOTH directions — the quote/subset
     * detector Jaccard structurally under-scores (a tweet quoted
@@ -568,6 +609,18 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8, dfCap: Long = 100,
       shared: Option[ShingleCache] = None): DataFrame = {
+    val (result, intermediates) = containmentPairsPlan(docs, idCol, textCol,
+      shingleSize, threshold, dfCap, shared)
+    finish(result, intermediates: _*)
+  }
+
+  /** [[containmentPairs]] body, pre-`finish` — split out so specs can
+    * assert plan properties (owned exchange width) before
+    * materialization severs the lineage (the ngramJaccardPairsPlan
+    * convention). */
+  private[operators] def containmentPairsPlan(docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, threshold: Double, dfCap: Long,
+      shared: Option[ShingleCache]): (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val (shingled, owned) =
@@ -597,7 +650,7 @@ object Dedup {
       .withColumn("c_2_in_1", round(inter / size(col("sh2")), 4))
       .where(col("c_1_in_2") >= threshold || col("c_2_in_1") >= threshold)
       .select("doc_id_1", "doc_id_2", "c_1_in_2", "c_2_in_1")
-    finish(out, (Seq(withDf) ++ (if (owned) Seq(shingled) else Nil)): _*)
+    (out, Seq(withDf) ++ (if (owned) Seq(shingled) else Nil))
   }
 
   private def hashedShingled(docs: DataFrame, idCol: String, textCol: String,

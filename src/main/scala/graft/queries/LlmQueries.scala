@@ -3560,11 +3560,113 @@ object LlmQueries {
             SELECT * FROM v WHERE c_1_in_2 >= 0.8 OR c_2_in_1 >= 0.8
             ORDER BY doc_id_1, doc_id_2"""))
 
+  /** q149 — LSH pair-mining evaluation
+    * ([[graft.operators.Dedup.pairRecall]]): the q28 MinHash+LSH
+    * miner scored against the q33 exact-Jaccard truth at the same
+    * threshold — recall is what banding trades away, and this is the
+    * number that tunes bands/bucketCap (the dedup twin of q69's ANN
+    * recall). Both operators ride ONE shared shingle cache. The
+    * oracle replays BOTH full pipelines (the q33 and q28 CTEs over a
+    * shared shingle table) and the set comparison. */
+  private val q149 = Q("q149_lsh_pair_recall",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val cache = Dedup.shingleCache(docs, "doc_id", "text")
+      try {
+        val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5, dfCap = 100,
+          shared = Some(cache))
+        val found = Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5,
+          bucketCap = 10000, shared = Some(cache))
+        Dedup.pairRecall(found.select("doc_id_1", "doc_id_2"),
+          truth.select("doc_id_1", "doc_id_2"))
+      } finally cache.release()
+    },
+    Some("""WITH shs AS (
+              SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS shs
+              FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+              WHERE len(ws) >= 3),
+            sh AS (
+              SELECT doc_id, list_transform(shs,
+                     s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS sh
+              FROM shs),
+            inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+            dfc AS (SELECT s, count(*) AS df FROM inv GROUP BY 1),
+            pref AS (SELECT doc_id, s FROM (
+                       SELECT i.doc_id, i.sz, i.s, d.df,
+                              row_number() OVER (PARTITION BY i.doc_id
+                                ORDER BY d.df, i.s) AS rn
+                       FROM inv i JOIN dfc d USING (s))
+                     WHERE (df <= 100 AND rn <= sz - ceil(0.5 * sz) + 1)
+                        OR rn = 1),
+            candt AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                      FROM pref a JOIN pref b
+                        ON a.s = b.s AND a.doc_id < b.doc_id),
+            jt AS (SELECT d1, d2
+                   FROM candt JOIN sh x ON x.doc_id = d1
+                              JOIN sh y ON y.doc_id = d2
+                   WHERE round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                         (len(x.sh) + len(y.sh)
+                          - len(list_intersect(x.sh, y.sh))), 4) >= 0.5),
+            consts AS (
+              SELECT i,
+                     (2 * CAST(('0x' || substr(md5('A|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                       & ((CAST(1 AS BIGINT) << 60) - 1) AS a
+              FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+            hv AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+            mins AS (
+              SELECT doc_id, i,
+                     min(((a & 1073741823) * (h & 1073741823)
+                          + (((a & 1073741823) * (h >> 30) + (a >> 30) * (h & 1073741823))
+                             & 1073741823) * (CAST(1 AS BIGINT) << 30))
+                         & ((CAST(1 AS BIGINT) << 60) - 1)) AS m
+              FROM hv CROSS JOIN consts GROUP BY 1, 2),
+            buckets AS (
+              SELECT doc_id, i // 4 AS b,
+                     CAST(('0x' || substr(md5(
+                       string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)), 1, 15))
+                       AS BIGINT) AS bucket
+              FROM mins GROUP BY 1, 2),
+            bsz AS (SELECT b, bucket FROM buckets
+                    GROUP BY 1, 2 HAVING count(*) <= 10000),
+            candf AS (
+              SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+              FROM buckets a
+              JOIN bsz USING (b, bucket)
+              JOIN buckets c
+                ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+            jf AS (SELECT d1, d2
+                   FROM candf JOIN sh x ON x.doc_id = d1
+                              JOIN sh y ON y.doc_id = d2
+                   WHERE round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                         (len(x.sh) + len(y.sh)
+                          - len(list_intersect(x.sh, y.sh))), 4) >= 0.5),
+            m AS (SELECT coalesce(t.d1, f.d1) AS d1, coalesce(t.d2, f.d2) AS d2,
+                         (t.d1 IS NOT NULL) AS it, (f.d1 IS NOT NULL) AS infd
+                  FROM jt t FULL JOIN jf f ON t.d1 = f.d1 AND t.d2 = f.d2),
+            c AS (SELECT CAST(sum(CASE WHEN it THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_truth,
+                         CAST(sum(CASE WHEN infd THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_found,
+                         CAST(sum(CASE WHEN it AND infd THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_hit
+                  FROM m)
+            SELECT n_truth, n_found, n_hit,
+                   CASE WHEN n_truth > 0
+                        THEN round(n_hit / CAST(n_truth AS DOUBLE), 6)
+                        END AS recall,
+                   CASE WHEN n_found > 0
+                        THEN round(n_hit / CAST(n_found AS DOUBLE), 6)
+                        END AS precision
+            FROM c"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
-    q134, q136, q145, q147, q148)
+    q134, q136, q145, q147, q148, q149)
 }

@@ -65,6 +65,18 @@ class DedupWidthSpec extends SparkSpec {
     assert(viaPlan === pub.collect().toSet)
   }
 
+  test("containmentPairs candidate exchange runs at owned width") {
+    val (res, inter) = Dedup.containmentPairsPlan(docs, "doc_id", "text",
+      3, 0.5, 100, None)
+    val widths = ownedWidths(res)
+    assert(widths.nonEmpty && widths.forall(_ === 1), s"widths: $widths")
+    val viaPlan = res.collect().toSet
+    inter.foreach(_.unpersist(blocking = false))
+    val pub = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+    assert(viaPlan === pub.collect().toSet)
+  }
+
   test("bucketCap engagement reports exactly what it dropped") {
     val same = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     val mass = Seq((1L, same), (2L, same), (3L, same), (4L, same),

@@ -2278,6 +2278,18 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 2L), (3L, 1L), (5L, 0L)))
   }
 
+  test("pairRecall: canonicalizes pair order, counts hits as sets, null on empty denominators") {
+    import graft.operators.Dedup
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("x", "y")
+    val found = Seq((2L, 1L), (2L, 1L), (3L, 4L), (7L, 8L)).toDF("p", "q")
+    val r = Dedup.pairRecall(found, truth).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 2L)))
+    assert(r.getDouble(3) === 0.666667 && r.getDouble(4) === 0.666667)
+    val empty = Seq.empty[(Long, Long)].toDF("p", "q")
+    val r2 = Dedup.pairRecall(empty, truth).head()
+    assert(r2.getLong(0) === 3L && r2.getDouble(3) === 0.0 && r2.isNullAt(4))
+  }
+
   test("containmentPairs: planted prefix scores ~1 one-way where Jaccard is blind") {
     import graft.operators.Dedup
     // doc 2 is a strict 5-token prefix of doc 1's 40 tokens: its
