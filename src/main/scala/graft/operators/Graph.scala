@@ -286,6 +286,78 @@ object Graph {
     } finally pinned.foreach(_.unpersist(blocking = false))
   }
 
+  /** One-row structural profile of a link graph — the shape numbers a
+    * crawl-curation run reads before choosing parameters for
+    * [[pageRank]]/[[triangleStats]]/[[linkPrediction]]:
+    *
+    *  - n_nodes / n_edges: the canonicalized simple-graph size
+    *    ([[undirectedSimple]]);
+    *  - reciprocity: fraction of directed non-loop edges whose
+    *    reverse also exists (mutual linking — near 0 for true
+    *    hierarchies, near 1 for social-ish graphs);
+    *  - max/avg degree: the skew headline (avg = 2m/n);
+    *  - degree assortativity r (Newman, PRL 2002, eq. 4): the Pearson
+    *    correlation of endpoint degrees over undirected edges —
+    *    negative means hubs link to leaves (the typical web shape),
+    *    positive means hubs cluster.
+    *
+    * Every sum in r is a sum of INTEGER products (degrees are ints),
+    * so the statistic is exact up to the final pinned double
+    * divisions — stronger than the pageRank rounding story: no
+    * accumulation-order FP at all. r is null for a degree-regular
+    * graph (zero variance — the correlation is undefined, not 0).
+    *
+    * Scale shape: the [[triangleStats]] front (canonicalize + degree
+    * aggregate), one self-join for reciprocity keyed on the edge
+    * pair, two degree joins, one 1-row reduction. Returns (n_nodes,
+    * n_edges, reciprocity, max_degree, avg_degree, assortativity). */
+  def profile(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val cleaned = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct().persist()
+    var pinned: List[DataFrame] = List(cleaned)
+    try {
+      val und = undirectedSimple(cleaned).persist()
+      pinned ::= und
+      val deg = und.select(col("a").as("id"))
+        .unionByName(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d")).persist()
+      pinned ::= deg
+      val recip = cleaned.as("e")
+        .join(cleaned.select(col("src").as("dst"), col("dst").as("src")).as("r"),
+          Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("__nrecip"))
+      val dirTotal = cleaned.agg(count(lit(1)).as("__ndir"))
+      val ends = und
+        .join(deg.select(col("id").as("a"), col("d").as("__j")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("d").as("__k")), Seq("b"))
+      val sums = ends.agg(count(lit(1)).as("__m"),
+        sum(col("__j") * col("__k")).as("__sjk"),
+        sum(col("__j") + col("__k")).as("__sjpk"),
+        sum(col("__j") * col("__j") + col("__k") * col("__k")).as("__sj2k2"))
+      val nodes = deg.agg(count(lit(1)).as("__n"), max("d").as("max_degree"))
+      // Newman eq. 4 with the half-sums folded in: with S1 = Σ(j+k),
+      // S2 = Σ(j²+k²), Sjk = Σjk over M edges,
+      //   r = (Sjk/M − (S1/2M)²) / (S2/2M − (S1/2M)²)
+      val mD = col("__m").cast("double")
+      val mean = col("__sjpk") / (lit(2.0) * mD)
+      val num = col("__sjk") / mD - mean * mean
+      val den = col("__sj2k2") / (lit(2.0) * mD) - mean * mean
+      sums.crossJoin(broadcast(nodes))
+        .crossJoin(broadcast(recip)).crossJoin(broadcast(dirTotal))
+        .select(col("__n").as("n_nodes"), col("__m").as("n_edges"),
+          when(col("__ndir") > 0,
+            round(col("__nrecip") / col("__ndir").cast("double"), 6))
+            .as("reciprocity"),
+          col("max_degree"),
+          when(col("__n") > 0,
+            round(lit(2.0) * mD / col("__n"), 4)).as("avg_degree"),
+          when(den > 0.0, round(num / den, 6)).as("assortativity"))
+        .localCheckpoint()
+    } finally pinned.foreach(_.unpersist(blocking = false))
+  }
+
   /** HITS hubs-and-authorities (Kleinberg, JACM 1999) — [[pageRank]]'s
     * companion for link graphs where pointing WELL matters separately
     * from being pointed AT (directory/hub pages vs content pages):

@@ -161,6 +161,43 @@ object Stats {
     graft.operators.Checkpoints.materialize(out, counts)
   }
 
+  /** Join-key skew profile — the "why is this shuffle slow" audit run
+    * before keying a join or aggregate on a column: the top-N hottest
+    * keys with their share and their multiple of the average key
+    * load, plus the global max-over-avg skew ratio repeated per row
+    * (the [[klDrift]] total convention). A ratio near 1 means uniform
+    * keys; 100× means the hottest task does 100 tasks' work — reach
+    * for [[graft.ops.Relational.saltedJoin]] or AQE skew handling.
+    *
+    * One key-grouped count (map-side combined — the profile costs one
+    * pass regardless of skew), one 1-row reduction, TakeOrdered for
+    * the top-N (count desc, key asc). Counts exact; ratios are
+    * single divisions of integers rounded 4dp/6dp. NULL keys are
+    * profiled too — they hash to one partition like any hot key,
+    * which is exactly why a skew audit must see them (reported via
+    * the key's string rendering, null as "(null)"). Returns
+    * (key, n, share, x_avg, skew_ratio). */
+  def skewProfile(df: DataFrame, keyCol: Column, topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df
+      .groupBy(coalesce(keyCol.cast("string"), lit("(null)")).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val glob = counts.agg(sum("n").as("__tot"), count(lit(1)).as("__k"),
+      max("n").as("__max"))
+    val out = counts
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+      .crossJoin(broadcast(glob))
+      .select(col("key"), col("n"),
+        round(col("n") / col("__tot").cast("double"), 6).as("share"),
+        round(col("n") * col("__k") / col("__tot").cast("double"), 4)
+          .as("x_avg"),
+        round(col("__max") * col("__k") / col("__tot").cast("double"), 4)
+          .as("skew_ratio"))
+    graft.operators.Checkpoints.materialize(out, counts)
+  }
+
   /** Two-proportion z-test for an A/B experiment readout: conversion
     * rates per arm and the pooled z statistic
     *

@@ -1220,7 +1220,30 @@ object BusinessQueries {
             FROM seq WHERE s2 IS NOT NULL
             GROUP BY 1 ORDER BY n_journeys DESC, path LIMIT 20"""))
 
+  /** q151 — join-key skew profile
+    * ([[graft.operators.Stats.skewProfile]]): the hottest supplier
+    * keys on the lineitem fact with share, multiple-of-average, and
+    * the global max/avg skew ratio — the audit that decides between
+    * a plain join and `Relational.saltedJoin`. */
+  private val q151 = Q("q151_skew_profile",
+    (s, d) => graft.operators.Stats.skewProfile(Tables.lineitem(s, d),
+        col("l_suppkey"), topN = 10)
+      .orderBy(col("n").desc, col("key")),
+    Some("""WITH c AS (SELECT coalesce(CAST(l_suppkey AS VARCHAR), '(null)')
+                              AS key,
+                            count(*) AS n
+                       FROM lineitem GROUP BY 1),
+            g AS (SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS k,
+                         max(n) AS mx
+                  FROM c)
+            SELECT key, n, round(n / CAST(tot AS DOUBLE), 6) AS share,
+                   round(n * k / CAST(tot AS DOUBLE), 4) AS x_avg,
+                   round(mx * k / CAST(tot AS DOUBLE), 4) AS skew_ratio
+            FROM (SELECT * FROM c ORDER BY n DESC, key LIMIT 10), g
+            ORDER BY n DESC, key"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
-    q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146)
+    q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146,
+    q151)
 }

@@ -3560,6 +3560,60 @@ object LlmQueries {
             SELECT * FROM v WHERE c_1_in_2 >= 0.8 OR c_2_in_1 >= 0.8
             ORDER BY doc_id_1, doc_id_2"""))
 
+  /** q150 — link-graph structural profile
+    * ([[graft.operators.Graph.profile]]): size, reciprocity, degree
+    * skew, and Newman degree assortativity of the q110 graph — every
+    * sum an integer sum, so the statistic is exact up to the final
+    * pinned divisions the oracle mirrors expression-for-expression. */
+  private val q150 = Q("q150_graph_profile",
+    (s, d) => graft.operators.Graph.profile(linkEdges(s, d), "src", "dst"),
+    Some("""WITH ed AS (
+              SELECT doc_id AS src,
+                     CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),
+                       '|e', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 400 AS dst
+              FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)
+              WHERE doc_id % 5 <> 0),
+            cl AS (SELECT DISTINCT src, dst FROM ed
+                   WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b FROM cl),
+            deg AS (SELECT id, count(*) AS d
+                    FROM (SELECT a AS id FROM und
+                          UNION ALL SELECT b FROM und)
+                    GROUP BY 1),
+            rec AS (SELECT count(*) AS nrecip FROM cl e
+                    WHERE EXISTS (SELECT 1 FROM cl r
+                                  WHERE r.src = e.dst AND r.dst = e.src)),
+            dt AS (SELECT count(*) AS ndir FROM cl),
+            ends AS (SELECT d1.d AS j, d2.d AS k
+                     FROM und JOIN deg d1 ON und.a = d1.id
+                              JOIN deg d2 ON und.b = d2.id),
+            sums AS (SELECT count(*) AS m,
+                            CAST(sum(j * k) AS BIGINT) AS sjk,
+                            CAST(sum(j + k) AS BIGINT) AS sjpk,
+                            CAST(sum(j * j + k * k) AS BIGINT) AS sj2k2
+                     FROM ends),
+            nn AS (SELECT count(*) AS n, max(d) AS max_degree FROM deg),
+            r AS (SELECT m,
+                         sjk / CAST(m AS DOUBLE)
+                           - (sjpk / (2.0 * CAST(m AS DOUBLE)))
+                             * (sjpk / (2.0 * CAST(m AS DOUBLE))) AS num,
+                         sj2k2 / (2.0 * CAST(m AS DOUBLE))
+                           - (sjpk / (2.0 * CAST(m AS DOUBLE)))
+                             * (sjpk / (2.0 * CAST(m AS DOUBLE))) AS den
+                  FROM sums)
+            SELECT n AS n_nodes, m AS n_edges,
+                   CASE WHEN ndir > 0
+                        THEN round(nrecip / CAST(ndir AS DOUBLE), 6)
+                        END AS reciprocity,
+                   max_degree,
+                   CASE WHEN n > 0
+                        THEN round(2.0 * CAST(m AS DOUBLE) / n, 4)
+                        END AS avg_degree,
+                   CASE WHEN den > 0.0 THEN round(num / den, 6)
+                        END AS assortativity
+            FROM r, nn, rec, dt"""))
+
   /** q149 — LSH pair-mining evaluation
     * ([[graft.operators.Dedup.pairRecall]]): the q28 MinHash+LSH
     * miner scored against the q33 exact-Jaccard truth at the same
@@ -3668,5 +3722,5 @@ object LlmQueries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
-    q134, q136, q145, q147, q148, q149)
+    q134, q136, q145, q147, q148, q149, q150)
 }

@@ -2278,6 +2278,37 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 2L), (3L, 1L), (5L, 0L)))
   }
 
+  test("graphProfile: star is perfectly disassortative, regular ring undefined, reciprocity exact") {
+    import graft.operators.Graph
+    // directed square with ONE mutual edge: reciprocity 2/5; all
+    // degrees equal -> assortativity UNDEFINED (null), never 0/0=NaN
+    val square = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("s", "t")
+    val r1 = Graph.profile(square, "s", "t").head()
+    assert(r1.getLong(0) === 4L && r1.getLong(1) === 4L)
+    assert(r1.getDouble(2) === 0.4 && r1.getLong(3) === 2L &&
+      r1.getDouble(4) === 2.0)
+    assert(r1.isNullAt(5))
+    // star: hub degree 3 against three leaves -> r = -1 by hand
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "t")
+    val r2 = Graph.profile(star, "s", "t").head()
+    assert(r2.getDouble(2) === 0.0 && r2.getDouble(5) === -1.0)
+  }
+
+  test("skewProfile: hot key share and ratio exact, null key profiled") {
+    import graft.operators.Stats
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c") ++
+      Seq(null.asInstanceOf[String])).toDF("k")
+    val out = Stats.skewProfile(df, col("k"), topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byKey = out.map(t => t._1 -> t).toMap
+    assert(byKey("a") === (("a", 6L, 0.6, 2.4, 2.4)))
+    assert(byKey("b") === (("b", 2L, 0.2, 0.8, 2.4)))
+    assert(byKey("(null)")._2 === 1L)
+    assert(out.length === 4)
+  }
+
   test("pairRecall: canonicalizes pair order, counts hits as sets, null on empty denominators") {
     import graft.operators.Dedup
     val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("x", "y")
