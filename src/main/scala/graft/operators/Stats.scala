@@ -198,6 +198,110 @@ object Stats {
     graft.operators.Checkpoints.materialize(out, counts)
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) test — the nonparametric A/B
+    * readout for a SKEWED metric (revenue, latency), where
+    * [[twoProportionZ]]'s normal assumptions on means are exactly
+    * what a heavy tail breaks: compare rank sums instead.
+    *
+    *   U_A = R_A − n_A(n_A+1)/2,  z = (U_A − n_A·n_B/2) / σ
+    *   σ² = (n_A·n_B/12)·((n+1) − Σ(t³−t)/(n(n−1)))   (tie-corrected)
+    *
+    * Determinism — the strongest tier in this file: tied values take
+    * the average rank `start + (c−1)/2`, a half-integer exact in a
+    * double; every rank-sum term (count × half-integer) and their sum
+    * stay EXACT doubles (integers/2 under 2^52), and the tie
+    * correction is pure integer sums — so U, μ, σ², z are pinned
+    * arithmetic with no accumulation-order FP anywhere, no
+    * transcendental, no rounding rule doing load-bearing work. z is
+    * null when either arm is empty or σ² = 0 (all values tied).
+    *
+    * Scale shape: one aggregate to the DISTINCT-VALUE grain (value,
+    * count, count-in-A), one window for the cumulative rank start
+    * over that grain (value-cardinality — bounded by the metric's
+    * distinctness, not the corpus), one 1-row reduction. Returns
+    * (n_a, n_b, u_a, z). */
+  def mannWhitneyU(df: DataFrame, inA: Column, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = df
+      .select(inA.cast("boolean").as("__a"), valueCol.as("__v"))
+      .where(col("__a").isNotNull && col("__v").isNotNull &&
+        !isnan(col("__v").cast("double")))
+      .groupBy("__v")
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grain
+      .withColumn("__start", lit(1L) + coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__avgRank",
+        col("__start") + (col("__c") - 1) / lit(2.0))
+    val agg = ranked.agg(
+      sum("__ca").as("n_a"),
+      sum(col("__c") - col("__ca")).as("n_b"),
+      sum(col("__ca") * col("__avgRank")).as("__ra"),
+      sum(col("__c") * col("__c") * col("__c") - col("__c")).as("__ties"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = nA + nB
+    val u = col("__ra") - nA * (nA + 1) / lit(2.0)
+    val mu = nA * nB / lit(2.0)
+    val sigma2 = nA * nB / lit(12.0) *
+      ((n + 1) - col("__ties") / (n * (n - 1)))
+    agg.select(col("n_a"), col("n_b"), round(u, 4).as("u_a"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0.0,
+        round((u - mu) / sqrt(sigma2), 4)).as("z"))
+  }
+
+  /** Population stability index over fixed-width bins — [[klDrift]]'s
+    * companion for NUMERIC columns (the model-monitoring "has this
+    * feature's distribution moved" score; PSI > 0.25 is the classic
+    * re-fit alarm):
+    *
+    *   PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b)
+    *
+    * with add-`k` smoothing so an empty bin on one side contributes a
+    * finite term (the interesting case, as in klDrift). Bins are the
+    * [[histogram]] clamp (below-lo into bin 0, at/above-hi into the
+    * last); null/NaN are not samples.
+    *
+    * Determinism: counts exact; shares pinned divisions; each ln term
+    * rounds 9dp before the ≤ nBins-term sum (the klDrift rule);
+    * total rounds 6dp. One corpus aggregate keyed on (bin), the bins
+    * frame is nBins-sized. Returns one row per bin (bin, bin_lo, n_p,
+    * n_q, psi_term) plus the corpus `psi` repeated (the klDrift
+    * total_kl convention). */
+  def psi(df: DataFrame, pSide: Column, valueCol: Column, lo: Double,
+      hi: Double, nBins: Int, k: Double = 0.5): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need nBins>0 and hi>lo, got $nBins, [$lo,$hi)")
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = (hi - lo) / nBins
+    val bin = greatest(lit(0), least(lit(nBins - 1),
+      floor((valueCol - lo) / width))).cast("long")
+    val allBins = broadcast((0 until nBins).map(_.toLong).toDF("bin"))
+    val counts = df
+      .where(pSide.isNotNull && valueCol.isNotNull &&
+        !isnan(valueCol.cast("double")))
+      .groupBy(bin.as("bin"))
+      .agg(sum(when(pSide, 1L).otherwise(0L)).as("n_p"),
+        sum(when(!pSide, 1L).otherwise(0L)).as("n_q"))
+      .join(allBins, Seq("bin"), "right")
+      .select(col("bin"), coalesce(col("n_p"), lit(0L)).as("n_p"),
+        coalesce(col("n_q"), lit(0L)).as("n_q"))
+      .persist()
+    val tot = counts.agg(sum("n_p").as("__tp"), sum("n_q").as("__tq"))
+    val p = (col("n_p") + k) / (col("__tp") + k * nBins)
+    val q = (col("n_q") + k) / (col("__tq") + k * nBins)
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("psi_term", round((p - q) * log(p / q), 9))
+    val total = terms.agg(round(sum("psi_term"), 6).as("psi"))
+    val out = terms.crossJoin(broadcast(total))
+      .select(col("bin"), round(lit(lo) + col("bin") * width, 6).as("bin_lo"),
+        col("n_p"), col("n_q"), col("psi_term"), col("psi"))
+    graft.operators.Checkpoints.materialize(out, counts)
+  }
+
   /** Two-proportion z-test for an A/B experiment readout: conversion
     * rates per arm and the pooled z statistic
     *

@@ -1242,8 +1242,99 @@ object BusinessQueries {
             FROM (SELECT * FROM c ORDER BY n DESC, key LIMIT 10), g
             ORDER BY n DESC, key"""))
 
+  /** q152 — Mann-Whitney U rank-sum test
+    * ([[graft.operators.Stats.mannWhitneyU]]): order totals across
+    * md5-assigned arms — the nonparametric companion of q144 for a
+    * skewed metric. The oracle replays the distinct-value grain, the
+    * average ranks, the rank sum, and the tie-corrected z
+    * expression-for-expression (every intermediate an exact double). */
+  private val q152 = Q("q152_mann_whitney",
+    (s, d) => graft.operators.Stats.mannWhitneyU(Tables.orders(s, d),
+      pmod(graft.functions.TextFunctions.md5Long(
+        concat(col("o_custkey").cast("string"), lit("|mw"))), lit(2)) === 0,
+      col("o_totalprice")),
+    Some("""WITH v AS (SELECT o_totalprice AS v,
+                              (CAST(('0x' || substr(md5(concat(
+                                 CAST(o_custkey AS VARCHAR), '|mw')), 1, 15))
+                                 AS BIGINT) % 2 = 0) AS a
+                       FROM orders
+                       WHERE o_totalprice IS NOT NULL
+                         AND NOT isnan(o_totalprice)),
+            g AS (SELECT v, count(*) AS c,
+                         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+                           AS ca
+                  FROM v GROUP BY v),
+            r AS (SELECT *,
+                         1 + coalesce(CAST(sum(c) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS BIGINT), 0)
+                           + (c - 1) / 2.0 AS avg_rank
+                  FROM g),
+            s AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                         CAST(sum(c - ca) AS BIGINT) AS n_b,
+                         sum(ca * avg_rank) AS ra,
+                         CAST(sum(c * c * c - c) AS BIGINT) AS ties
+                  FROM r),
+            e AS (SELECT n_a, n_b, ra, ties,
+                         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n
+                  FROM s)
+            SELECT n_a, n_b,
+                   round(ra - na * (na + 1) / 2.0, 4) AS u_a,
+                   CASE WHEN n_a > 0 AND n_b > 0 AND
+                             na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+                               > 0.0
+                        THEN round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                             / sqrt(na * nb / 12.0
+                                 * ((n + 1) - ties / (n * (n - 1)))), 4)
+                        END AS z
+            FROM e"""))
+
+  /** q153 — population stability index
+    * ([[graft.operators.Stats.psi]], 20 bins over [0, 500000), add-½
+    * smoothing): order-total distribution, pre-1998 vs later — the
+    * numeric-feature drift monitor next to q85's token KL. Per-term
+    * 9dp ln rounding, totals 6dp, replayed bin-for-bin. */
+  private val q153 = Q("q153_psi_drift",
+    (s, d) => graft.operators.Stats.psi(Tables.orders(s, d),
+        col("o_orderdate") < lit("1998-01-01").cast("date"),
+        col("o_totalprice"), lo = 0.0, hi = 500000.0, nBins = 20, k = 0.5)
+      .orderBy("bin"),
+    Some("""WITH b AS (SELECT CAST(greatest(0, least(19,
+                              floor((o_totalprice - 0.0) / 25000.0)))
+                              AS BIGINT) AS bin,
+                            (o_orderdate < DATE '1998-01-01') AS p
+                       FROM orders
+                       WHERE o_orderdate IS NOT NULL
+                         AND o_totalprice IS NOT NULL
+                         AND NOT isnan(o_totalprice)),
+            bins AS (SELECT unnest(generate_series(0, 19)) AS bin),
+            c AS (SELECT bins.bin,
+                         coalesce(np, 0) AS n_p, coalesce(nq, 0) AS n_q
+                  FROM bins LEFT JOIN (
+                    SELECT bin,
+                           CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+                             AS np,
+                           CAST(sum(CASE WHEN NOT p THEN 1 ELSE 0 END)
+                             AS BIGINT) AS nq
+                    FROM b GROUP BY 1) x USING (bin)),
+            t AS (SELECT CAST(sum(n_p) AS BIGINT) AS tp,
+                         CAST(sum(n_q) AS BIGINT) AS tq
+                  FROM c),
+            terms AS (SELECT bin, n_p, n_q,
+                             round(((n_p + 0.5) / (tp + 10.0)
+                                    - (n_q + 0.5) / (tq + 10.0))
+                               * ln(((n_p + 0.5) / (tp + 10.0))
+                                    / ((n_q + 0.5) / (tq + 10.0))), 9)
+                               AS psi_term
+                      FROM c, t),
+            tot AS (SELECT round(sum(psi_term), 6) AS psi FROM terms)
+            SELECT bin, round(0.0 + bin * 25000.0, 6) AS bin_lo,
+                   n_p, n_q, psi_term, psi
+            FROM terms, tot ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
     q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146,
-    q151)
+    q151, q152, q153)
 }

@@ -2356,6 +2356,41 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 5L, 2L, 0L, 0.6), (5L, 2L, 1L, 0L, 0.3)))
   }
 
+  test("mannWhitneyU: hand-computed with and without ties, exact rank arithmetic") {
+    import graft.operators.Stats
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // no ties: A = {1,2}, B = {3,4} -> U = 0, z = -2/sqrt(5/3)
+    val df = Seq((true, 1.0), (true, 2.0), (false, 3.0), (false, 4.0))
+      .toDF("a", "v")
+    val r = Stats.mannWhitneyU(df, col("a"), col("v")).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2))
+      === ((2L, 2L, 0.0)))
+    assert(r.getDouble(3) === r4(-2.0 / math.sqrt(5.0 / 3.0)))
+    // ties: A = {1,1}, B = {1,2}: avg rank of the 1s is 2.0,
+    // tie-corrected sigma^2 = 1 exactly -> z = -1
+    val t = Seq((true, 1.0), (true, 1.0), (false, 1.0), (false, 2.0))
+      .toDF("a", "v")
+    val rt = Stats.mannWhitneyU(t, col("a"), col("v")).head()
+    assert(rt.getDouble(2) === 1.0 && rt.getDouble(3) === -1.0)
+    // all values tied: sigma^2 = 0 -> z null
+    val allTied = Seq((true, 5.0), (false, 5.0)).toDF("a", "v")
+    assert(Stats.mannWhitneyU(allTied, col("a"), col("v")).head().isNullAt(3))
+  }
+
+  test("psi: identical sides score exactly 0, a planted shift scores positive") {
+    import graft.operators.Stats
+    val same = ((1 to 50).map(i => (true, i.toDouble)) ++
+      (1 to 50).map(i => (false, i.toDouble))).toDF("p", "v")
+    val r0 = Stats.psi(same, col("p"), col("v"), 0.0, 50.0, 5).head()
+    assert(r0.getAs[Double]("psi") === 0.0)
+    // q-side mass moved into the top bins
+    val shifted = ((1 to 50).map(i => (true, i.toDouble)) ++
+      (1 to 50).map(i => (false, 25.0 + i / 2.0))).toDF("p", "v")
+    val r1 = Stats.psi(shifted, col("p"), col("v"), 0.0, 50.0, 5).head()
+    assert(r1.getAs[Double]("psi") > 0.1)
+  }
+
   test("twoProportionZ: hand-computed z, degenerate variance yields null") {
     import graft.operators.Stats
     def r4(x: Double) =
