@@ -252,6 +252,128 @@ object Stats {
         round((u - mu) / sqrt(sigma2), 4)).as("z"))
   }
 
+  /** Spearman rank correlation ρ between two numeric columns — the
+    * monotone-association screen for metric pairs where Pearson's
+    * linearity assumption is wrong (heavy tails, outliers, saturating
+    * relationships). Tied values take average ranks, then ρ is
+    * Pearson's formula on the ranks:
+    *
+    *   ρ = (n·Σrₓr_y − Σrₓ·Σr_y) / √((n·Σrₓ²−(Σrₓ)²)(n·Σr_y²−(Σr_y)²))
+    *
+    * Determinism — exact-integer end to end: ranks are computed on
+    * the DOUBLED scale `2·avgRank = 2·start + c − 1`, a LONG even
+    * under ties (Pearson is invariant to the linear rescale), so
+    * every per-row product is an exact long and the three sums
+    * accumulate as decimal(38,0) — order-independent, no FP until
+    * the one final pinned expression (cast to double, round 6dp).
+    * ρ is null when either column is constant (zero variance).
+    *
+    * Scale shape: two aggregates to each column's DISTINCT-VALUE
+    * grain, one window per rank table over that grain (value
+    * cardinality, not corpus), two joins back to the rows (each
+    * rank table is value-cardinality-sized — broadcastable for any
+    * real metric), one 1-row reduction. Returns (n, rho). */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .select(xCol.cast("double").as("__x"), yCol.cast("double").as("__y"))
+      .where(col("__x").isNotNull && !isnan(col("__x")) &&
+        col("__y").isNotNull && !isnan(col("__y")))
+      .persist()
+    try {
+      def rankTable(c: String, out: String): DataFrame = {
+        val w = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        rows.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+          .withColumn("__start",
+            lit(1L) + coalesce(sum(col("__c")).over(w), lit(0L)))
+          .select(col(c),
+            (lit(2L) * col("__start") + col("__c") - lit(1L)).as(out))
+      }
+      val withR = rows
+        .join(rankTable("__x", "__rx"), Seq("__x"))
+        .join(rankTable("__y", "__ry"), Seq("__y"))
+      val dec = "decimal(38,0)"
+      val agg = withR.agg(
+        count(lit(1)).as("n"),
+        sum(col("__rx").cast(dec)).as("__sx"),
+        sum(col("__ry").cast(dec)).as("__sy"),
+        sum((col("__rx") * col("__rx")).cast(dec)).as("__sxx"),
+        sum((col("__ry") * col("__ry")).cast(dec)).as("__syy"),
+        sum((col("__rx") * col("__ry")).cast(dec)).as("__sxy"))
+      val n = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val cov = n * d("__sxy") - d("__sx") * d("__sy")
+      val vx = n * d("__sxx") - d("__sx") * d("__sx")
+      val vy = n * d("__syy") - d("__sy") * d("__sy")
+      val out = agg.select(col("n"),
+        when(vx > 0.0 && vy > 0.0,
+          round(cov / sqrt(vx * vy), 6)).as("rho"))
+      Checkpoints.materialize(out)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** Two-sample Kolmogorov-Smirnov test — "did the DISTRIBUTION move"
+    * between two slices, sensitive anywhere on the CDF where
+    * [[mannWhitneyU]] only sees location shift and [[psi]] needs a
+    * binning choice:
+    *
+    *   D = sup_v |F_A(v) − F_B(v)|
+    *
+    * compared against the large-sample 5% critical value
+    * `1.358·√((n_A+n_B)/(n_A·n_B))` (the p-value itself needs the KS
+    * series/erf — libm the replayability rules exclude; D > crit IS
+    * the decision, exactly as q144/q152 read |z| ≥ 1.96).
+    *
+    * Determinism: D's numerator is maximized as the exact INTEGER
+    * `|cumA·n_B − cumB·n_A|` over the distinct-value grain (max of
+    * longs — no FP anywhere in the sup), divided once at the end;
+    * the critical value is one pinned double expression. Both round
+    * 6dp; the reject flag compares the unrounded doubles (identical
+    * in both engines by construction).
+    *
+    * Scale shape: identical to [[mannWhitneyU]] — one aggregate to
+    * the distinct-value grain, one cumulative window over that grain,
+    * one 1-row reduction. Returns (n_a, n_b, d, crit_05, reject_05). */
+  def ksTest(df: DataFrame, inA: Column, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = df
+      .select(inA.cast("boolean").as("__a"), valueCol.as("__v"))
+      .where(col("__a").isNotNull && col("__v").isNotNull &&
+        !isnan(col("__v").cast("double")))
+      .groupBy("__v")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .persist()
+    try {
+      val totals = grain.agg(
+        coalesce(sum("__ca"), lit(0L)).as("n_a"),
+        coalesce(sum("__cb"), lit(0L)).as("n_b"))
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grain
+        .withColumn("__cuma", sum(col("__ca")).over(w))
+        .withColumn("__cumb", sum(col("__cb")).over(w))
+        .crossJoin(broadcast(totals))
+      val dmax = cum
+        .groupBy("n_a", "n_b")
+        .agg(max(abs(col("__cuma") * col("n_b") -
+          col("__cumb") * col("n_a"))).as("__dnum"))
+      val nA = col("n_a").cast("double")
+      val nB = col("n_b").cast("double")
+      val dStat = col("__dnum").cast("double") / (nA * nB)
+      val crit = lit(1.358) * sqrt((nA + nB) / (nA * nB))
+      val out = dmax.select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(dStat, 6)).as("d"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(crit, 6)).as("crit_05"),
+        when(col("n_a") > 0 && col("n_b") > 0, dStat > crit)
+          .as("reject_05"))
+      Checkpoints.materialize(out)
+    } finally grain.unpersist(blocking = false)
+  }
+
   /** Population stability index over fixed-width bins — [[klDrift]]'s
     * companion for NUMERIC columns (the model-monitoring "has this
     * feature's distribution moved" score; PSI > 0.25 is the classic

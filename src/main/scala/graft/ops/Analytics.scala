@@ -380,6 +380,113 @@ object Analytics {
     graft.operators.Checkpoints.materialize(out, daily, pts)
   }
 
+  /** Ordinary-least-squares daily trend per key — [[theilSenDaily]]'s
+    * classical companion (with R², the fit-quality number Theil-Sen
+    * doesn't give), in closed form over the densified daily counts:
+    *
+    *   slope = (T·Σxy − Σx·Σy) / (T·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / T      (x = 0 at the key's
+    *                                         first active day)
+    *   R² = (T·Σxy − ΣxΣy)² / ((T·Σx²−(Σx)²)(T·Σy²−(Σy)²))
+    *
+    * — the [[graft.operators.Stats.zipfFit]] closed-form rule
+    * (`regr_slope`'s streaming internals differ across engines; the
+    * five sums don't). Determinism: x is the day offset and y the
+    * daily COUNT — every sum an exact long (headroom: a 30-year
+    * daily series with 10⁹-event days keeps Σxy under 2^53, far
+    * under long overflow) — and slope/intercept/R² are single pinned
+    * double expressions, rounded 6dp. slope/intercept are null for a
+    * single-day series (zero x-variance), R² additionally null for a
+    * constant series (zero y-variance).
+    *
+    * Scale shape: the [[densifiedDaily]] front, one window min for
+    * the per-key day origin, one grouped aggregate. Returns
+    * (keyCol, n_days, slope, intercept, r2). */
+  def olsDaily(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (dense, daily) = densifiedDaily(events, keyCol, tsCol)
+    val w = Window.partitionBy(col(keyCol))
+    val pts = dense.withColumn("__x",
+      datediff(col("day"), min(col("day")).over(w)).cast("long"))
+    val agg = pts.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("n")).as("__sy"),
+      sum(col("n") * col("n")).as("__syy"),
+      sum(col("__x") * col("n")).as("__sxy"))
+    val t = col("n_days").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cov = t * d("__sxy") - d("__sx") * d("__sy")
+    val vx = t * d("__sxx") - d("__sx") * d("__sx")
+    val vy = t * d("__syy") - d("__sy") * d("__sy")
+    val out = agg.select(col(keyCol), col("n_days"),
+      when(vx > 0.0, round(cov / vx, 6)).as("slope"),
+      when(vx > 0.0,
+        round((d("__sy") - (cov / vx) * d("__sx")) / t, 6)).as("intercept"),
+      when(vx > 0.0 && vy > 0.0,
+        round(cov * cov / (vx * vy), 6)).as("r2"))
+    graft.operators.Checkpoints.materialize(out, daily)
+  }
+
+  /** Classical additive day-of-week seasonal decomposition of the
+    * per-key daily event count — the "is Saturday really our slow
+    * day" readout, and the de-seasonalizing front a weekly-periodic
+    * series needs before [[cusumDaily]]/[[dailyAnomalies]] baselines
+    * mean anything. Per the textbook recipe: trend = centered 7-day
+    * moving average (interior days only — the ±3 window must be
+    * complete), detrended = n − trend, seasonal index per weekday =
+    * mean of detrended, then centered so the seven indices sum to
+    * zero.
+    *
+    * Determinism: the detrended value is kept on the ×7 integer
+    * scale (`7·n − Σ₇n` — exact longs; the /7 never happens until
+    * the end), each weekday's mean is one pinned division, and the
+    * cross-weekday centering mean — a sum of ≤ 7 doubles, where
+    * aggregation order would leak — is folded SEQUENTIALLY over the
+    * weekday-sorted array (the [[kaplanMeier]] rule: identical
+    * doubles in identical order). The weekday key is arithmetic —
+    * `(epochDay + 4) mod 7`, 0 = Sunday — not a locale-dependent
+    * day name. Output rounds 6dp.
+    *
+    * Scale shape: the [[densifiedDaily]] front (the rows-window
+    * trend is correct BECAUSE the series is dense — row distance is
+    * day distance), one 7-row window pass, one (key, dow) aggregate,
+    * one ≤7-element fold per key. Returns (keyCol, dow, n_weeks,
+    * seasonal_raw, seasonal). */
+  def seasonalDowDecompose(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (dense, daily) = densifiedDaily(events, keyCol, tsCol)
+    val pts = dense.withColumn("__ord",
+      datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ord"))
+      .rowsBetween(-3, 3)
+    val det = pts
+      .withColumn("__s7", sum(col("n")).over(w))
+      .withColumn("__c7", count(lit(1)).over(w))
+      .where(col("__c7") === 7)
+      .select(col(keyCol),
+        pmod(col("__ord") + 4, lit(7)).cast("long").as("dow"),
+        (lit(7L) * col("n") - col("__s7")).as("__det7"))
+    val byDow = det.groupBy(col(keyCol), col("dow"))
+      .agg(sum(col("__det7")).as("s7"), count(lit(1)).as("n_weeks"))
+    val ser = byDow.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(
+        struct(col("dow"), col("s7"), col("n_weeks")))).as("__a"))
+      .withColumn("__m", expr(
+        """aggregate(__a, cast(0.0 as double),
+             (acc, p) -> acc + p.s7 / (7.0D * p.n_weeks)) / size(__a)"""))
+    val raw = col("__p.s7") / (lit(7.0) * col("__p.n_weeks"))
+    val out = ser
+      .select(col(keyCol), explode(col("__a")).as("__p"), col("__m"))
+      .select(col(keyCol), col("__p.dow").as("dow"),
+        col("__p.n_weeks").as("n_weeks"),
+        round(raw, 6).as("seasonal_raw"),
+        round(raw - col("__m"), 6).as("seasonal"))
+    graft.operators.Checkpoints.materialize(out, daily)
+  }
+
   /** Two-sided CUSUM changepoint/level-shift detection on the per-key
     * daily event count (Page 1954): against the key's own overall
     * mean μ with slack k, the one-sided sums

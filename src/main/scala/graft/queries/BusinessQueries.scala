@@ -1333,8 +1333,226 @@ object BusinessQueries {
                    n_p, n_q, psi_term, psi
             FROM terms, tot ORDER BY bin"""))
 
+  /** q154 — Spearman rank correlation
+    * ([[graft.operators.Stats.spearman]]): per-customer order count
+    * vs lifetime revenue (cents — exact longs). The oracle replays
+    * the doubled tie-averaged ranks, the decimal-exact sums, and the
+    * one pinned closed-form expression. */
+  private val q154 = Q("q154_spearman",
+    (s, d) => {
+      val perCust = Tables.orders(s, d)
+        .where(col("o_totalprice").isNotNull && !isnan(col("o_totalprice")))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("x"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+      graft.operators.Stats.spearman(perCust, col("x"), col("y"))
+    },
+    Some("""WITH r AS (SELECT CAST(count(*) AS BIGINT) AS x,
+                              CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                AS BIGINT)) AS BIGINT) AS y
+                       FROM orders
+                       WHERE o_totalprice IS NOT NULL
+                         AND NOT isnan(o_totalprice)
+                       GROUP BY o_custkey),
+            gx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY x),
+            rx AS (SELECT x,
+                          CAST(2 * (1 + coalesce(CAST(sum(c) OVER (ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                              AS BIGINT), 0)) + c - 1 AS BIGINT) AS rxv
+                   FROM gx),
+            gy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY y),
+            ry AS (SELECT y,
+                          CAST(2 * (1 + coalesce(CAST(sum(c) OVER (ORDER BY y
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                              AS BIGINT), 0)) + c - 1 AS BIGINT) AS ryv
+                   FROM gy),
+            j AS (SELECT rxv, ryv FROM r JOIN rx USING (x) JOIN ry USING (y)),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(rxv) AS DOUBLE) AS sx,
+                         CAST(sum(ryv) AS DOUBLE) AS sy,
+                         CAST(sum(rxv * rxv) AS DOUBLE) AS sxx,
+                         CAST(sum(ryv * ryv) AS DOUBLE) AS syy,
+                         CAST(sum(rxv * ryv) AS DOUBLE) AS sxy
+                  FROM j),
+            e AS (SELECT n,
+                         CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+                         CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+                         CAST(n AS DOUBLE) * syy - sy * sy AS vy
+                  FROM s)
+            SELECT n, CASE WHEN vx > 0.0 AND vy > 0.0
+                           THEN round(cov / sqrt(vx * vy), 6) END AS rho
+            FROM e"""))
+
+  /** q155 — two-sample Kolmogorov-Smirnov
+    * ([[graft.operators.Stats.ksTest]]): order-total distributions
+    * across md5-assigned arms — the whole-CDF companion of q152's
+    * rank-sum location test. D's sup is maximized as the exact
+    * integer |cumA·n_B − cumB·n_A|; the oracle replays grain,
+    * cumulative counts, and the single final division. */
+  private val q155 = Q("q155_ks_test",
+    (s, d) => graft.operators.Stats.ksTest(Tables.orders(s, d),
+      pmod(graft.functions.TextFunctions.md5Long(
+        concat(col("o_custkey").cast("string"), lit("|ks"))), lit(2)) === 0,
+      col("o_totalprice")),
+    Some("""WITH v AS (SELECT o_totalprice AS v,
+                              (CAST(('0x' || substr(md5(concat(
+                                 CAST(o_custkey AS VARCHAR), '|ks')), 1, 15))
+                                 AS BIGINT) % 2 = 0) AS a
+                       FROM orders
+                       WHERE o_totalprice IS NOT NULL
+                         AND NOT isnan(o_totalprice)),
+            g AS (SELECT v,
+                         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+                           AS ca,
+                         CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT)
+                           AS cb
+                  FROM v GROUP BY v),
+            t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                         CAST(sum(cb) AS BIGINT) AS n_b FROM g),
+            c AS (SELECT CAST(sum(ca) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cuma,
+                         CAST(sum(cb) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cumb
+                  FROM g),
+            m AS (SELECT n_a, n_b,
+                         max(abs(cuma * n_b - cumb * n_a)) AS dnum
+                  FROM c, t GROUP BY n_a, n_b),
+            e AS (SELECT n_a, n_b,
+                         CAST(dnum AS DOUBLE)
+                           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
+                         CAST(1.358 AS DOUBLE)
+                           * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                           AS crit
+                  FROM m)
+            SELECT n_a, n_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN round(d, 6) END AS d,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN round(crit, 6) END
+                     AS crit_05,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN d > crit END
+                     AS reject_05
+            FROM e"""))
+
+  /** q156 — OLS daily trend with R²
+    * ([[graft.ops.Analytics.olsDaily]]): closed-form slope /
+    * intercept / R² per event type over the densified daily counts —
+    * q138's classical companion. Every sum is an exact long; the
+    * oracle replays the five sums and the three pinned expressions. */
+  private val q156 = Q("q156_ols_trend",
+    (s, d) => graft.ops.Analytics.olsDaily(Tables.events(s, d),
+        "event_type", "ts")
+      .orderBy("event_type"),
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            dense AS (
+              SELECT s.event_type, CAST(d AS DATE) AS day
+              FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                    FROM daily GROUP BY 1) s,
+                   unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                     CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+            filled AS (
+              SELECT dense.event_type, dense.day, coalesce(daily.n, 0) AS n
+              FROM dense LEFT JOIN daily USING (event_type, day)),
+            pts AS (
+              SELECT event_type,
+                     CAST(datediff('day', min(day) OVER (PARTITION BY
+                       event_type), day) AS BIGINT) AS x,
+                     CAST(n AS BIGINT) AS y
+              FROM filled),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(sum(x) AS DOUBLE) AS sx,
+                         CAST(sum(x * x) AS DOUBLE) AS sxx,
+                         CAST(sum(y) AS DOUBLE) AS sy,
+                         CAST(sum(y * y) AS DOUBLE) AS syy,
+                         CAST(sum(x * y) AS DOUBLE) AS sxy
+                  FROM pts GROUP BY 1),
+            e AS (SELECT event_type, n_days,
+                         CAST(n_days AS DOUBLE) * sxy - sx * sy AS cov,
+                         CAST(n_days AS DOUBLE) * sxx - sx * sx AS vx,
+                         CAST(n_days AS DOUBLE) * syy - sy * sy AS vy,
+                         sx, sy
+                  FROM s)
+            SELECT event_type, n_days,
+                   CASE WHEN vx > 0.0 THEN round(cov / vx, 6) END AS slope,
+                   CASE WHEN vx > 0.0 THEN round((sy - (cov / vx) * sx)
+                     / CAST(n_days AS DOUBLE), 6) END AS intercept,
+                   CASE WHEN vx > 0.0 AND vy > 0.0
+                        THEN round(cov * cov / (vx * vy), 6) END AS r2
+            FROM e ORDER BY event_type"""))
+
+  /** q157 — day-of-week seasonal decomposition
+    * ([[graft.ops.Analytics.seasonalDowDecompose]]): centered 7-day
+    * MA trend on the ×7 integer scale, per-weekday detrended means,
+    * centering mean folded sequentially (the q143 recursive-CTE
+    * rule). The weekday key is arithmetic ((epochDay+4) mod 7, 0 =
+    * Sunday) — no locale, no engine dayofweek convention. */
+  private val q157 = Q("q157_seasonal_dow",
+    (s, d) => graft.ops.Analytics.seasonalDowDecompose(Tables.events(s, d),
+        "event_type", "ts")
+      .orderBy("event_type", "dow"),
+    Some("""WITH RECURSIVE daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            dense AS (
+              SELECT s.event_type, CAST(d AS DATE) AS day
+              FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                    FROM daily GROUP BY 1) s,
+                   unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                     CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+            filled AS (
+              SELECT dense.event_type, dense.day, coalesce(daily.n, 0) AS n
+              FROM dense LEFT JOIN daily USING (event_type, day)),
+            pts AS (
+              SELECT event_type,
+                     CAST(datediff('day', DATE '1970-01-01', day)
+                       AS BIGINT) AS ord,
+                     CAST(n AS BIGINT) AS n
+              FROM filled),
+            det AS (
+              SELECT event_type, ord, n,
+                     CAST(sum(n) OVER (PARTITION BY event_type ORDER BY ord
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS BIGINT) AS s7,
+                     count(*) OVER (PARTITION BY event_type ORDER BY ord
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+              FROM pts),
+            dd AS (SELECT event_type, (ord + 4) % 7 AS dow,
+                          7 * n - s7 AS det7
+                   FROM det WHERE c7 = 7),
+            bd AS (SELECT event_type, dow,
+                          CAST(sum(det7) AS BIGINT) AS s7,
+                          CAST(count(*) AS BIGINT) AS n_weeks
+                   FROM dd GROUP BY 1, 2),
+            nb AS (SELECT *,
+                          row_number() OVER (PARTITION BY event_type
+                            ORDER BY dow) AS rn,
+                          count(*) OVER (PARTITION BY event_type) AS nd
+                   FROM bd),
+            rec AS (
+              SELECT event_type, rn, nd,
+                     0.0 + CAST(s7 AS DOUBLE) / (7.0 * n_weeks) AS acc
+              FROM nb WHERE rn = 1
+              UNION ALL
+              SELECT nb.event_type, nb.rn, nb.nd,
+                     rec.acc + CAST(nb.s7 AS DOUBLE) / (7.0 * nb.n_weeks)
+              FROM rec JOIN nb ON nb.event_type = rec.event_type
+                              AND nb.rn = rec.rn + 1),
+            m AS (SELECT event_type, acc / nd AS m
+                  FROM rec WHERE rn = nd)
+            SELECT b.event_type, b.dow, b.n_weeks,
+                   round(CAST(b.s7 AS DOUBLE) / (7.0 * b.n_weeks), 6)
+                     AS seasonal_raw,
+                   round(CAST(b.s7 AS DOUBLE) / (7.0 * b.n_weeks) - m.m, 6)
+                     AS seasonal
+            FROM bd b JOIN m USING (event_type)
+            ORDER BY event_type, dow"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
     q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146,
-    q151, q152, q153)
+    q151, q152, q153, q154, q155, q156, q157)
 }

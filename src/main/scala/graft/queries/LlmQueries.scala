@@ -3716,11 +3716,75 @@ object LlmQueries {
                         END AS precision
             FROM c"""))
 
+  /** q158 — multinomial Naive Bayes language classifier
+    * ([[graft.operators.TextClassifier]]): train on the corpus's own
+    * `lang` labels, score every doc, report the confusion matrix plus
+    * the exact nano-unit score checksum. Every log probability is an
+    * integer nano-unit (9dp-absolute ln rounding — the BM25/klDrift
+    * rule), so per-doc scores are exact long sums and the oracle
+    * replays train AND score value-for-value. */
+  private val q158 = Q("q158_nb_lang_classifier",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.operators.TextClassifier.trainNb(
+        docs, "text", "lang", alpha = 1.0)
+      val pred = graft.operators.TextClassifier.scoreNb(
+        docs, "doc_id", "text", model)
+      pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang", "pred_label")
+        .agg(count(lit(1)).as("n"), sum("score_n").as("sum_score_n"))
+        .orderBy("lang", "pred_label")
+    },
+    Some("""WITH docs AS (SELECT doc_id, lang, text FROM documents
+                          WHERE lang IS NOT NULL AND text IS NOT NULL),
+            toks AS (SELECT lang AS label,
+                            unnest(str_split(text, ' ')) AS token
+                     FROM docs),
+            tc AS (SELECT label, token, CAST(count(*) AS BIGINT) AS c
+                   FROM toks GROUP BY 1, 2),
+            ct AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot
+                   FROM tc GROUP BY 1),
+            v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tc),
+            dc AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS nd
+                   FROM docs GROUP BY 1),
+            nt AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM dc),
+            cls AS (SELECT dc.label, nd, tot,
+                           CAST(round(ln(CAST(nd AS DOUBLE) / n) * 1e9, 0)
+                             AS BIGINT) AS prior_n,
+                           CAST(round(ln(1.0 / (tot + 1.0 * v)) * 1e9, 0)
+                             AS BIGINT) AS default_n
+                    FROM dc JOIN ct USING (label), nt, v),
+            lp AS (SELECT tc.label, token,
+                          CAST(round(ln((c + 1.0) / (tot + 1.0 * v)) * 1e9, 0)
+                            AS BIGINT) AS lpn
+                   FROM tc JOIN ct USING (label), v),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+                         FROM docs)
+                   GROUP BY 1, 2),
+            scored AS (SELECT tf.doc_id, cls.label,
+                              max(cls.prior_n)
+                                + CAST(sum(tf.tf * coalesce(lp.lpn,
+                                    cls.default_n)) AS BIGINT) AS score_n
+                       FROM tf CROSS JOIN cls
+                       LEFT JOIN lp ON lp.label = cls.label
+                                   AND lp.token = tf.token
+                       GROUP BY 1, 2),
+            pred AS (SELECT doc_id, label, score_n,
+                            row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_n DESC, label) AS rn
+                     FROM scored)
+            SELECT d.lang, p.label AS pred_label, count(*) AS n,
+                   CAST(sum(p.score_n) AS BIGINT) AS sum_score_n
+            FROM pred p JOIN docs d USING (doc_id)
+            WHERE rn = 1
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
-    q134, q136, q145, q147, q148, q149, q150)
+    q134, q136, q145, q147, q148, q149, q150, q158)
 }

@@ -2723,4 +2723,103 @@ class OperatorSpec extends SparkSpec {
       (1L, 2L, 1L, 1L, 0L),
       (2L, 1L, 1L, 1L, 0L)))
   }
+
+  test("spearman: monotone ±1, hand-computed ties, constant column null") {
+    import graft.operators.Stats
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(Stats.spearman(up, col("x"), col("y")).head().getDouble(1) === 1.0)
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    assert(Stats.spearman(down, col("x"), col("y")).head().getDouble(1)
+      === -1.0)
+    // ties on x: doubled ranks rx2 = (3,3,6), ry2 = (2,4,6);
+    // cov = 18, vx = 18, vy = 24 -> rho = 18/sqrt(432) = 0.866025
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    assert(Stats.spearman(tied, col("x"), col("y")).head().getDouble(1)
+      === 0.866025)
+    // constant x: zero rank variance -> null, n still reported
+    val const = Seq((5L, 1L), (5L, 2L)).toDF("x", "y")
+    val rc = Stats.spearman(const, col("x"), col("y")).head()
+    assert(rc.getLong(0) === 2L && rc.isNullAt(1))
+  }
+
+  test("ksTest: identical D=0, disjoint D=1, interleaved hand-computed") {
+    import graft.operators.Stats
+    val same = Seq((true, 1.0), (true, 2.0), (false, 1.0), (false, 2.0))
+      .toDF("a", "v")
+    val r0 = Stats.ksTest(same, col("a"), col("v")).head()
+    assert(r0.getAs[Double]("d") === 0.0 && !r0.getAs[Boolean]("reject_05"))
+    val disj = Seq((true, 1.0), (true, 2.0), (false, 3.0), (false, 4.0))
+      .toDF("a", "v")
+    val r1 = Stats.ksTest(disj, col("a"), col("v")).head()
+    // D = 1 but n = 2+2 keeps crit at 1.358 — tiny samples never reject
+    assert(r1.getAs[Double]("d") === 1.0 && !r1.getAs[Boolean]("reject_05"))
+    // A={1,3}, B={2,4}: sup at v=1 or 3, |cumA·nB − cumB·nA| = 2 -> D = 0.5
+    val mix = Seq((true, 1.0), (true, 3.0), (false, 2.0), (false, 4.0))
+      .toDF("a", "v")
+    assert(Stats.ksTest(mix, col("a"), col("v")).head()
+      .getAs[Double]("d") === 0.5)
+  }
+
+  test("olsDaily: exact line recovered, constant r2 null, single day null") {
+    import graft.ops.Analytics
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 09:00:00.${i}%06d")
+    // day counts 3, 5, 7 = 2x + 3: a perfect fit
+    val line = Seq(3, 5, 7).zipWithIndex.flatMap { case (c, di) =>
+      (0 until c).map(i => ("a", ts(di + 1, i)))
+    }
+    val r = Analytics.olsDaily(line.toDF("k", "ts"), "k", "ts").head()
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      === ((3L, 2.0, 3.0, 1.0)))
+    // constant series: slope 0, zero y-variance -> r2 null
+    val flat = Seq(4, 4).zipWithIndex.flatMap { case (c, di) =>
+      (0 until c).map(i => ("a", ts(di + 1, i)))
+    }
+    val rf = Analytics.olsDaily(flat.toDF("k", "ts"), "k", "ts").head()
+    assert(rf.getDouble(2) === 0.0 && rf.getDouble(3) === 4.0 && rf.isNullAt(4))
+    // single day: zero x-variance -> everything null, key still present
+    val one = (0 until 2).map(i => ("a", ts(1, i)))
+    val r1 = Analytics.olsDaily(one.toDF("k", "ts"), "k", "ts").head()
+    assert(r1.getLong(1) === 1L && r1.isNullAt(2) && r1.isNullAt(4))
+  }
+
+  test("seasonalDowDecompose: constant series all-zero, bump lands on its dow, centered") {
+    import graft.ops.Analytics
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00.${i}%06d")
+    // constant 21-day series: zero detrended everywhere
+    val flat = (1 to 21).flatMap(d => (0 until 5).map(i => ("a", ts(d, i))))
+    val rf = Analytics.seasonalDowDecompose(flat.toDF("k", "ts"), "k", "ts")
+      .collect()
+    assert(rf.length === 7 && rf.forall(_.getAs[Double]("seasonal") === 0.0))
+    // 2024-01-01 is a Monday (dow 1); bump every Monday by +7
+    val bumped = (1 to 21).flatMap { d =>
+      val c = if ((d - 1) % 7 == 0) 12 else 5
+      (0 until c).map(i => ("a", ts(d, i)))
+    }
+    val out = Analytics.seasonalDowDecompose(bumped.toDF("k", "ts"), "k", "ts")
+      .orderBy("dow").collect()
+    val seasonal = out.map(r => (r.getLong(1), r.getAs[Double]("seasonal")))
+    // centering: the seven indices sum to ~0, Monday carries the max
+    assert(math.abs(seasonal.map(_._2).sum) < 1e-5)
+    assert(seasonal.maxBy(_._2)._1 === 1L)
+  }
+
+  test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
+    import graft.operators.TextClassifier
+    val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
+      (3L, "le chat", "fr"), (4L, "le chien", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val model = TextClassifier.trainNb(train, "text", "lang")
+    // V spans BOTH labels' vocabularies (6 tokens), priors equal
+    assert(model.classes.count() === 2L)
+    val preds = TextClassifier.scoreNb(train, "doc_id", "text", model)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(preds === Array("en", "en", "fr", "fr"))
+    // all-unseen doc: equal priors, equal totals -> equal scores,
+    // tie breaks to the smaller label
+    val novel = Seq((9L, "zz zz")).toDF("doc_id", "text")
+    val p = TextClassifier.scoreNb(novel, "doc_id", "text", model).head()
+    assert(p.getString(1) === "en")
+  }
 }
