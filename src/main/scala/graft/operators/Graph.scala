@@ -428,4 +428,113 @@ object Graph {
       out
     } finally (pinned ++ scratch).foreach(_.unpersist(blocking = false))
   }
+
+  /** Katz centrality (Katz 1953) over a directed edge list — the
+    * walk-counting authority score [[pageRank]]'s random surfer
+    * doesn't compute: every incoming walk contributes, attenuated by
+    * β per hop, so a node fed by long chains of well-fed nodes scores
+    * above one with the same in-degree from nowhere:
+    *
+    *   x'(v) = 1 + β·Σ_{u→v} x(u)
+    *
+    * from x₀ = 1, `iters` synchronous iterations (the truncated
+    * Neumann series Σₖ βᵏ·(Aᵀ)ᵏ·1; β must stay below 1/λ_max for the
+    * full series — at a fixed iteration count any β ∈ (0,1) is
+    * well-defined, the standard practical reading).
+    *
+    * Determinism: the [[pageRank]] rule — state rounds 9dp per
+    * iteration so an oracle unrolls value-for-value; β enters as a
+    * double CAST (engines fold bare decimal literals differently).
+    * Unlike pageRank there is no normalization and no dangling term —
+    * the recurrence is a pure in-neighbor sum, making this the
+    * cheapest of the centrality loops (no 1-row broadcast per round).
+    *
+    * Scale shape: per iteration one src-keyed join + one map-side-
+    * combined dst-keyed aggregate; per-round state through
+    * [[Checkpoints.stableTracked]]. Returns (id, centrality 6dp). */
+  def katz(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, beta: Double = 0.1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(beta > 0.0 && beta < 1.0, s"beta must be in (0,1), got $beta")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
+    val pinned = List(e, nodes)
+    try {
+      var x = Checkpoints.stableTracked(
+        nodes.withColumn("x", lit(1.0)))
+      for (_ <- 1 to iters) {
+        val contribs = e.join(
+            x._1.select(col("id").as("src"), col("x").as("__xs")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum("__xs").as("__c"))
+        val prev = x
+        x = Checkpoints.stableTracked(
+          nodes.join(contribs, Seq("id"), "left")
+            .select(col("id"), round(
+              lit(1.0) + lit(beta) * coalesce(col("__c"), lit(0.0)),
+              9).as("x")))
+        prev._1.unpersist(blocking = false)
+        Checkpoints.drop(prev._1, prev._2)
+      }
+      val out = x._1.select(col("id"), round(col("x"), 6).as("centrality"))
+        .localCheckpoint()
+      Checkpoints.drop(x._1, x._2)
+      out
+    } finally pinned.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Multi-source BFS hop distance — "how many links out from the
+    * trusted core is this page": minimum hop count from any seed,
+    * bounded by `maxHops` (the crawl-frontier depth audit, and the
+    * companion radius diagnostic to [[pageRank]]'s continuous score).
+    * Seeds are reported at distance 0 whether or not they touch the
+    * edge list; nodes unreached within the bound are ABSENT (a
+    * depth-k frontier cannot distinguish "far" from "disconnected",
+    * so it must not invent a sentinel distance).
+    *
+    * Determinism: distances are exact integers — no FP anywhere.
+    *
+    * Scale shape: textbook frontier iteration — per hop, one join of
+    * the CURRENT FRONTIER (not the visited set) against the edge
+    * list, one distinct, one anti join against visited; frontier
+    * state through [[Checkpoints.stableTracked]]. The per-hop
+    * early-exit scalar is a frontier count — the same one-scalar-
+    * per-round shape as the connected-components convergence check.
+    * At 100 TB the frontier join is the dominant cost and is keyed on
+    * src — pre-bucketing edges by src makes every hop co-located.
+    * Returns (id, dist). */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).persist()
+    try {
+      var visited = Checkpoints.stableTracked(
+        seeds.select(col(seeds.columns.head).as("id")).distinct()
+          .withColumn("dist", lit(0L)))
+      var frontier = visited._1
+      var hop = 0
+      var frontierSize = frontier.count()
+      while (hop < maxHops && frontierSize > 0) {
+        hop += 1
+        val next = frontier.join(e, col("id") === col("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited._1, Seq("id"), "left_anti")
+          .withColumn("dist", lit(hop.toLong))
+        val prev = visited
+        visited = Checkpoints.stableTracked(visited._1.unionByName(next))
+        // count the NEW frontier from the materialized union (one
+        // scan of checkpointed state, no recompute of the anti join)
+        frontier = visited._1.where(col("dist") === hop.toLong)
+        frontierSize = frontier.count()
+        prev._1.unpersist(blocking = false)
+        Checkpoints.drop(prev._1, prev._2)
+      }
+      val out = visited._1.localCheckpoint()
+      Checkpoints.drop(visited._1, visited._2)
+      out
+    } finally e.unpersist(blocking = false)
+  }
 }

@@ -3780,11 +3780,81 @@ object LlmQueries {
             WHERE rn = 1
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q159 — Katz centrality ([[graft.operators.Graph.katz]]): 3
+    * attenuated walk-counting iterations at β=0.1 over the q110 link
+    * graph — the in-walk authority score next to q110's random-surfer
+    * rank. 9dp per-iteration rounding; the oracle unrolls all three
+    * iterations with β as a double CAST. */
+  private val q159 = Q("q159_katz_centrality",
+    (s, d) => {
+      graft.operators.Graph.katz(linkEdges(s, d), "src", "dst",
+          iters = 3, beta = 0.1)
+        .orderBy(col("centrality").desc, col("id")).limit(50)
+    },
+    Some("""WITH ed AS (
+              SELECT doc_id AS src,
+                     CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),
+                       '|e', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 400 AS dst
+              FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)
+              WHERE doc_id % 5 <> 0),
+            nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+            x0 AS (SELECT id, CAST(1 AS DOUBLE) AS x FROM nodes),
+            c1 AS (SELECT ed.dst AS id, sum(x0.x) AS c
+                   FROM ed JOIN x0 ON ed.src = x0.id GROUP BY 1),
+            x1 AS (SELECT nodes.id,
+                          round(CAST(1 AS DOUBLE)
+                            + CAST(0.1 AS DOUBLE) * coalesce(c.c, 0.0), 9) AS x
+                   FROM nodes LEFT JOIN c1 c USING (id)),
+            c2 AS (SELECT ed.dst AS id, sum(x1.x) AS c
+                   FROM ed JOIN x1 ON ed.src = x1.id GROUP BY 1),
+            x2 AS (SELECT nodes.id,
+                          round(CAST(1 AS DOUBLE)
+                            + CAST(0.1 AS DOUBLE) * coalesce(c.c, 0.0), 9) AS x
+                   FROM nodes LEFT JOIN c2 c USING (id)),
+            c3 AS (SELECT ed.dst AS id, sum(x2.x) AS c
+                   FROM ed JOIN x2 ON ed.src = x2.id GROUP BY 1),
+            x3 AS (SELECT nodes.id,
+                          round(CAST(1 AS DOUBLE)
+                            + CAST(0.1 AS DOUBLE) * coalesce(c.c, 0.0), 9) AS x
+                   FROM nodes LEFT JOIN c3 c USING (id))
+            SELECT id, round(x, 6) AS centrality FROM x3
+            ORDER BY centrality DESC, id LIMIT 50"""))
+
+  /** q160 — multi-source BFS hop distance
+    * ([[graft.operators.Graph.bfsDistances]]): hops from the
+    * doc_id%101 seed set over the q110 link graph, bounded at 3 —
+    * exact integer distances, unreached nodes absent. The oracle is
+    * the textbook recursive walk with a min-distance rollup. */
+  private val q160 = Q("q160_bfs_distance",
+    (s, d) => {
+      val seeds = Tables.documents(s, d)
+        .filter(col("doc_id") % 101 === 0).select(col("doc_id").as("id"))
+      graft.operators.Graph.bfsDistances(linkEdges(s, d), "src", "dst",
+          seeds, maxHops = 3)
+        .orderBy("dist", "id")
+    },
+    Some("""WITH RECURSIVE ed AS (
+              SELECT doc_id AS src,
+                     CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),
+                       '|e', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 400 AS dst
+              FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)
+              WHERE doc_id % 5 <> 0),
+            seeds AS (SELECT DISTINCT doc_id AS id FROM documents
+                      WHERE doc_id % 101 = 0),
+            walk AS (
+              SELECT id, 0 AS d FROM seeds
+              UNION ALL
+              SELECT ed.dst AS id, walk.d + 1
+              FROM walk JOIN ed ON ed.src = walk.id
+              WHERE walk.d < 3)
+            SELECT id, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY 1 ORDER BY dist, id"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
-    q134, q136, q145, q147, q148, q149, q150, q158)
+    q134, q136, q145, q147, q148, q149, q150, q158, q159, q160)
 }

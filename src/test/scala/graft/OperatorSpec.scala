@@ -2805,6 +2805,34 @@ class OperatorSpec extends SparkSpec {
     assert(seasonal.maxBy(_._2)._1 === 1L)
   }
 
+  test("katz: path graph hand-computed, attenuation per hop") {
+    import graft.operators.Graph
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    // beta = 0.5: x(a)=1, x(b)=1.5, x(c)=1+0.5*1.5=1.75 at convergence
+    val out = Graph.katz(e, "s", "d", iters = 3, beta = 0.5)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out === Array((1L, 1.0), (2L, 1.5), (3L, 1.75)))
+  }
+
+  test("bfsDistances: chain depths exact, bound respected, cycle terminates early") {
+    import graft.operators.Graph
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("id")
+    val out = Graph.bfsDistances(chain, "s", "d", seeds, maxHops = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // nodes past the bound are ABSENT, not sentinel-valued
+    assert(out === Array((1L, 0L), (2L, 1L), (3L, 2L)))
+    // 2-cycle: frontier empties after hop 1, loop exits before maxHops
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val oc = Graph.bfsDistances(cyc, "s", "d", seeds, maxHops = 5)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(oc === Array((1L, 0L), (2L, 1L)))
+    // an isolated seed is still reported at distance 0
+    val iso = Graph.bfsDistances(chain, "s", "d", Seq(99L).toDF("id"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(iso === Array((99L, 0L)))
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
