@@ -58,6 +58,41 @@ object TextFunctions {
     }
   }
 
+  /** Sentence count for readability: terminal-punctuation runs, with
+    * a floor of 1 (prose without periods is one long sentence, not a
+    * division by zero). RE2-compatible. */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+
+  /** Syllable estimate: vowel-group runs (the classic cheap proxy —
+    * "readability" counts relative syllable load, and vowel groups
+    * track it closely enough to rank documents). Case-insensitive via
+    * the lowered text. */
+  def syllableCount(text: Column): Column =
+    regexp_count(lower(text), lit("[aeiouy]+"))
+
+  /** Flesch reading-ease score
+    * (206.835 − 1.015·words/sentences − 84.6·syllables/words): the
+    * standard prose-difficulty readout — a quality-filter feature
+    * next to [[qualityScore]] (very low scores flag boilerplate /
+    * machine text; "very high" flags word-salad). Pure pinned
+    * arithmetic over three exact integer counts — replayable
+    * anywhere; null-safe via the ≥1 floors. */
+  def fleschReadingEase(text: Column): Column = {
+    val words = greatest(tokenCount(text), lit(1)).cast("double")
+    val sentences = sentenceCount(text).cast("double")
+    val syllables = syllableCount(text).cast("double")
+    lit(206.835) - lit(1.015) * (words / sentences) -
+      lit(84.6) * (syllables / words)
+  }
+
+  /** Mojibake/encoding-damage signal: count of Unicode replacement
+    * characters (U+FFFD — a decoder already gave up) plus C1 control
+    * bytes (U+0080–U+009F — the classic latin-1/cp1252-as-utf8
+    * smudge). Any nonzero count marks a doc for re-decode or drop. */
+  def mojibakeCount(text: Column): Column =
+    regexp_count(text, lit("[\\x{FFFD}\\x{0080}-\\x{009F}]"))
+
   /** Content fingerprint: 16-hex-char prefix of md5 over the
     * whitespace-normalized lowercase text (document identity for
     * exact-dedup; SURVEY F1's scheme generalized). */

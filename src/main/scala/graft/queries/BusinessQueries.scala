@@ -1551,8 +1551,116 @@ object BusinessQueries {
             FROM bd b JOIN m USING (event_type)
             ORDER BY event_type, dow"""))
 
+  /** q161 — Z-order data-layout audit ([[graft.ops.Layout]]): orders
+    * quantized on (orderdate, totalprice) to 8 bits each, Morton-
+    * interleaved, grouped by the top-8-bit key prefix. Each prefix
+    * bucket covers a ≤16×16-cell rectangle — the min/max spans ARE
+    * the file-stats pruning guarantee a Z-ordered write gives both
+    * dimensions. Pure integer bit arithmetic, identical in SQL. */
+  private val q161 = Q("q161_zorder_layout",
+    (s, d) => {
+      import graft.ops.Layout
+      val qd = Layout.quantize(
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")),
+        0.0, 2560.0, 8)
+      val qp = Layout.quantize(col("o_totalprice"), 0.0, 600000.0, 8)
+      Tables.orders(s, d)
+        .where(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+        .select(qd.as("qd"), qp.as("qp"))
+        .withColumn("bucket",
+          shiftright(Layout.zOrderKey(col("qd"), col("qp"), 8), 8))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("qd").as("min_qd"), max("qd").as("max_qd"),
+          min("qp").as("min_qp"), max("qp").as("max_qp"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH q AS (
+              SELECT greatest(0, least(255, CAST(floor(
+                       datediff('day', DATE '1992-01-01', o_orderdate)
+                         / 10.0) AS BIGINT))) AS qd,
+                     greatest(0, least(255, CAST(floor(
+                       o_totalprice / 2343.75) AS BIGINT))) AS qp
+              FROM orders
+              WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+            z AS (SELECT qd, qp,
+                         (${graft.ops.Layout.zOrderKeySql("qd", "qp", 8)})
+                           >> 8 AS bucket
+                  FROM q)
+            SELECT bucket, count(*) AS n,
+                   min(qd) AS min_qd, max(qd) AS max_qd,
+                   min(qp) AS min_qp, max(qp) AS max_qp
+            FROM z GROUP BY 1 ORDER BY 1"""))
+
+  /** The q163 compared-field set: weights are driver-computed
+    * nano-unit literals shared verbatim with the oracle SQL — no
+    * transcendental in either engine's plan. */
+  private val fsFields = Seq(
+    graft.ops.Linkage.Field("name", "c_name", "r_name", 0.95, 0.001),
+    graft.ops.Linkage.Field("acct", "c_acctbal", "r_acct", 0.9, 0.001),
+    graft.ops.Linkage.Field("mkt", "c_mktsegment", "r_mkt", 0.9, 0.2))
+
+  /** q163 — Fellegi-Sunter record linkage
+    * ([[graft.ops.Linkage.linkBlocked]]): customers against a
+    * perturbed copy (every 3rd name uppercased, every 5th balance
+    * nudged), blocked on nation. Twins with ONE damaged field still
+    * clear the threshold on the remaining evidence; twins with both
+    * damaged are honest false negatives. Scores are exact long sums
+    * of interpolated literal weights. */
+  private val q163 = Q("q163_record_linkage",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val right = cust.select(
+        (col("c_custkey") + 1000000).as("r_key"),
+        when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("r_name"),
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 0.01)
+          .otherwise(col("c_acctbal")).as("r_acct"),
+        col("c_mktsegment").as("r_mkt"), col("c_nationkey").as("r_nat"))
+      graft.ops.Linkage.linkBlocked(cust, right, "c_custkey", "r_key",
+          col("c_nationkey"), col("r_nat"), fsFields,
+          thresholdNano = 4000000000L)
+        .groupBy("is_match")
+        .agg(count(lit(1)).as("n_pairs"), sum("score_n").as("sum_score_n"),
+          sum(when(col("agree_name"), 1L).otherwise(0L)).as("n_name_agree"))
+        .orderBy("is_match")
+    },
+    Some(s"""WITH r AS (
+              SELECT c_custkey + 1000000 AS r_key,
+                     CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+                          ELSE c_name END AS r_name,
+                     CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.01
+                          ELSE c_acctbal END AS r_acct,
+                     c_mktsegment AS r_mkt, c_nationkey AS r_nat
+              FROM customer),
+            p AS (SELECT CASE WHEN l.c_name IS NULL OR r.r_name IS NULL
+                              THEN NULL ELSE l.c_name = r.r_name END AS a_name,
+                         CASE WHEN l.c_acctbal IS NULL OR r.r_acct IS NULL
+                              THEN NULL ELSE l.c_acctbal = r.r_acct END AS a_acct,
+                         CASE WHEN l.c_mktsegment IS NULL OR r.r_mkt IS NULL
+                              THEN NULL
+                              ELSE l.c_mktsegment = r.r_mkt END AS a_mkt
+                  FROM customer l JOIN r ON l.c_nationkey = r.r_nat),
+            sc AS (SELECT a_name,
+                          (CASE WHEN a_name IS NULL THEN 0
+                                WHEN a_name THEN ${fsFields(0).agreeNano}
+                                ELSE ${fsFields(0).disagreeNano} END)
+                        + (CASE WHEN a_acct IS NULL THEN 0
+                                WHEN a_acct THEN ${fsFields(1).agreeNano}
+                                ELSE ${fsFields(1).disagreeNano} END)
+                        + (CASE WHEN a_mkt IS NULL THEN 0
+                                WHEN a_mkt THEN ${fsFields(2).agreeNano}
+                                ELSE ${fsFields(2).disagreeNano} END) AS score_n
+                   FROM p)
+            SELECT (score_n >= 4000000000) AS is_match,
+                   count(*) AS n_pairs,
+                   CAST(sum(score_n) AS BIGINT) AS sum_score_n,
+                   CAST(sum(CASE WHEN a_name THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_name_agree
+            FROM sc GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
     q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146,
-    q151, q152, q153, q154, q155, q156, q157)
+    q151, q152, q153, q154, q155, q156, q157, q161, q163)
 }

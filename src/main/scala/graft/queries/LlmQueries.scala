@@ -3850,11 +3850,49 @@ object LlmQueries {
             SELECT id, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY 1 ORDER BY dist, id"""))
 
+  /** q162 — readability + encoding-damage metrics
+    * ([[graft.functions.TextFunctions.fleschReadingEase]] /
+    * [[graft.functions.TextFunctions.mojibakeCount]]): Flesch
+    * reading ease from three exact regex counts, plus the
+    * replacement-char/C1-control mojibake count — the q26 map-pass
+    * family extended with the standard prose-difficulty filter. All
+    * RE2-compatible patterns, replayed verbatim. */
+  private val q162 = Q("q162_readability",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      val t = col("text")
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 80)
+        .select(col("doc_id"),
+          tokenCount(t).cast("long").as("words"),
+          sentenceCount(t).cast("long").as("sentences"),
+          syllableCount(t).cast("long").as("syllables"),
+          round(fleschReadingEase(t), 4).as("flesch"),
+          mojibakeCount(t).cast("long").as("mojibake_cnt"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+            CAST(len(str_split(text, ' ')) AS BIGINT) AS words,
+            CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS sentences,
+            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS syllables,
+            round(206.835
+              - 1.015 * (CAST(greatest(len(str_split(text, ' ')), 1)
+                  AS DOUBLE)
+                / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+              - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                  '[aeiouy]+')) AS DOUBLE)
+                / greatest(len(str_split(text, ' ')), 1)), 4) AS flesch,
+            CAST(len(regexp_extract_all(text,
+              '[\x{FFFD}\x{0080}-\x{009F}]')) AS BIGINT) AS mojibake_cnt
+            FROM documents WHERE doc_id < 80 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
-    q134, q136, q145, q147, q148, q149, q150, q158, q159, q160)
+    q134, q136, q145, q147, q148, q149, q150, q158, q159, q160, q162)
 }

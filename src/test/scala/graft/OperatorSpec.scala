@@ -2833,6 +2833,73 @@ class OperatorSpec extends SparkSpec {
     assert(iso === Array((99L, 0L)))
   }
 
+  test("zOrderKey: interleave exact, prefix buckets bound both dims, clamp at edges") {
+    import graft.ops.Layout
+    // (qx=0b11, qy=0b01) -> bits x at 0,2; y at 1: 1 + 2 + 4 = 0b0111...
+    // x=3: bit0->k0, bit1->k2 (1+4=5); y=1: bit0->k1 (2) => key 7
+    val r = Seq((3L, 1L)).toDF("x", "y")
+      .select(Layout.zOrderKey(col("x"), col("y"), 4).as("k")).head()
+    assert(r.getLong(0) === 7L)
+    // quantize clamps outliers into edge cells
+    val q = Seq((-5.0, 999.0)).toDF("a", "b")
+      .select(Layout.quantize(col("a"), 0.0, 16.0, 4).as("qa"),
+        Layout.quantize(col("b"), 0.0, 16.0, 4).as("qb")).head()
+    assert((q.getLong(0), q.getLong(1)) === ((0L, 15L)))
+    // locality: within a top-(2k)-bit prefix bucket, each dim spans
+    // < 2^(bits-k) cells — the file-stats pruning guarantee
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+      .withColumn("bucket",
+        shiftright(Layout.zOrderKey(col("x"), col("y"), 5), 4))
+      .groupBy("bucket")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+    val worst = grid.agg(max("sx"), max("sy")).head()
+    assert(worst.getLong(0) < 8L && worst.getLong(1) < 8L)
+  }
+
+  test("readability: flesch hand-computed, mojibake counts damage") {
+    import graft.functions.TextFunctions._
+    // "go now. stop!" -> words 3, sentences 2, vowel groups: o,o,o = 3
+    val r = Seq("go now. stop!").toDF("t")
+      .select(tokenCount(col("t")).as("w"), sentenceCount(col("t")).as("s"),
+        syllableCount(col("t")).as("sy"),
+        round(fleschReadingEase(col("t")), 4).as("f")).head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((3, 2, 3)))
+    assert(r.getDouble(3) ===
+      BigDecimal(206.835 - 1.015 * 1.5 - 84.6).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val m = Seq("ok � bad  text").toDF("t")
+      .select(mojibakeCount(col("t"))).head().getInt(0)
+    assert(m === 2)
+    assert(Seq("clean ascii").toDF("t")
+      .select(mojibakeCount(col("t"))).head().getInt(0) === 0)
+  }
+
+  test("fellegi-sunter: evidence sums exact, nulls contribute zero, threshold decides") {
+    import graft.ops.Linkage
+    val fields = Seq(Linkage.Field("nm", "ln", "rn", 0.9, 0.1),
+      Linkage.Field("ph", "lp", "rp", 0.8, 0.2))
+    val wNmA = fields(0).agreeNano; val wNmD = fields(0).disagreeNano
+    val wPhA = fields(1).agreeNano
+    val left = Seq((1L, "k", "ann", "555"), (2L, "k", "bob", "666"),
+      (3L, "k", null.asInstanceOf[String], "777")).toDF("id", "bk", "ln", "lp")
+    val right = Seq((10L, "k", "ann", "555"), (11L, "k", "ann", "777"))
+      .toDF("rid", "bk", "rn", "rp")
+    val out = Linkage.linkBlocked(left, right, "id", "rid",
+        col("bk"), col("bk"), fields, thresholdNano = wNmA)
+      .orderBy("left_id", "right_id").collect()
+    // (1,10): both agree; (1,11): name agrees, phone disagrees;
+    // (3, 11): null name -> zero evidence + phone agrees
+    val byPair = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(byPair((1L, 10L)) === ((wNmA + wPhA, true)))
+    assert(byPair((1L, 11L))._1 === wNmA + fields(1).disagreeNano)
+    assert(byPair((3L, 11L)) === ((0L + wPhA, false)))
+    assert(byPair((2L, 10L))._1 === wNmD + fields(1).disagreeNano)
+    // weights are exact literals: ln(0.9/0.1) in nano-units
+    assert(wNmA === math.round(math.log(9.0) * 1e9))
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
