@@ -160,6 +160,30 @@ object Tfidf {
     * only — positions 1-BASED (the SQL/DuckDB list convention, so
     * oracle replays need no off-by-one). Exact integers throughout;
     * no FP anywhere. */
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the word-adjacency graph — a corpus-level keyword
+    * ranking that, unlike [[topTerms]]' frequency weighting, rewards
+    * words that CONNECT (a term bridging many contexts outranks one
+    * repeated in a single template). Composition, not new machinery:
+    * adjacent lowercased token pairs (via the codegen'd
+    * [[graft.functions.ShinglesExpr]] at n=2, duplicates KEPT — a
+    * pair seen 50× contributes 50 parallel edges, which under
+    * [[Graph.pageRank]]'s row-counted out-degree IS edge-weighted
+    * PageRank), mirrored both ways (the undirected reading), self
+    * loops dropped. Determinism and scale shape are pageRank's own.
+    * Returns its (id, rank) — id is the word. */
+  def textRank(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    import graft.functions.TextFunctions.posWordShingles
+    val bg = docs
+      .select(explode(posWordShingles(lower(col(textCol)), 2)).as("__bg"))
+      .select(split(col("__bg"), " ").getItem(0).as("src"),
+        split(col("__bg"), " ").getItem(1).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val edges = bg.unionByName(
+      bg.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(edges, "src", "dst", iters)
+  }
+
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch needs at least one token")

@@ -3888,11 +3888,64 @@ object LlmQueries {
               '[\x{FFFD}\x{0080}-\x{009F}]')) AS BIGINT) AS mojibake_cnt
             FROM documents WHERE doc_id < 80 ORDER BY doc_id"""))
 
+  /** q164 — TextRank keywords ([[graft.operators.Tfidf.textRank]]):
+    * PageRank (2 iterations, d=0.85) over the mirrored word-adjacency
+    * graph with duplicate pairs kept as edge weights. The oracle
+    * rebuilds the bigram graph positionally (generate_subscripts) and
+    * unrolls both iterations exactly as q110. */
+  private val q164 = Q("q164_textrank_keywords",
+    (s, d) => {
+      graft.operators.Tfidf.textRank(Tables.documents(s, d), "text", iters = 2)
+        .orderBy(col("rank").desc, col("id")).limit(40)
+    },
+    Some("""WITH tk AS (SELECT doc_id, str_split(lower(text), ' ') AS t
+                        FROM documents),
+            toks AS (SELECT doc_id, t[i] AS w, i
+                     FROM tk, unnest(range(1, len(t) + 1)) AS u(i)),
+            bg AS (SELECT a.w AS w1, b.w AS w2
+                   FROM toks a JOIN toks b
+                     ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   WHERE a.w <> b.w),
+            ed AS (SELECT w1 AS src, w2 AS dst FROM bg
+                   UNION ALL
+                   SELECT w2, w1 FROM bg),
+            nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            od AS (SELECT src AS id, count(*) AS outdeg FROM ed GROUP BY 1),
+            r0 AS (SELECT id, round(CAST(1 AS DOUBLE) / n, 9) AS r
+                   FROM nodes, nn),
+            dm0 AS (SELECT coalesce(sum(r), 0.0) AS dm
+                    FROM r0 LEFT JOIN od USING (id) WHERE outdeg IS NULL),
+            c0 AS (SELECT ed.dst AS id, sum(r0.r / od.outdeg) AS c
+                   FROM ed JOIN r0 ON ed.src = r0.id JOIN od ON ed.src = od.id
+                   GROUP BY 1),
+            r1 AS (SELECT nodes.id,
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                              * (CAST(1 AS DOUBLE) / n)
+                            + CAST(0.85 AS DOUBLE)
+                              * (coalesce(c.c, 0.0)
+                                 + dm0.dm * (CAST(1 AS DOUBLE) / n)), 9) AS r
+                   FROM nodes LEFT JOIN c0 c USING (id), nn, dm0),
+            dm1 AS (SELECT coalesce(sum(r), 0.0) AS dm
+                    FROM r1 LEFT JOIN od USING (id) WHERE outdeg IS NULL),
+            c1 AS (SELECT ed.dst AS id, sum(r1.r / od.outdeg) AS c
+                   FROM ed JOIN r1 ON ed.src = r1.id JOIN od ON ed.src = od.id
+                   GROUP BY 1),
+            r2 AS (SELECT nodes.id,
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                              * (CAST(1 AS DOUBLE) / n)
+                            + CAST(0.85 AS DOUBLE)
+                              * (coalesce(c.c, 0.0)
+                                 + dm1.dm * (CAST(1 AS DOUBLE) / n)), 9) AS r
+                   FROM nodes LEFT JOIN c1 c USING (id), nn, dm1)
+            SELECT id, round(r, 6) AS rank FROM r2
+            ORDER BY rank DESC, id LIMIT 40"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
-    q134, q136, q145, q147, q148, q149, q150, q158, q159, q160, q162)
+    q134, q136, q145, q147, q148, q149, q150, q158, q159, q160, q162, q164)
 }

@@ -2900,6 +2900,21 @@ class OperatorSpec extends SparkSpec {
     assert(wNmA === math.round(math.log(9.0) * 1e9))
   }
 
+  test("textRank: bridging hub outranks leaves, symmetric pair ties") {
+    import graft.operators.Tfidf
+    // "x" adjacent to three distinct words: the connector wins
+    val docs = Seq("x a", "x b", "x c").toDF("text")
+    val out = Tfidf.textRank(docs, "text", iters = 3)
+      .orderBy(col("rank").desc, col("id")).collect()
+    assert(out.head.getString(0) === "x")
+    assert(out.tail.map(_.getDouble(1)).distinct.length === 1) // a=b=c
+    // symmetric two-word graph: equal ranks; self-adjacency dropped
+    val pair = Seq("p q p q", "r r r").toDF("text")
+    val op = Tfidf.textRank(pair, "text", iters = 2).collect()
+    assert(op.map(_.getString(0)).sorted === Array("p", "q")) // r isolated
+    assert(op.map(_.getDouble(1)).distinct.length === 1)
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
