@@ -568,6 +568,86 @@ object Stats {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** Calibration (reliability) table for a [0,1]-scored binary
+    * classifier: per score bin, predicted-probability mean vs
+    * observed positive rate — the "does 0.8 mean 80%" check that AUC
+    * (pure ranking) cannot see. Bins are the [[histogram]] clamp over
+    * [0,1).
+    *
+    * Determinism: the per-bin mean of predictions — a sum of doubles,
+    * where accumulation order would leak — is summed in exact MICRO-
+    * unit longs (`round(score·1e6)`; scores at 6dp are exact in that
+    * grid), so every aggregate is integer-exact and the two output
+    * rates are pinned divisions rounded 6dp. Empty bins are absent
+    * (a reliability plot has no point there). One corpus aggregate.
+    * Returns (bin, n, n_pos, mean_pred, frac_pos). */
+  def calibration(df: DataFrame, scoreCol: Column, labelCol: Column,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val s = scoreCol.cast("double")
+    val rows = df
+      .select(s.as("__s"), labelCol.cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && !isnan(col("__s")) &&
+        col("__y").isNotNull)
+    val bin = greatest(lit(0L), least(lit(nBins - 1L),
+      floor(col("__s") * nBins).cast("long")))
+    rows.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(round(col("__s") * 1e6, 0).cast("long")).as("__sm"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__sm") / (col("n").cast("double") * 1e6), 6)
+          .as("mean_pred"),
+        round(col("n_pos") / col("n").cast("double"), 6).as("frac_pos"))
+  }
+
+  /** Jensen-Shannon divergence between two corpus slices' token
+    * distributions — [[klDrift]]'s SYMMETRIC, bounded companion
+    * (JS ∈ [0, ln 2]; KL is infinite-tailed and direction-dependent,
+    * so "new crawl vs corpus" and "corpus vs new crawl" disagree —
+    * a drift DASHBOARD wants one bounded number):
+    *
+    *   JS(p,q) = ½·KL(p ‖ m) + ½·KL(q ‖ m),   m = (p+q)/2
+    *
+    * with the same add-`k` smoothing. Determinism: counts exact,
+    * shares pinned, each token's combined term rounds 9dp before the
+    * sum (the klDrift rule), total 6dp. Same scale shape as klDrift:
+    * one token-keyed aggregate, a vocabulary-sized term frame, one
+    * 1-row reduction. Returns top-`topN` driving tokens with the
+    * corpus total repeated. */
+  def jsDrift(docs: DataFrame, textCol: String, pSide: Column,
+      k: Double = 0.5, topN: Int = 20): DataFrame = {
+    require(k > 0.0 && topN > 0, s"need k>0, topN>0; got k=$k topN=$topN")
+    import graft.functions.TextFunctions.tokens
+    val toks = docs.select(pSide.as("__p"), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(sum(when(col("__p"), 1L).otherwise(0L)).as("c_p"),
+        sum(when(!col("__p"), 1L).otherwise(0L)).as("c_q"))
+      .persist()
+    try {
+      val scalars = counts.agg(sum("c_p"), sum("c_q"), count(lit(1))).head()
+      if (scalars.isNullAt(0)) counts.limit(0)
+        .select(col("token"), col("c_p"), col("c_q"),
+          lit(0.0).as("js_term"), lit(0.0).as("total_js"))
+      else {
+        val Array(nP, nQ, v) =
+          scalars.toSeq.map(x => x.asInstanceOf[Long]).toArray
+        val p = (col("c_p") + k) / lit(nP + k * v)
+        val q = (col("c_q") + k) / lit(nQ + k * v)
+        val m = (p + q) / lit(2.0)
+        val contrib = counts.withColumn("js_term",
+          round(lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m), 9))
+        val total = contrib.agg(round(sum("js_term"), 6).as("total_js"))
+        Checkpoints.materialize(contrib
+          .orderBy(col("js_term").desc, col("token"))
+          .limit(topN)
+          .crossJoin(broadcast(total))
+          .select(col("token"), col("c_p"), col("c_q"),
+            col("js_term"), col("total_js")))
+      }
+    } finally counts.unpersist(blocking = false)
+  }
+
   /** Zipf fit of the token frequency distribution — the corpus-health
     * statistic (natural language follows `freq ∝ rank^(-s)` with
     * s ≈ 1; machine-generated or template text bends the curve, so

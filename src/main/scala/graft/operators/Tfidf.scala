@@ -160,6 +160,62 @@ object Tfidf {
     * only — positions 1-BASED (the SQL/DuckDB list convention, so
     * oracle replays need no off-by-one). Exact integers throughout;
     * no FP anywhere. */
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990)
+    * — adjacent word pairs that co-occur far above chance ("new york"
+    * vs "of the"): the multi-word-expression detector a tokenizer/
+    * phrase-mining pass runs before vocabulary decisions.
+    *
+    *   PMI(a,b) = ln( (c_ab/N_bi) / ((c_a/N)·(c_b/N)) )
+    *
+    * over lowercased adjacent pairs (duplicates counted — these are
+    * frequencies, unlike [[textRank]]'s edge multiset). `minCount`
+    * floors the pair count: PMI's known pathology is that a singleton
+    * pair of two rare words scores highest, so an unfloored top-k is
+    * all noise.
+    *
+    * Determinism: counts exact; PMI is one pinned expression over
+    * exact longs, rounded 9dp BEFORE the ordering (the klDrift rule —
+    * the sort key itself is engine-portable). Scale: one bigram
+    * aggregate, one unigram aggregate (vocabulary-sized, broadcast
+    * into the pair frame twice), two driver scalars read once.
+    * Returns top-`topN` by (pmi desc, bigram) as
+    * (bigram, c_ab, c_a, c_b, pmi). */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long,
+      topN: Int): DataFrame = {
+    require(minCount >= 1 && topN > 0,
+      s"need minCount>=1, topN>0; got $minCount, $topN")
+    import graft.functions.TextFunctions.posWordShingles
+    val lowered = lower(col(textCol))
+    val bi = docs.select(explode(posWordShingles(lowered, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab")).persist()
+    val uni = docs.select(explode(tokens(lowered)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).persist()
+    try {
+      val nBi = bi.agg(coalesce(sum("c_ab"), lit(0L))).head().getLong(0)
+      val nUni = uni.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+      if (nBi == 0L) bi.limit(0)
+        .select(col("bigram"), col("c_ab"), col("c_ab").as("c_a"),
+          col("c_ab").as("c_b"), lit(0.0).as("pmi"))
+      else {
+        val w1 = split(col("bigram"), " ").getItem(0)
+        val w2 = split(col("bigram"), " ").getItem(1)
+        val scored = bi.where(col("c_ab") >= minCount)
+          .join(broadcast(uni.select(col("w").as("__w1"), col("c").as("c_a"))),
+            w1 === col("__w1"))
+          .join(broadcast(uni.select(col("w").as("__w2"), col("c").as("c_b"))),
+            w2 === col("__w2"))
+          .withColumn("pmi", round(log(
+            (col("c_ab") / lit(nBi.toDouble)) /
+              ((col("c_a") / lit(nUni.toDouble)) *
+                (col("c_b") / lit(nUni.toDouble)))), 9))
+          .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+            col("pmi"))
+        Checkpoints.materialize(
+          scored.orderBy(col("pmi").desc, col("bigram")).limit(topN))
+      }
+    } finally { bi.unpersist(blocking = false); uni.unpersist(blocking = false) }
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
     * PageRank over the word-adjacency graph — a corpus-level keyword
     * ranking that, unlike [[topTerms]]' frequency weighting, rewards

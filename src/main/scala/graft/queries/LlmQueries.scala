@@ -3941,11 +3941,209 @@ object LlmQueries {
             SELECT id, round(r, 6) AS rank FROM r2
             ORDER BY rank DESC, id LIMIT 40"""))
 
+  /** q165 — Jensen-Shannon drift
+    * ([[graft.operators.Stats.jsDrift]]): zh-slice vs rest — q85's
+    * KL made symmetric and bounded (the dashboard number). Same
+    * smoothing, same 9dp-before-sort term rounding, mirrored
+    * expression-for-expression. */
+  private val q165 = Q("q165_js_drift",
+    (s, d) => {
+      Stats.jsDrift(Tables.documents(s, d).select("text", "lang"), "text",
+          col("lang") === "zh", k = 0.5, topN = 20)
+        .orderBy(col("js_term").desc, col("token"))
+    },
+    Some("""WITH toks AS (SELECT (lang = 'zh') AS p,
+                                 unnest(str_split(text, ' ')) AS token
+                          FROM documents),
+            c AS (SELECT token,
+                         CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS c_p,
+                         CAST(sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT) AS c_q
+                  FROM toks GROUP BY 1),
+            s AS (SELECT CAST(sum(c_p) AS BIGINT) AS np,
+                         CAST(sum(c_q) AS BIGINT) AS nq,
+                         CAST(count(*) AS BIGINT) AS v
+                  FROM c),
+            kt AS (SELECT token, c_p, c_q,
+                          round(0.5 * ((c_p + 0.5) / (np + 0.5 * v))
+                              * ln(((c_p + 0.5) / (np + 0.5 * v))
+                                / ((((c_p + 0.5) / (np + 0.5 * v))
+                                    + ((c_q + 0.5) / (nq + 0.5 * v))) / 2.0))
+                            + 0.5 * ((c_q + 0.5) / (nq + 0.5 * v))
+                              * ln(((c_q + 0.5) / (nq + 0.5 * v))
+                                / ((((c_p + 0.5) / (np + 0.5 * v))
+                                    + ((c_q + 0.5) / (nq + 0.5 * v))) / 2.0)),
+                            9) AS js_term
+                   FROM c, s),
+            tot AS (SELECT round(sum(js_term), 6) AS total_js FROM kt)
+            SELECT token, c_p, c_q, js_term, total_js
+            FROM kt, tot ORDER BY js_term DESC, token LIMIT 20"""))
+
+  /** q166 — PMI collocations
+    * ([[graft.operators.Tfidf.collocations]]): adjacent-pair lift
+    * over independence, count-floored, 9dp-rounded PMI as the sort
+    * key. The oracle rebuilds bigrams positionally and replays the
+    * one pinned PMI expression. */
+  private val q166 = Q("q166_pmi_collocations",
+    (s, d) => graft.operators.Tfidf.collocations(
+      Tables.documents(s, d), "text", minCount = 5L, topN = 30),
+    Some("""WITH tk AS (SELECT doc_id, str_split(lower(text), ' ') AS t
+                        FROM documents),
+            toks AS (SELECT doc_id, t[i] AS w, i
+                     FROM tk, unnest(range(1, len(t) + 1)) AS u(i)),
+            bi AS (SELECT a.w || ' ' || b.w AS bigram,
+                          CAST(count(*) AS BIGINT) AS c_ab
+                   FROM toks a JOIN toks b
+                     ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   GROUP BY 1),
+            uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                    FROM toks GROUP BY 1),
+            sc AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nbi FROM bi),
+            su AS (SELECT CAST(sum(c) AS BIGINT) AS nuni FROM uni),
+            p AS (SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+                         round(ln((c_ab / CAST(nbi AS DOUBLE))
+                           / ((ua.c / CAST(nuni AS DOUBLE))
+                              * (ub.c / CAST(nuni AS DOUBLE)))), 9) AS pmi
+                  FROM bi, sc, su
+                  JOIN uni ua ON str_split(bi.bigram, ' ')[1] = ua.w
+                  JOIN uni ub ON str_split(bi.bigram, ' ')[2] = ub.w
+                  WHERE c_ab >= 5)
+            SELECT bigram, c_ab, c_a, c_b, pmi
+            FROM p ORDER BY pmi DESC, bigram LIMIT 30"""))
+
+  /** The q167/q168/q169 scored population: every order scored by a
+    * blend of its line-item count (real signal) and an md5 draw
+    * (noise), labeled by high order value — a deterministic stand-in
+    * for "model score vs outcome" that both engines rebuild
+    * bit-identically (6dp-rounded scores are exact micro-units). */
+  private def scoredOrders(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val cnt = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__cnt"))
+    Tables.orders(s, d)
+      .join(cnt, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("__cnt"), lit(0L)).as("__cnt"))
+      .select(
+        round(lit(0.5) * least(col("__cnt"), lit(8L)) / lit(8.0)
+          + lit(0.5) * (pmod(md5Long(concat(col("o_orderkey").cast("string"),
+              lit("|sc"))), lit(1000001)) / lit(1000000.0)), 6).as("score"),
+        (col("o_totalprice") > 150000.0).as("label"))
+  }
+
+  private val scoredOrdersSql =
+    """sc AS (SELECT round(0.5 * least(coalesce(c.cnt, 0), 8) / 8.0
+                  + 0.5 * ((CAST(('0x' || substr(md5(concat(
+                      CAST(o_orderkey AS VARCHAR), '|sc')), 1, 15)) AS BIGINT)
+                      % 1000001) / 1000000.0), 6) AS score,
+                    (o_totalprice > 150000.0) AS label
+             FROM orders LEFT JOIN
+               (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1) c
+               ON o_orderkey = c.l_orderkey)"""
+
+  /** q167 — ROC AUC by rank-sum ([[graft.operators.Ranking.auc]]):
+    * the q152 machinery reread as a classifier metric — exact
+    * half-integer rank arithmetic, ties at half credit, no corpus
+    * sort. */
+  private val q167 = Q("q167_classifier_auc",
+    (s, d) => graft.operators.Ranking.auc(scoredOrders(s, d),
+      col("score"), col("label")),
+    Some(s"""WITH $scoredOrdersSql,
+            g AS (SELECT score, count(*) AS c,
+                         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                           AS BIGINT) AS cp
+                  FROM sc GROUP BY 1),
+            r AS (SELECT *,
+                         1 + coalesce(CAST(sum(c) OVER (ORDER BY score
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS BIGINT), 0)
+                           + (c - 1) / 2.0 AS avg_rank
+                  FROM g),
+            a AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+                         CAST(sum(c - cp) AS BIGINT) AS n_neg,
+                         sum(cp * avg_rank) AS rp
+                  FROM r)
+            SELECT n_pos, n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN round((rp - CAST(n_pos AS DOUBLE)
+                               * (CAST(n_pos AS DOUBLE) + 1) / 2.0)
+                             / (CAST(n_pos AS DOUBLE)
+                                * CAST(n_neg AS DOUBLE)), 6) END AS auc
+            FROM a"""))
+
+  /** q168 — calibration table ([[graft.operators.Stats.calibration]]):
+    * predicted-probability mean (exact micro-unit sums) vs observed
+    * rate per score decile-bin — the companion honesty check to
+    * q167's pure-ranking AUC. */
+  private val q168 = Q("q168_calibration",
+    (s, d) => graft.operators.Stats.calibration(scoredOrders(s, d),
+        col("score"), col("label"), nBins = 10)
+      .orderBy("bin"),
+    Some(s"""WITH $scoredOrdersSql
+            SELECT CAST(greatest(0, least(9, floor(score * 10)))
+                     AS BIGINT) AS bin,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pos,
+                   round(CAST(sum(CAST(round(score * 1e6, 0) AS BIGINT))
+                       AS BIGINT)
+                     / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS mean_pred,
+                   round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                       AS BIGINT)
+                     / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+            FROM sc GROUP BY 1 ORDER BY 1"""))
+
+  /** q169 — decile gains table
+    * ([[graft.operators.Ranking.gainsTable]]): exact-percentile score
+    * bands (never a global ntile sort), per-decile response rate,
+    * lift, cumulative capture — the campaign-targeting readout. The
+    * oracle replays the nine quantile_cont cuts, the comparison-chain
+    * banding, and the 10-row cumulative. */
+  private val q169 = Q("q169_gains_table",
+    (s, d) => graft.operators.Ranking.gainsTable(scoredOrders(s, d),
+        col("score"), col("label"))
+      .orderBy("decile"),
+    Some(s"""WITH $scoredOrdersSql,
+            q AS (SELECT quantile_cont(score,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+                  FROM sc),
+            b AS (SELECT label,
+                         10 - ((CASE WHEN score > round(cuts[1], 6) THEN 1 ELSE 0 END)
+                             + (CASE WHEN score > round(cuts[2], 6) THEN 1 ELSE 0 END)
+                             + (CASE WHEN score > round(cuts[3], 6) THEN 1 ELSE 0 END)
+                             + (CASE WHEN score > round(cuts[4], 6) THEN 1 ELSE 0 END)
+                             + (CASE WHEN score > round(cuts[5], 6) THEN 1 ELSE 0 END)
+                             + (CASE WHEN score > round(cuts[6], 6) THEN 1 ELSE 0 END)
+                             + (CASE WHEN score > round(cuts[7], 6) THEN 1 ELSE 0 END)
+                             + (CASE WHEN score > round(cuts[8], 6) THEN 1 ELSE 0 END)
+                             + (CASE WHEN score > round(cuts[9], 6) THEN 1 ELSE 0 END))
+                           AS decile
+                  FROM sc, q),
+            per AS (SELECT CAST(decile AS BIGINT) AS decile,
+                           count(*) AS n,
+                           CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_pos
+                    FROM b GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                         CAST(sum(n_pos) AS BIGINT) AS tp FROM per),
+            cum AS (SELECT per.*, tn, tp,
+                           CAST(sum(n_pos) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_pos
+                    FROM per, t)
+            SELECT decile, n, n_pos,
+                   round(n_pos / CAST(n AS DOUBLE), 6) AS rate,
+                   CASE WHEN tp > 0 THEN round(
+                     (n_pos / CAST(n AS DOUBLE))
+                       / (tp / CAST(tn AS DOUBLE)), 6) END AS lift,
+                   CASE WHEN tp > 0 THEN round(
+                     cum_pos / CAST(tp AS DOUBLE), 6) END AS cum_capture
+            FROM cum ORDER BY decile"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95,
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
-    q134, q136, q145, q147, q148, q149, q150, q158, q159, q160, q162, q164)
+    q134, q136, q145, q147, q148, q149, q150, q158, q159, q160, q162, q164,
+    q165, q166, q167, q168, q169)
 }

@@ -2915,6 +2915,80 @@ class OperatorSpec extends SparkSpec {
     assert(op.map(_.getDouble(1)).distinct.length === 1)
   }
 
+  test("jsDrift: identical sides exactly 0, bounded by ln 2, symmetric") {
+    import graft.operators.Stats
+    val same = Seq((true, "a b c"), (false, "a b c")).toDF("p", "t")
+    val r0 = Stats.jsDrift(same, "t", col("p")).collect()
+    assert(r0.forall(_.getAs[Double]("total_js") === 0.0))
+    val diff = Seq((true, "x x x x"), (false, "y y y y")).toDF("p", "t")
+    val tot = Stats.jsDrift(diff, "t", col("p")).head().getAs[Double]("total_js")
+    assert(tot > 0.0 && tot <= math.log(2.0) + 1e-9)
+    // symmetric: flipping the side labels leaves the total unchanged
+    val flipped = Stats.jsDrift(diff, "t", !col("p")).head()
+      .getAs[Double]("total_js")
+    assert(flipped === tot)
+  }
+
+  test("collocations: bound pair hand-computed PMI, count floor drops singletons") {
+    import graft.operators.Tfidf
+    val docs = Seq("x y", "x y", "x y", "p q r s").toDF("text")
+    val out = Tfidf.collocations(docs, "text", minCount = 2L, topN = 10)
+      .collect()
+    assert(out.length === 1) // singleton bigrams floored away
+    val r = out.head
+    // N=10 tokens, N_bi=6, c_xy=3, c_x=c_y=3:
+    // PMI = ln((3/6)/((3/10)·(3/10)))
+    val expected = BigDecimal(
+      math.log((3.0 / 6) / ((3.0 / 10) * (3.0 / 10))))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getString(0) === "x y" && r.getAs[Double]("pmi") === expected)
+  }
+
+  test("auc: perfect 1, tied 0.5, hand-computed 0.75, one-class null") {
+    import graft.operators.Ranking
+    val perfect = Seq((0.9, true), (0.8, true), (0.7, false)).toDF("s", "y")
+    assert(Ranking.auc(perfect, col("s"), col("y")).head()
+      .getAs[Double]("auc") === 1.0)
+    val tied = Seq((0.5, true), (0.5, false)).toDF("s", "y")
+    assert(Ranking.auc(tied, col("s"), col("y")).head()
+      .getAs[Double]("auc") === 0.5)
+    // pos {0.9, 0.4}, neg {0.6, 0.2}: 3 of 4 pairs won
+    val mixed = Seq((0.9, true), (0.4, true), (0.6, false), (0.2, false))
+      .toDF("s", "y")
+    assert(Ranking.auc(mixed, col("s"), col("y")).head()
+      .getAs[Double]("auc") === 0.75)
+    val onecls = Seq((0.9, true), (0.1, true)).toDF("s", "y")
+    assert(Ranking.auc(onecls, col("s"), col("y")).head().isNullAt(2))
+  }
+
+  test("calibration: micro-exact bin means, edge score clamps into last bin") {
+    import graft.operators.Stats
+    val df = Seq((0.25, true), (0.25, false), (0.75, true), (1.0, true))
+      .toDF("s", "y")
+    val out = Stats.calibration(df, col("s"), col("y"), nBins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out === Array((0L, 2L, 1L, 0.25, 0.5), (1L, 2L, 2L, 0.875, 1.0)))
+  }
+
+  test("gainsTable: top decile captures planted positives, cum_capture ends at 1") {
+    import graft.operators.Ranking
+    // 20 scores 0.05..1.00; positives are the top 5 scores
+    val df = (1 to 20).map(i => (i / 20.0, i > 15)).toDF("s", "y")
+    val out = Ranking.gainsTable(df, col("s"), col("y"))
+      .orderBy("decile").collect()
+    assert(out.length === 10)
+    val d1 = out.head
+    assert(d1.getLong(0) === 1L && d1.getAs[Double]("rate") === 1.0)
+    assert(out.last.getAs[Double]("cum_capture") === 1.0)
+    // lift in decile 1 = 1.0 / (5/20) = 4
+    assert(d1.getAs[Double]("lift") === 4.0)
+    // capture is monotone non-decreasing down the table
+    val caps = out.map(_.getAs[Double]("cum_capture"))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b })
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
