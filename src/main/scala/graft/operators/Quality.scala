@@ -10,6 +10,55 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** A declarative row-level expectation: `name` labels the output
+    * row, `predicate` must evaluate TRUE for a passing row — NULL
+    * (three-valued SQL surprise) counts as a FAILURE, because "the
+    * check could not affirm the row" is exactly what a data gate must
+    * flag, not silently wave through. */
+  final case class Expectation(name: String, predicate: Column)
+
+  /** Expectation-suite audit (the Great-Expectations/dbt-test shape,
+    * as one operator): evaluate every row-level expectation in a
+    * SINGLE corpus aggregate — one scan however many checks — plus
+    * one `count(DISTINCT)` per declared uniqueness key (algebraically
+    * not row-local, so it cannot ride the same conditional sum; it
+    * still shares the one pass as sibling aggregate expressions).
+    * Returns one row per check: (check, n_rows, n_fail, pass_rate
+    * 6dp), ordered by check name. The gate decision is the caller's
+    * (`n_fail == 0` or a tolerated rate — policy, not mechanism). */
+  def expect(df: DataFrame, expectations: Seq[Expectation],
+      uniqueKeys: Seq[(String, Seq[Column])] = Nil): DataFrame = {
+    require(expectations.nonEmpty || uniqueKeys.nonEmpty,
+      "need at least one expectation or uniqueness key")
+    val names = expectations.map(_.name) ++ uniqueKeys.map(_._1)
+    require(names.distinct.length == names.length,
+      s"duplicate check names: ${names.diff(names.distinct).mkString(", ")}")
+    // names are spliced into selectExpr as aliases and literals —
+    // fail loudly rather than generate unparseable SQL
+    require(names.forall(_.matches("[A-Za-z0-9_]+")),
+      s"check names must be [A-Za-z0-9_]+: ${names.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs =
+      expectations.map(e =>
+        sum(when(e.predicate, 0L).otherwise(1L)).as(s"__f_${e.name}")) ++
+        uniqueKeys.map { case (n, cols) =>
+          (count(lit(1)) - countDistinct(cols.head, cols.tail: _*))
+            .as(s"__f_$n") }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // unpivot the 1-row wide aggregate into (check, counts) rows —
+    // stack() keeps it a single codegen'd projection
+    val stackArgs = names.map(n => s"'$n', __f_$n").mkString(", ")
+    one.selectExpr("__n",
+        s"stack(${names.length}, $stackArgs) AS (check, n_fail)")
+      .select(col("check"), col("__n").as("n_rows"),
+        coalesce(col("n_fail"), lit(0L)).as("n_fail"),
+        when(col("__n") > 0, round(
+          (col("__n") - coalesce(col("n_fail"), lit(0L))) /
+            col("__n").cast("double"), 6)).as("pass_rate"))
+      .orderBy("check")
+  }
+
   /** Per-group z-score outlier flags: a value is anomalous when it
     * sits more than `sigma` sample standard deviations from its
     * group's mean. Two aggregates per group computed in ONE grouped

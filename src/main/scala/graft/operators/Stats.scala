@@ -568,6 +568,82 @@ object Stats {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** Poisson-bootstrap 95% confidence interval for a mean — the
+    * distributed bootstrap (Chamandy et al., Google 2012): instead of
+    * materializing B resamples, every row draws a Poisson(1) weight
+    * per replicate (the large-n limit of multinomial resampling), so
+    * ALL B replicate sums ride one pass over the corpus. The answer a
+    * dashboard actually needs next to q131's point estimates: "the
+    * mean is 151.2k ± what?".
+    *
+    * Determinism — integer end to end: the per-(row, replicate) draw
+    * is an md5 value reduced mod 2^40 and compared against FLOOR(CDF·
+    * 2^40) literal thresholds (driver-computed once — no runtime
+    * transcendental, the [[Ranking.dcgDiscounts]] rule), weights are
+    * exact small ints capped at 7 (P(X≥8) < 1e-5 — the cap is a
+    * declared approximation of the same order as the Poisson
+    * approximation itself), `valueCol` must be INTEGER units (cents —
+    * the caller quantizes, as everywhere in this library), replicate
+    * sums accumulate as decimal(38,0), each replicate mean is one
+    * pinned division, and the CI bounds are quantile_cont over the B
+    * exact means. `unitScale` divides output back to natural units.
+    *
+    * Scale shape: one row×B flatMap (B·n rows through a map-side-
+    * combined 200-group aggregate — no shuffle wider than B rows),
+    * one B-row percentile reduction. Returns one row
+    * (n, reps, mean, lo95, hi95). */
+  /** Cumulative Poisson(1) CDF for k = 0..6 as FLOOR(CDF·2^40)
+    * integer thresholds — public so an external replay (the oracle)
+    * interpolates the identical literals. */
+  lazy val poissonThresholds40: Seq[Long] = {
+    val cdf = (0 to 6).scanLeft(0.0) { case (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).map(_.toDouble).product
+    }.tail
+    cdf.map(c => (BigDecimal(c) * BigDecimal(1L << 40))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+  }
+
+  def bootstrapCiMean(df: DataFrame, idCol: Column, valueCol: Column,
+      reps: Int = 200, unitScale: Double = 100.0,
+      salt: String = "bs"): DataFrame = {
+    require(reps >= 2, s"need reps >= 2, got $reps")
+    import graft.functions.TextFunctions.md5Long
+    val grid = 1L << 40
+    val thresholds = poissonThresholds40
+    val rows = df.select(idCol.cast("string").as("__id"),
+        valueCol.cast("long").as("__v"))
+      .where(col("__id").isNotNull && col("__v").isNotNull)
+      .persist()
+    try {
+      val totals = rows.agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,0)")).as("__sv"))
+      val drawn = rows
+        .select(col("__id"), col("__v"),
+          explode(sequence(lit(0), lit(reps - 1))).as("__b"))
+        .withColumn("__u", pmod(md5Long(concat(col("__id"),
+          lit(s"|$salt|"), col("__b").cast("string"))), lit(grid)))
+        .withColumn("__w", thresholds.zipWithIndex.foldRight(
+          lit(7L): Column) { case ((t, k), acc) =>
+            when(col("__u") < t, k.toLong).otherwise(acc) })
+      val perRep = drawn.groupBy("__b")
+        .agg(sum((col("__w") * col("__v")).cast("decimal(38,0)")).as("__sw"),
+          sum(col("__w")).as("__nw"))
+        .where(col("__nw") > 0)
+        .select((col("__sw").cast("double") /
+          (col("__nw").cast("double") * unitScale)).as("__m"))
+      val ci = perRep.agg(
+        count(lit(1)).as("reps"),
+        round(percentile(col("__m"), lit(0.025)), 6).as("lo95"),
+        round(percentile(col("__m"), lit(0.975)), 6).as("hi95"))
+      val out = totals.crossJoin(broadcast(ci))
+        .select(col("n"), col("reps"),
+          when(col("n") > 0, round(col("__sv").cast("double") /
+            (col("n").cast("double") * unitScale), 6)).as("mean"),
+          col("lo95"), col("hi95"))
+      Checkpoints.materialize(out)
+    } finally rows.unpersist(blocking = false)
+  }
+
   /** Calibration (reliability) table for a [0,1]-scored binary
     * classifier: per score bin, predicted-probability mean vs
     * observed positive rate — the "does 0.8 mean 80%" check that AUC

@@ -1659,8 +1659,101 @@ object BusinessQueries {
                      AS n_name_agree
             FROM sc GROUP BY 1 ORDER BY 1"""))
 
+  /** q170 — Poisson-bootstrap CI for the mean order value
+    * ([[graft.operators.Stats.bootstrapCiMean]], 100 replicates):
+    * every (row, replicate) weight is an md5 draw against
+    * FLOOR(CDF·2^40) integer thresholds interpolated into BOTH
+    * engines — all replicate sums exact, one corpus pass. */
+  private val q170 = Q("q170_bootstrap_ci",
+    (s, d) => graft.operators.Stats.bootstrapCiMean(
+      Tables.orders(s, d).where(col("o_totalprice").isNotNull),
+      col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long"),
+      reps = 100),
+    Some {
+      val t = graft.operators.Stats.poissonThresholds40
+      s"""WITH r AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+                     FROM orders
+                     WHERE o_totalprice IS NOT NULL
+                       AND o_orderkey IS NOT NULL),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS sv FROM r),
+            b AS (SELECT unnest(range(0, 100)) AS b),
+            d AS (SELECT v, b,
+                         CAST(('0x' || substr(md5(concat(id, '|bs|',
+                           CAST(b AS VARCHAR))), 1, 15)) AS BIGINT)
+                           % 1099511627776 AS u
+                  FROM r, b),
+            w AS (SELECT b, v,
+                         CASE WHEN u < ${t(0)} THEN 0
+                              WHEN u < ${t(1)} THEN 1
+                              WHEN u < ${t(2)} THEN 2
+                              WHEN u < ${t(3)} THEN 3
+                              WHEN u < ${t(4)} THEN 4
+                              WHEN u < ${t(5)} THEN 5
+                              WHEN u < ${t(6)} THEN 6
+                              ELSE 7 END AS w
+                  FROM d),
+            m AS (SELECT b, CAST(sum(w * v) AS DOUBLE)
+                           / (CAST(sum(w) AS DOUBLE) * 100.0) AS m
+                  FROM w GROUP BY b HAVING sum(w) > 0),
+            ci AS (SELECT CAST(count(*) AS BIGINT) AS reps,
+                          round(quantile_cont(m, 0.025), 6) AS lo95,
+                          round(quantile_cont(m, 0.975), 6) AS hi95
+                   FROM m)
+            SELECT n, reps,
+                   CASE WHEN n > 0 THEN round(CAST(sv AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 100.0), 6) END AS mean,
+                   lo95, hi95
+            FROM t, ci"""
+    })
+
+  /** q171 — expectation-suite audit
+    * ([[graft.operators.Quality.expect]]): five declarative checks
+    * over orders in ONE aggregate pass (nulls COUNT AS FAILURES —
+    * three-valued logic must not wave rows through), plus the
+    * order-key uniqueness check as a sibling aggregate. */
+  private val q171 = Q("q171_expectation_audit",
+    (s, d) => {
+      import graft.operators.Quality.{expect, Expectation}
+      expect(Tables.orders(s, d), Seq(
+        Expectation("custkey_not_null", col("o_custkey").isNotNull),
+        Expectation("totalprice_positive", col("o_totalprice") > 0),
+        Expectation("priority_shape", col("o_orderpriority").rlike("^[1-5]-")),
+        Expectation("date_in_range",
+          col("o_orderdate").between("1992-01-01", "1998-12-31"))),
+        uniqueKeys = Seq(("orderkey_unique", Seq(col("o_orderkey")))))
+    },
+    Some("""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN o_custkey IS NOT NULL
+                     THEN 0 ELSE 1 END) AS BIGINT) AS f_cust,
+                   CAST(sum(CASE WHEN o_totalprice > 0
+                     THEN 0 ELSE 1 END) AS BIGINT) AS f_tp,
+                   CAST(sum(CASE WHEN regexp_matches(o_orderpriority,
+                     '^[1-5]-') THEN 0 ELSE 1 END) AS BIGINT) AS f_pr,
+                   CAST(sum(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01'
+                     AND DATE '1998-12-31' THEN 0 ELSE 1 END)
+                     AS BIGINT) AS f_dt,
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                     AS f_uq
+            FROM orders),
+            u AS (
+              SELECT 'custkey_not_null' AS "check", n, f_cust AS f FROM a
+              UNION ALL
+              SELECT 'totalprice_positive', n, f_tp FROM a
+              UNION ALL
+              SELECT 'priority_shape', n, f_pr FROM a
+              UNION ALL
+              SELECT 'date_in_range', n, f_dt FROM a
+              UNION ALL
+              SELECT 'orderkey_unique', n, f_uq FROM a)
+            SELECT "check", n AS n_rows, f AS n_fail,
+                   CASE WHEN n > 0
+                        THEN round((n - f) / CAST(n AS DOUBLE), 6)
+                        END AS pass_rate
+            FROM u ORDER BY "check""""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
     q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146,
-    q151, q152, q153, q154, q155, q156, q157, q161, q163)
+    q151, q152, q153, q154, q155, q156, q157, q161, q163, q170, q171)
 }

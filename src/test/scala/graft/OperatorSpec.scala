@@ -2989,6 +2989,48 @@ class OperatorSpec extends SparkSpec {
     assert(caps.zip(caps.tail).forall { case (a, b) => a <= b })
   }
 
+  test("bootstrapCiMean: constant series degenerate CI, spread series brackets mean") {
+    import graft.operators.Stats
+    // all values equal: every replicate mean is the constant
+    val const = (1 to 50).map(i => (i.toLong, 500L)).toDF("id", "v")
+    val rc = Stats.bootstrapCiMean(const, col("id"), col("v"), reps = 20)
+      .head()
+    assert(rc.getAs[Double]("mean") === 5.0) // 500 cents / unitScale 100
+    assert(rc.getAs[Double]("lo95") === 5.0 && rc.getAs[Double]("hi95") === 5.0)
+    // spread series: CI brackets the point estimate, reps all survive
+    val spread = (1 to 200).map(i => (i.toLong, i.toLong * 100)).toDF("id", "v")
+    val rs = Stats.bootstrapCiMean(spread, col("id"), col("v"), reps = 50)
+      .head()
+    assert(rs.getLong(0) === 200L && rs.getLong(1) === 50L)
+    assert(rs.getAs[Double]("lo95") <= rs.getAs[Double]("mean") &&
+      rs.getAs[Double]("mean") <= rs.getAs[Double]("hi95"))
+    assert(rs.getAs[Double]("lo95") < rs.getAs[Double]("hi95"))
+    // thresholds are the Poisson(1) CDF on the 2^40 grid
+    val t = Stats.poissonThresholds40
+    assert(t.length === 7 && t === t.sorted &&
+      t.head === (BigDecimal(math.exp(-1.0)) * BigDecimal(1L << 40))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+  }
+
+  test("expect: nulls fail, uniqueness counts dups, one row per check") {
+    import graft.operators.Quality.{expect, Expectation}
+    val df = Seq((1L, java.lang.Double.valueOf(2.0)),
+      (2L, java.lang.Double.valueOf(-1.0)),
+      (2L, null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "v")
+    val out = expect(df,
+      Seq(Expectation("v_positive", col("v") > 0)),
+      uniqueKeys = Seq(("k_unique", Seq(col("k")))))
+      .orderBy("check").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // v_positive: -1 fails, NULL fails (three-valued logic pinned)
+    assert(out === Array(("k_unique", 3L, 1L), ("v_positive", 3L, 2L)))
+    // malformed check names are rejected, not spliced into SQL
+    intercept[IllegalArgumentException] {
+      expect(df, Seq(Expectation("bad name!", col("v") > 0)))
+    }
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
