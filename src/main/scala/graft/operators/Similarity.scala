@@ -611,6 +611,96 @@ object Similarity {
     * counts per depth via an `explode(sequence(m..k))` of at most k
     * rows per match (k is small by contract), one aggregate — all
     * shuffles keyed on qid. */
+  /** Top principal component by QUANTIZED power iteration — PCA's
+    * first direction at corpus scale (the dominant axis of variation:
+    * embedding-drift diagnosis, whitening's first step, the 1-D
+    * projection that best preserves variance). Classic distributed
+    * power iteration — per round one map pass (yᵢ = xᵢ·v), one
+    * dim-keyed aggregate (s = Σᵢ yᵢ·xᵢ = Cv·n up to scale), one
+    * normalize — with every quantity INTEGER-QUANTIZED so the
+    * iteration is bit-replayable in any engine:
+    *
+    *  - embeddings quantize to micro-units once (x6 = round(x·1e6)),
+    *    and center against the micro-rounded mean (exact long
+    *    subtraction);
+    *  - v is carried in micro-units (v6); the per-row projection
+    *    y = Σⱼ x6ⱼ·v6ⱼ is an exact long (≤ d·x6·v6 ≈ 2e14 at d=64),
+    *    floor-divided to y3 (milli-units of the real y) — the
+    *    declared quantization of the method;
+    *  - s accumulates as decimal(38,0) (exact, ORDER-INDEPENDENT —
+    *    no FP accumulation anywhere), the norm is one
+    *    deterministically-rounded decimal→double cast + sqrt, and
+    *    v6' re-quantizes at 6dp.
+    *
+    * Quantization error per round is ~1e-3 relative on y — far below
+    * power iteration's own convergence tolerance at 2-3 rounds; what
+    * it buys is an iteration an external engine replays value-for-
+    * value (the oracle runs the identical integer recurrence at the
+    * (row, dim) grain). The sign convention is v₀ = uniform positive;
+    * no per-round sign flip is applied (fixed rounds, deterministic).
+    *
+    * Scale shape: per round one codegen'd map + one d-sized aggregate
+    * + one d-row normalize fold; nothing driver-side except d and the
+    * uniform-start literal. Returns (dim, loading 6dp), `iters`
+    * rounds from the uniform start. */
+  def pcaPowerComponent(emb: DataFrame, vecCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val x6 = emb
+      .where(col(vecCol).isNotNull)
+      .select(expr(s"transform($vecCol, e -> cast(round(e * 1e6, 0) as bigint))")
+        .as("__x6"))
+    val d = x6.select(size(col("__x6"))).head().getInt(0)
+    require(d >= 1, "need non-empty vectors")
+    // micro-rounded per-dim mean, rebuilt as a d-length array (no
+    // driver collect — the array rides a 1-row broadcast)
+    val dimSums = x6
+      .select(posexplode(col("__x6")).as(Seq("__j", "__e")))
+      .groupBy("__j")
+      .agg(sum(col("__e").cast("decimal(38,0)")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("__j"),
+        round(col("__s").cast("double") / col("__n"), 0)
+          .cast("long").as("__m6"))
+    val meanArr = dimSums.groupBy()
+      .agg(expr("transform(sort_array(collect_list(struct(__j, __m6)))," +
+        " p -> p.__m6)").as("__mArr"))
+    val xc = x6.crossJoin(broadcast(meanArr))
+      .select(expr("zip_with(__x6, __mArr, (a, b) -> a - b)").as("__xc"))
+      .persist()
+    try {
+      val v0 = math.round(1e6 / math.sqrt(d.toDouble))
+      var v = xc.sparkSession.range(1).select(
+        expr(s"array_repeat(${v0}L, $d)").as("__v6"))
+      for (_ <- 1 to iters) {
+        val y = xc.crossJoin(broadcast(v))
+          .select(col("__xc"), expr(
+            """aggregate(zip_with(__xc, __v6, (a, b) -> a * b),
+               cast(0 as bigint), (acc, p) -> acc + p)""").as("__y12"))
+          .select(col("__xc"),
+            expr("(__y12 - pmod(__y12, 1000000000)) div 1000000000")
+              .as("__y3"))
+        val s = y.select(col("__y3"), posexplode(col("__xc")).as(Seq("__j", "__e")))
+          .groupBy("__j")
+          .agg(sum((col("__y3") * col("__e")).cast("decimal(38,0)")).as("__s"))
+        val norm = s.agg(
+          sqrt(sum((col("__s") * col("__s")).cast("decimal(38,0)"))
+            .cast("double")).as("__norm"))
+        v = s.crossJoin(broadcast(norm))
+          .select(col("__j"),
+            round(col("__s").cast("double") / col("__norm") * 1e6, 0)
+              .cast("long").as("__v6j"))
+          .groupBy()
+          .agg(expr("transform(sort_array(collect_list(struct(__j, __v6j)))," +
+            " p -> p.__v6j)").as("__v6"))
+      }
+      val out = v.select(posexplode(col("__v6")).as(Seq("dim", "__v")))
+        .select(col("dim").cast("long").as("dim"),
+          (col("__v").cast("double") / 1e6).as("loading"))
+      Checkpoints.materialize(out, xc)
+    } finally xc.unpersist(blocking = false)
+  }
+
   def rboAtK(a: DataFrame, b: DataFrame, k: Int, p: Double): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")

@@ -4138,6 +4138,56 @@ object LlmQueries {
                      cum_pos / CAST(tp AS DOUBLE), 6) END AS cum_capture
             FROM cum ORDER BY decile"""))
 
+  /** q172 — top principal component by quantized power iteration
+    * ([[graft.operators.Similarity.pcaPowerComponent]], 2 rounds):
+    * every projection and accumulation is integer-quantized (micro-
+    * unit embeddings, milli-unit projections, decimal-exact sums), so
+    * the oracle replays the whole iteration at the (row, dim) grain —
+    * distributed PCA with no FP accumulation anywhere. */
+  private val q172 = Q("q172_pca_component",
+    (s, d) => graft.operators.Similarity.pcaPowerComponent(
+        Tables.embeddings(s, d), "embedding", iters = 2)
+      .orderBy("dim"),
+    Some("""WITH x AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE embedding IS NOT NULL),
+            xj AS (SELECT id, j,
+                          CAST(round(e[j + 1] * 1e6, 0) AS BIGINT) AS x6
+                   FROM x, unnest(range(0, len(e))) AS u(j)),
+            m AS (SELECT j, CAST(round(CAST(sum(x6) AS DOUBLE) / count(*), 0)
+                     AS BIGINT) AS m6
+                  FROM xj GROUP BY 1),
+            xc AS (SELECT id, xj.j, x6 - m6 AS xc
+                   FROM xj JOIN m ON xj.j = m.j),
+            v0 AS (SELECT j, CAST(125000 AS BIGINT) AS v6
+                   FROM (SELECT unnest(range(0, 64)) AS j)),
+            y1 AS (SELECT id, CAST(sum(xc * v6) AS BIGINT) AS y12
+                   FROM xc JOIN v0 USING (j) GROUP BY id),
+            y1q AS (SELECT id,
+                           (y12 - ((y12 % 1000000000 + 1000000000)
+                             % 1000000000)) // 1000000000 AS y3
+                    FROM y1),
+            s1 AS (SELECT j, sum(y3 * xc) AS s
+                   FROM xc JOIN y1q USING (id) GROUP BY j),
+            n1 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM s1),
+            v1 AS (SELECT j, CAST(round(CAST(s AS DOUBLE) / nrm * 1e6, 0)
+                     AS BIGINT) AS v6
+                   FROM s1, n1),
+            y2 AS (SELECT id, CAST(sum(xc * v6) AS BIGINT) AS y12
+                   FROM xc JOIN v1 USING (j) GROUP BY id),
+            y2q AS (SELECT id,
+                           (y12 - ((y12 % 1000000000 + 1000000000)
+                             % 1000000000)) // 1000000000 AS y3
+                    FROM y2),
+            s2 AS (SELECT j, sum(y3 * xc) AS s
+                   FROM xc JOIN y2q USING (id) GROUP BY j),
+            n2 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM s2),
+            v2 AS (SELECT j, CAST(round(CAST(s AS DOUBLE) / nrm * 1e6, 0)
+                     AS BIGINT) AS v6
+                   FROM s2, n2)
+            SELECT CAST(j AS BIGINT) AS dim,
+                   CAST(v6 AS DOUBLE) / 1e6 AS loading
+            FROM v2 ORDER BY dim"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
@@ -4145,5 +4195,5 @@ object LlmQueries {
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
     q134, q136, q145, q147, q148, q149, q150, q158, q159, q160, q162, q164,
-    q165, q166, q167, q168, q169)
+    q165, q166, q167, q168, q169, q172)
 }

@@ -3031,6 +3031,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pcaPowerComponent: planted axis recovered, unit norm, centering kills a constant offset") {
+    import graft.operators.Similarity
+    // variance lives on dim 1 (±3 around a +10 offset); dims 0 and 2
+    // carry only the constant offset — centering must erase them
+    val vecs = (1 to 40).map { i =>
+      val sign = if (i % 2 == 0) 3.0f else -3.0f
+      Tuple1(Array(5.0f, 10.0f + sign, 7.0f))
+    }
+    val df = vecs.toDF("embedding")
+    val out = Similarity.pcaPowerComponent(df, "embedding", iters = 3)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    assert(out.length === 3)
+    assert(math.abs(out(1)) > 0.999) // the planted axis
+    assert(math.abs(out(0)) < 0.01 && math.abs(out(2)) < 0.01)
+    val norm = math.sqrt(out.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3) // micro-quantized unit vector
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
