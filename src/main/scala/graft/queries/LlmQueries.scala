@@ -3424,6 +3424,73 @@ object LlmQueries {
 
   private val q145Runs = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** q173 — streaming Misra-Gries heavy hitters under the batch
+    * oracle ([[graft.streaming.CorpusStream.mgCandidates]]): stage
+    * the corpus, run the bucketed MG sketch as a real AvailableNow
+    * query (bounded mapGroupsWithState state per bucket), take the
+    * latest per-bucket candidate summaries, rescore EXACTLY in
+    * batch, and prove the top-20 with the pigeonhole bound (k-th
+    * count · capacity > max bucket mass) — falling back to the full
+    * aggregation if unproven, so the answer is exact either way. The
+    * oracle is the plain exact top-20 (q75's semantics), which is
+    * the point: streaming sketch + rescore ≡ batch truth. */
+  private val q173 = Q("q173_stream_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_q173_").toString
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(dir)
+      val capacity = 128
+      val toks = graft.streaming.CorpusStream.readStream(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .select(pmod(md5Long(col("token")), lit(64L)).as("_1"),
+          col("token").as("_2"))
+        .as[(Long, String)]
+      val sink = s"q173_sink_${q145Runs.incrementAndGet()}"
+      val q = graft.streaming.CorpusStream.mgCandidates(toks, capacity)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import org.apache.spark.sql.expressions.Window
+      val latest = s.table(sink)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("bucket").orderBy(col("seen").desc)))
+        .where(col("__rn") === 1)
+      val candidates = latest.select(explode(col("tokens")).as("token"))
+        .distinct()
+      val batchToks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+      def ranked(counts: org.apache.spark.sql.DataFrame) = counts
+        .orderBy(col("n").desc, col("token")).limit(20)
+        .select(row_number().over(Window.orderBy(col("n").desc, col("token")))
+          .cast("long").as("rank"), col("token"), col("n"))
+      val top = ranked(batchToks
+        .join(broadcast(candidates), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("n"))).collect()
+      val maxSeen = latest.agg(coalesce(max("seen"), lit(0L)))
+        .head().getLong(0)
+      val proven = top.length == 20 &&
+        top.last.getLong(2) * capacity.toLong > maxSeen
+      if (proven)
+        s.createDataFrame(s.sparkContext.parallelize(top.toSeq, 1),
+          top.head.schema)
+      else ranked(batchToks.groupBy("token").agg(count(lit(1)).as("n")))
+    },
+    Some("""WITH t AS (SELECT unnest(str_split(text, ' ')) AS token
+                       FROM documents),
+            c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                  FROM t GROUP BY 1),
+            r AS (SELECT token, n,
+                         row_number() OVER (ORDER BY n DESC, token) AS rank
+                  FROM c)
+            SELECT CAST(rank AS BIGINT) AS rank, token, n
+            FROM r WHERE rank <= 20 ORDER BY rank"""))
+
   /** q145 — the streaming EWMA under the batch oracle
     * ([[graft.streaming.EventStream.ewmaDaily]]): stage the events,
     * run the stateful flatMapGroupsWithState recurrence as a real
@@ -4195,5 +4262,5 @@ object LlmQueries {
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
     q134, q136, q145, q147, q148, q149, q150, q158, q159, q160, q162, q164,
-    q165, q166, q167, q168, q169, q172)
+    q165, q166, q167, q168, q169, q172, q173)
 }

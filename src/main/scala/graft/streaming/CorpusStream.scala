@@ -93,6 +93,60 @@ object CorpusStream {
     * expire (a source's budget is cumulative for the crawl's
     * lifetime), and one small struct per source is bounded by source
     * cardinality, not corpus size. Run in Update output mode. */
+  /** State of one Misra-Gries bucket: token mass seen and the
+    * bounded counter map. */
+  final case class MgState(seen: Long, counts: Map[String, Long])
+
+  /** One bucket's candidate summary after a micro-batch. */
+  final case class MgUpdate(bucket: Long, seen: Long, tokens: Seq[String])
+
+  /** Streaming Misra-Gries heavy-hitter candidates — the online face
+    * of [[graft.operators.HeavyHitters.topKTokens]]'s candidate pass:
+    * tokens are hash-bucketed (`bucket` is the groupByKey key), each
+    * bucket keeps at most `capacity` MG counters as
+    * `mapGroupsWithState` state, and every micro-batch folds its
+    * tokens into the sketch. State per bucket is O(capacity) FOREVER
+    * — the whole point: a crawl's running "what's trending" panel at
+    * bounded memory, where a streaming groupBy(token).count() would
+    * grow state with the vocabulary.
+    *
+    * The MG guarantee per bucket: any token of its bucket with
+    * frequency > seen_b/capacity is in the counter map — across
+    * batches too (the decrement argument is independent of arrival
+    * order). The candidate SET can vary with arrival order (inherent
+    * to MG); what is deterministic is the guarantee, so an EXACT
+    * consumer (rescore + bound check, as in the batch operator)
+    * returns order-independent answers. Run in Update mode; the
+    * latest update per bucket (max `seen`) is the live summary. */
+  def mgCandidates(toks: Dataset[(Long, String)],
+      capacity: Int): Dataset[MgUpdate] = {
+    import toks.sparkSession.implicits._
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    toks.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (bucket: Long, rows: Iterator[(Long, String)],
+            state: GroupState[MgState]) => {
+          var s = state.getOption.getOrElse(MgState(0L, Map.empty))
+          var m = collection.mutable.Map.from(s.counts)
+          var seen = s.seen
+          rows.foreach { case (_, t) =>
+            seen += 1L
+            m.get(t) match {
+              case Some(c) => m.update(t, c + 1L)
+              case None if m.size < capacity => m.update(t, 1L)
+              case None =>
+                // decrement sweep: retires >= capacity count mass
+                m = m.collect {
+                  case (k, c) if c > 1L => k -> (c - 1L)
+                }
+            }
+          }
+          val next = MgState(seen, m.toMap)
+          state.update(next)
+          MgUpdate(bucket, seen, next.counts.keys.toSeq.sorted)
+        })
+  }
+
   def runningTokenBudget(docs: Dataset[Doc], budget: Long): Dataset[BudgetUpdate] = {
     import docs.sparkSession.implicits._
     require(budget > 0, s"budget must be positive, got $budget")

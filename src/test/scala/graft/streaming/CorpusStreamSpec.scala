@@ -62,6 +62,44 @@ class CorpusStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("mgCandidates: cross-batch state keeps true heavy hitter, capacity bounds counters") {
+    import java.nio.file.{Path, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val watched = Files.createTempDirectory("graft_mg_")
+    def stage(name: String, modMinutes: Int, toks: Seq[String]): Unit = {
+      val tmp = Files.createTempDirectory("graft_mg_stage_")
+      toks.map(t => (0L, t)).toDS().coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = Paths.get(watched.toString, name)
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1700000000000L + modMinutes * 60000L))
+    }
+    // "hot" is heavy ACROSS batches but never dominant within one —
+    // only carried state can keep it; singletons churn through the
+    // capacity-2 sketch
+    stage("b1.parquet", 1, Seq("hot", "hot", "x1", "x2", "hot"))
+    stage("b2.parquet", 2, Seq("hot", "y1", "hot", "y2", "hot"))
+    val q = CorpusStream.mgCandidates(
+        spark.readStream
+          .schema("_1 LONG, _2 STRING")
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+          .as[(Long, String)],
+        capacity = 2)
+      .writeStream.format("memory").queryName("mg_sink")
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val updates = spark.table("mg_sink")
+      .as[CorpusStream.MgUpdate].collect().sortBy(_.seen)
+    // one bucket, one update per batch; state accumulated across both
+    assert(updates.map(_.seen).toSeq === Seq(5L, 10L))
+    val last = updates.last
+    assert(last.tokens.contains("hot")) // freq 6 > 10/2: guaranteed
+    assert(last.tokens.length <= 2) // capacity bound held
+  }
+
   test("running token budget accumulates across micro-batches and flags the crossing") {
     import java.nio.file.{Path, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
