@@ -109,6 +109,41 @@ object Quality {
       .drop(groupCols.map(c => s"__g_$c") :+ "__lo" :+ "__hi": _*)
   }
 
+  /** Per-group MODIFIED z-score outliers (Iglewicz & Hoaglin 1993):
+    * robust z = 0.6745·(v − median)/MAD, flagged beyond `k` (3.5 is
+    * the standard cut) — the member of the outlier-flag family
+    * ([[zScoreOutliers]], [[iqrOutliers]]) that a few extreme values
+    * cannot blind, because BOTH location (median) and scale (median
+    * absolute deviation) have 50% breakdown where mean/stddev have
+    * none. A group whose MAD is 0 (over half the values identical)
+    * yields NULL robust z — the statistic is undefined there, and a
+    * gate must decide that case explicitly.
+    *
+    * Determinism: both medians are exact quantile_cont percentiles;
+    * z is one pinned expression rounded 4dp. Two grouped aggregates
+    * (the second over |v − med|, which needs the first's result —
+    * inherently two passes), each map-side combinable; stats join
+    * back AQE-sized as in [[zScoreOutliers]]. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double = 3.5): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__med"): _*)
+    val joinOn = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    val withMed = df.join(med, joinOn, "left")
+      .drop(groupCols.map(c => s"__g_$c"): _*)
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"))
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__mad"): _*)
+    withMed.join(mad, joinOn, "left")
+      .withColumn("robust_z",
+        when(col("__mad") > 0, round(
+          lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"), 4)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > k, lit(false)))
+      .drop(groupCols.map(c => s"__g_$c") :+ "__med" :+ "__mad": _*)
+  }
+
   /** Repetition signals per document, in the style of the Gopher
     * quality filters (Rae et al. 2021, "Scaling Language Models",
     * §A1.1 — repetitious text is the strongest cheap low-quality

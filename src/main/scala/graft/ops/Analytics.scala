@@ -336,6 +336,86 @@ object Analytics {
     graft.operators.Checkpoints.materialize(out, daily)
   }
 
+  /** Holt-Winters additive triple smoothing of the per-key daily
+    * count — [[holtDaily]] plus a `period`-lagged seasonal state (the
+    * weekly rhythm an operational series actually has; Holt chases
+    * the weekend dip as trend, Holt-Winters books it as seasonality):
+    *
+    *   lᵢ = α·(nᵢ − sᵢ₋ₚ) + (1−α)·(lᵢ₋₁ + bᵢ₋₁)
+    *   bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁
+    *   sᵢ = γ·(nᵢ − lᵢ) + (1−γ)·sᵢ₋ₚ
+    *
+    * with l₀ = n₀, b₀ = 0 and the first period's seasonal state 0
+    * (the deterministic cold start — after one period the γ
+    * recurrence owns the seasonal estimate).
+    *
+    * Determinism: the [[holtDaily]] fixed-point discipline verbatim —
+    * integer micro-units, rational smoothing factors, every step a
+    * true floor division via the pmod spelling (all three states go
+    * negative on downturns/anti-seasonal days). The seasonal lag
+    * reads `acc[−period]` from the fold's own history: the state IS
+    * the day-sorted array the fold builds, so no second pass and no
+    * extra shuffle vs Holt. An external replay carries the last
+    * `period` seasonal values as a bounded list (the oracle does).
+    *
+    * Scale shape: identical to [[holtDaily]] — [[densifiedDaily]]
+    * front, one per-key calendar-bounded array fold. Returns
+    * (keyCol, day, n_events, level, trend, seasonal). */
+  def holtWintersDaily(events: DataFrame, keyCol: String, tsCol: String,
+      alphaNum: Int = 3, alphaDen: Int = 10,
+      betaNum: Int = 2, betaDen: Int = 10,
+      gammaNum: Int = 2, gammaDen: Int = 10,
+      period: Int = 7): DataFrame = {
+    require(alphaNum > 0 && alphaDen >= alphaNum,
+      s"alpha must be a rational in (0,1], got $alphaNum/$alphaDen")
+    require(betaNum > 0 && betaDen >= betaNum,
+      s"beta must be a rational in (0,1], got $betaNum/$betaDen")
+    require(gammaNum > 0 && gammaDen >= gammaNum,
+      s"gamma must be a rational in (0,1], got $gammaNum/$gammaDen")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val aGap = alphaDen - alphaNum
+    val bGap = betaDen - betaNum
+    val gGap = gammaDen - gammaNum
+    val (dense, daily) = densifiedDaily(events, keyCol, tsCol)
+    def fdiv(x: String, d: Long) = s"(($x) - pmod(($x), $d)) div $d"
+    val prevL = "element_at(acc, -1).lm"
+    val prevB = "element_at(acc, -1).bm"
+    val sLag = s"(case when size(acc) >= $period " +
+      s"then element_at(acc, -$period).sm else cast(0 as bigint) end)"
+    val lm2 = fdiv(
+      s"2 * ($alphaNum * (p.n * 1000000 - $sLag) + $aGap * ($prevL + $prevB))" +
+        s" + $alphaDen", 2L * alphaDen)
+    val bm2 = fdiv(
+      s"2 * ($betaNum * (($lm2) - $prevL) + $bGap * $prevB) + $betaDen",
+      2L * betaDen)
+    val sm2 = fdiv(
+      s"2 * ($gammaNum * (p.n * 1000000 - ($lm2)) + $gGap * $sLag)" +
+        s" + $gammaDen", 2L * gammaDen)
+    val ser = dense.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("__s"))
+    val out = ser
+      .withColumn("__e", expr(
+        s"""aggregate(__s,
+              cast(array() as array<struct<day: date, n: bigint,
+                                           lm: bigint, bm: bigint,
+                                           sm: bigint>>),
+              (acc, p) -> array_append(acc, named_struct(
+                'day', p.day, 'n', p.n,
+                'lm', case when size(acc) = 0 then p.n * 1000000
+                      else $lm2 end,
+                'bm', case when size(acc) = 0 then cast(0 as bigint)
+                      else $bm2 end,
+                'sm', case when size(acc) = 0 then cast(0 as bigint)
+                      else $sm2 end)))"""))
+      .select(col(keyCol), explode(col("__e")).as("__x"))
+      .select(col(keyCol), col("__x.day").as("day"),
+        col("__x.n").as("n_events"),
+        (col("__x.lm").cast("double") / lit(1e6)).as("level"),
+        (col("__x.bm").cast("double") / lit(1e6)).as("trend"),
+        (col("__x.sm").cast("double") / lit(1e6)).as("seasonal"))
+    graft.operators.Checkpoints.materialize(out, daily)
+  }
+
   /** Theil-Sen robust trend of the per-key daily event count: the
     * median over all day pairs (i < j) of the pairwise slope
     * (nⱼ − nᵢ)/(ordⱼ − ordᵢ), with the matching intercept
@@ -378,6 +458,54 @@ object Analytics {
         round(percentile(col("n") - col("slope") * col("__o"), lit(0.5)), 6)
           .as("intercept"))
     graft.operators.Checkpoints.materialize(out, daily, pts)
+  }
+
+  /** Cohort LTV curve: customers grouped by first-purchase month,
+    * cumulative revenue per customer tracked by months-since-joining
+    * — [[cohortRetention]]'s revenue twin (retention says who came
+    * back; LTV says what a cohort member is WORTH by age a, the
+    * payback-period number acquisition spend is judged against).
+    *
+    * Determinism: cohort/age are exact integer month indexes
+    * (y·12+m), revenue sums exact cents, the cumulative is an
+    * integer window sum, and LTV-per-customer FLOORS to whole cents
+    * (integer division) before one exact /100 — no rounding function
+    * at all, so no decimal-tie for engines to disagree on. Scale
+    * shape: one per-customer window min for the
+    * cohort tag, one (cohort, age) aggregate, one cohort-sized
+    * cumulative window. Returns (cohort_month, age_months,
+    * n_customers, revenue, cum_ltv). */
+  def cohortLtv(orders: DataFrame, custCol: String, dateCol: String,
+      revenueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = orders.select(col(custCol).as("__cust"),
+        col(dateCol).as("__d"),
+        round(revenueCol * 100, 0).cast("long").as("__cents"))
+      .where(col("__d").isNotNull && col("__cents").isNotNull)
+      .withColumn("__m", year(col("__d")) * 12 + month(col("__d")))
+      .withColumn("__cm",
+        min(col("__m")).over(Window.partitionBy(col("__cust"))))
+    val perAge = rows.groupBy(col("__cm"), (col("__m") - col("__cm"))
+        .cast("long").as("age_months"))
+      .agg(countDistinct(col("__cust")).as("__active"),
+        sum(col("__cents")).as("__cents"))
+    val sizes = rows.groupBy(col("__cm"))
+      .agg(countDistinct(col("__cust")).as("n_customers"))
+    val wCum = Window.partitionBy(col("__cm")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perAge.join(sizes, Seq("__cm"))
+      .withColumn("__cum", sum(col("__cents")).over(wCum))
+      .select(
+        make_date(expr("(__cm - 1) div 12"),
+          expr("__cm - ((__cm - 1) div 12) * 12"), lit(1))
+          .as("cohort_month"),
+        col("age_months"), col("n_customers"),
+        col("__active").as("n_active"),
+        round(col("__cents") / lit(100.0), 2).as("revenue"),
+        // LTV floors to WHOLE CENTS per member (integer div) before the
+        // one exact /100 — a rounded rational here can land on a decimal
+        // tie where engines' double-rounding disagrees
+        (expr("__cum div n_customers").cast("double") / 100.0).as("cum_ltv"))
   }
 
   /** Ordinary-least-squares daily trend per key — [[theilSenDaily]]'s

@@ -1752,8 +1752,145 @@ object BusinessQueries {
                         END AS pass_rate
             FROM u ORDER BY "check""""))
 
+  /** q174 — modified z-score (MAD) outliers
+    * ([[graft.operators.Quality.madOutliers]]): robust z per order
+    * priority, the outlier flag extreme values cannot blind. Both
+    * medians are quantile_cont; z is one pinned expression rounded
+    * 4dp before the per-group rollup. */
+  private val q174 = Q("q174_mad_outliers",
+    (s, d) => {
+      graft.operators.Quality.madOutliers(Tables.orders(s, d),
+          Seq("o_orderpriority"), "o_totalprice")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          max("robust_z").as("max_z"), min("robust_z").as("min_z"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH med AS (SELECT o_orderpriority AS g,
+                                quantile_cont(o_totalprice, 0.5) AS med
+                         FROM orders GROUP BY 1),
+            wm AS (SELECT o_orderpriority AS g, o_totalprice AS v, med
+                   FROM orders JOIN med ON o_orderpriority = med.g),
+            mad AS (SELECT g, quantile_cont(abs(v - med), 0.5) AS mad
+                    FROM wm GROUP BY 1),
+            z AS (SELECT wm.g,
+                         CASE WHEN mad > 0
+                              THEN round(0.6745 * (v - med) / mad, 4)
+                              END AS z
+                  FROM wm JOIN mad ON wm.g = mad.g)
+            SELECT g AS o_orderpriority, count(*) AS n,
+                   CAST(sum(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers,
+                   max(z) AS max_z, min(z) AS min_z
+            FROM z GROUP BY 1 ORDER BY 1"""))
+
+  /** q175 — cohort LTV curve ([[graft.ops.Analytics.cohortLtv]]):
+    * cumulative revenue per cohort member by months since first
+    * purchase — q119's revenue twin. Integer month indexes, exact
+    * cents, one pinned division. */
+  private val q175 = Q("q175_cohort_ltv",
+    (s, d) => graft.ops.Analytics.cohortLtv(Tables.orders(s, d),
+        "o_custkey", "o_orderdate", col("o_totalprice"))
+      .orderBy("cohort_month", "age_months"),
+    Some("""WITH r AS (SELECT o_custkey AS cust,
+                              year(o_orderdate) * 12 + month(o_orderdate) AS m,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS cents
+                       FROM orders
+                       WHERE o_orderdate IS NOT NULL
+                         AND o_totalprice IS NOT NULL),
+            c AS (SELECT *, min(m) OVER (PARTITION BY cust) AS cm FROM r),
+            pa AS (SELECT cm, m - cm AS age,
+                          CAST(count(DISTINCT cust) AS BIGINT) AS active,
+                          CAST(sum(cents) AS BIGINT) AS cents
+                   FROM c GROUP BY 1, 2),
+            sz AS (SELECT cm, CAST(count(DISTINCT cust) AS BIGINT)
+                     AS n_customers
+                   FROM c GROUP BY 1),
+            cum AS (SELECT pa.cm, age, n_customers, active, cents,
+                           CAST(sum(cents) OVER (PARTITION BY pa.cm
+                             ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cumc
+                    FROM pa JOIN sz USING (cm))
+            SELECT make_date(CAST((cm - 1) // 12 AS INTEGER),
+                     CAST(cm - ((cm - 1) // 12) * 12 AS INTEGER), 1)
+                     AS cohort_month,
+                   CAST(age AS BIGINT) AS age_months, n_customers,
+                   active AS n_active,
+                   round(cents / 100.0, 2) AS revenue,
+                   CAST(cumc // n_customers AS DOUBLE) / 100.0 AS cum_ltv
+            FROM cum ORDER BY cohort_month, age_months"""))
+
+  /** q176 — Holt-Winters triple smoothing
+    * ([[graft.ops.Analytics.holtWintersDaily]], α=3/10 β=2/10 γ=2/10,
+    * period 7): the weekly-seasonal smoother as pure bigint
+    * floor-div recurrences; the oracle's recursive CTE carries the
+    * last 7 seasonal states as a bounded list. */
+  private val q176 = Q("q176_holt_winters",
+    (s, d) => graft.ops.Analytics.holtWintersDaily(Tables.events(s, d),
+        "event_type", "ts")
+      .orderBy("event_type", "day"),
+    Some("""WITH RECURSIVE daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            dense AS (
+              SELECT s.event_type, CAST(d AS DATE) AS day
+              FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                    FROM daily GROUP BY 1) s,
+                   unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                     CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+            filled AS (
+              SELECT dense.event_type, dense.day, coalesce(daily.n, 0) AS n
+              FROM dense LEFT JOIN daily USING (event_type, day)),
+            num AS (SELECT event_type, day, CAST(n AS BIGINT) AS n,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY day) AS rn
+                    FROM filled),
+            rec AS (
+              SELECT event_type, day, n, rn,
+                     n * 1000000 AS lm, CAST(0 AS BIGINT) AS bm,
+                     CAST(0 AS BIGINT) AS sm,
+                     [CAST(0 AS BIGINT)] AS slist
+              FROM num WHERE rn = 1
+              UNION ALL
+              SELECT event_type, day, n, rn, lm1, bm1, sm1,
+                     CASE WHEN len(slist) >= 7
+                          THEN list_append(slist[2:], sm1)
+                          ELSE list_append(slist, sm1) END
+              FROM (
+                SELECT event_type, day, n, rn, slist, lm1,
+                       (x2 - ((x2 % 20 + 20) % 20)) // 20 AS bm1,
+                       (x3 - ((x3 % 20 + 20) % 20)) // 20 AS sm1
+                FROM (
+                  SELECT *,
+                         2 * (2 * (lm1 - lm0) + 8 * bm0) + 10 AS x2,
+                         2 * (2 * (n * 1000000 - lm1) + 8 * s_lag) + 10 AS x3
+                  FROM (
+                    SELECT *,
+                           (x1 - ((x1 % 20 + 20) % 20)) // 20 AS lm1
+                    FROM (
+                      SELECT *,
+                             2 * (3 * (n * 1000000 - s_lag)
+                               + 7 * (lm0 + bm0)) + 10 AS x1
+                      FROM (
+                        SELECT num.event_type, num.day, num.n, num.rn,
+                               rec.lm AS lm0, rec.bm AS bm0, rec.slist,
+                               CASE WHEN len(rec.slist) >= 7
+                                    THEN rec.slist[1]
+                                    ELSE CAST(0 AS BIGINT) END AS s_lag
+                        FROM rec JOIN num
+                          ON num.event_type = rec.event_type
+                         AND num.rn = rec.rn + 1))))))
+            SELECT event_type, day, n AS n_events,
+                   CAST(lm AS DOUBLE) / CAST(1000000 AS DOUBLE) AS level,
+                   CAST(bm AS DOUBLE) / CAST(1000000 AS DOUBLE) AS trend,
+                   CAST(sm AS DOUBLE) / CAST(1000000 AS DOUBLE) AS seasonal
+            FROM rec ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
     q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146,
-    q151, q152, q153, q154, q155, q156, q157, q161, q163, q170, q171)
+    q151, q152, q153, q154, q155, q156, q157, q161, q163, q170, q171, q174,
+    q175, q176)
 }

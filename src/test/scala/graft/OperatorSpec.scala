@@ -3049,6 +3049,54 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-3) // micro-quantized unit vector
   }
 
+  test("madOutliers: outlier flagged where it blinds stddev, MAD 0 yields null z") {
+    import graft.operators.Quality
+    // 19 values 1..19 plus 10000: median 10-ish, MAD small -> flagged
+    val df = ((1 to 19).map(i => ("A", i.toDouble)) :+ ("A", 10000.0))
+      .toDF("g", "v")
+    val out = Quality.madOutliers(df, Seq("g"), "v").collect()
+    assert(out.count(_.getAs[Boolean]("is_outlier")) === 1)
+    assert(out.find(_.getAs[Double]("v") == 10000.0)
+      .get.getAs[Boolean]("is_outlier"))
+    // constant group: MAD = 0 -> robust z null, nothing flagged
+    val const = Seq(("B", 5.0), ("B", 5.0), ("B", 5.0)).toDF("g", "v")
+    val oc = Quality.madOutliers(const, Seq("g"), "v").collect()
+    assert(oc.forall(r => r.isNullAt(r.fieldIndex("robust_z")) &&
+      !r.getAs[Boolean]("is_outlier")))
+  }
+
+  test("cohortLtv: hand-computed curve, cumulative divides by cohort size") {
+    import graft.ops.Analytics
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = Seq(
+      (1L, d("2024-01-05"), 10.0), (1L, d("2024-03-09"), 20.0),
+      (2L, d("2024-01-20"), 30.0)).toDF("cust", "od", "rev")
+    val out = Analytics.cohortLtv(orders, "cust", "od", col("rev"))
+      .orderBy("age_months").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(out === Array(
+      ("2024-01-01", 0L, 2L, 2L, 40.0, 20.0),
+      ("2024-01-01", 2L, 2L, 1L, 20.0, 30.0)))
+  }
+
+  test("holtWintersDaily: reduces to Holt while seasonal state is cold, gamma books the gap") {
+    import graft.ops.Analytics
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-02-$day%02d 09:00:00.${i}%06d")
+    val counts = Seq(10, 10, 4)
+    val rows = counts.zipWithIndex.flatMap { case (c, di) =>
+      (0 until c).map(i => ("k", ts(di + 1, i)))
+    }
+    val out = Analytics.holtWintersDaily(rows.toDF("k", "ts"), "k", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // hand-run: day 3's level/trend match q133's Holt (s still 0),
+    // and gamma = 0.2 books s = 0.2*(4 - 8.2) = -0.84
+    assert(out === Array(
+      (10.0, 0.0, 0.0), (10.0, 0.0, 0.0), (8.2, -0.36, -0.84)))
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
