@@ -37,8 +37,6 @@ object Quality {
     // fail loudly rather than generate unparseable SQL
     require(names.forall(_.matches("[A-Za-z0-9_]+")),
       s"check names must be [A-Za-z0-9_]+: ${names.mkString(", ")}")
-    val spark = df.sparkSession
-    import spark.implicits._
     val aggs =
       expectations.map(e =>
         sum(when(e.predicate, 0L).otherwise(1L)).as(s"__f_${e.name}")) ++
@@ -130,18 +128,22 @@ object Quality {
       .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
       .select(groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__med"): _*)
     val joinOn = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    // withMed feeds both the MAD aggregate and the final join —
+    // persisted so the base scan + median aggregate run once
     val withMed = df.join(med, joinOn, "left")
       .drop(groupCols.map(c => s"__g_$c"): _*)
+      .persist()
     val mad = withMed.groupBy(groupCols.map(col): _*)
       .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"))
       .select(groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__mad"): _*)
-    withMed.join(mad, joinOn, "left")
+    val out = withMed.join(mad, joinOn, "left")
       .withColumn("robust_z",
         when(col("__mad") > 0, round(
           lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"), 4)))
       .withColumn("is_outlier",
         coalesce(abs(col("robust_z")) > k, lit(false)))
       .drop(groupCols.map(c => s"__g_$c") :+ "__med" :+ "__mad": _*)
+    Checkpoints.materialize(out, withMed)
   }
 
   /** Repetition signals per document, in the style of the Gopher

@@ -29,6 +29,104 @@ object Ranking {
     (1 to k).map(r => r -> 1.0 / (math.log(r + 1.0) / math.log(2.0)))
   }
 
+  /** ROC AUC of a binary classifier's scores, by the rank-sum
+    * identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) — the probability a
+    * random positive outscores a random negative, with ties at half
+    * credit (average ranks give the tie correction for free). This is
+    * [[graft.operators.Stats.mannWhitneyU]]'s machinery reread as a
+    * classifier metric — strengthened to the [[Stats.spearman]] tier:
+    * the positive rank sum is carried on the DOUBLED integer scale
+    * (2·avgRank = 2·start + c − 1, a long even under ties) with
+    * decimal(38,0)-factor products and sums, so there is genuinely
+    * no FP accumulation anywhere; the /2 happens once in the final
+    * pinned expression. No sorting the corpus, no trapezoid sweep.
+    *
+    * Returns one row (n_pos, n_neg, auc 6dp); auc null when either
+    * class is empty (the metric is undefined, not 0.5). */
+  def auc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = df
+      .select(labelCol.cast("boolean").as("__y"),
+        scoreCol.cast("double").as("__s"))
+      .where(col("__y").isNotNull && col("__s").isNotNull &&
+        !isnan(col("__s")))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = "decimal(38,0)"
+    val ranked = grain
+      .withColumn("__start", lit(1L) + coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__rank2",
+        lit(2L) * col("__start") + col("__c") - lit(1L))
+    val agg = ranked.agg(
+      sum("__cp").as("n_pos"),
+      sum(col("__c") - col("__cp")).as("n_neg"),
+      sum(col("__cp").cast(dec) * col("__rank2").cast(dec)).as("__rp2"))
+    val nP = col("n_pos").cast("double")
+    val nN = col("n_neg").cast("double")
+    agg.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((col("__rp2").cast("double") / lit(2.0) -
+          nP * (nP + 1) / lit(2.0)) / (nP * nN), 6))
+        .as("auc"))
+  }
+
+  /** Decile gains table for a scored population — the campaign-
+    * targeting readout ("mail the top 2 deciles"): rows bucketed into
+    * 10 score bands by the EXACT score deciles, decile 1 = highest
+    * scores, with per-decile response rate, lift over the base rate,
+    * and cumulative capture of all positives.
+    *
+    * Determinism: the nine cuts come from ONE exact-percentile
+    * aggregate (the [[graft.ops.Analytics.rfmSegments]] rule — never
+    * a global ntile sort), each rounded 6dp so the band comparison
+    * chain is engine-portable; counts are exact and every rate is a
+    * pinned division rounded 6dp. Ties at a cut share a band by the
+    * comparison chain (bands may be uneven under heavy ties — that is
+    * the honest answer, not a silently split tie).
+    *
+    * Scale shape: one percentile aggregate, one broadcast of 9 cuts,
+    * one codegen'd banding pass, one 10-group aggregate, one 10-row
+    * window. */
+  def gainsTable(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rows feeds both the cuts aggregate and the banding pass —
+    // persisted so the (possibly expensive) scoring plan runs once
+    val rows = df
+      .select(scoreCol.cast("double").as("__s"),
+        labelCol.cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && !isnan(col("__s")) &&
+        col("__y").isNotNull)
+      .persist()
+    val cuts = rows.agg(
+      percentile(col("__s"), typedLit((1 to 9).map(_ / 10.0))).as("__cuts"))
+    val banded = rows.crossJoin(broadcast(cuts))
+      .select(col("__y"),
+        (lit(10L) - (1 to 9).map(i =>
+          when(col("__s") > round(element_at(col("__cuts"), i), 6), 1L)
+            .otherwise(0L)).reduce(_ + _)).as("decile"))
+    val per = banded.groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+    val tot = per.agg(sum("n").as("__tn"), sum("n_pos").as("__tp"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = per.crossJoin(broadcast(tot))
+      .withColumn("__cumPos", sum(col("n_pos")).over(wCum))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos") / col("n").cast("double"), 6).as("rate"),
+        when(col("__tp") > 0, round(
+          (col("n_pos") / col("n").cast("double")) /
+            (col("__tp") / col("__tn").cast("double")), 6)).as("lift"),
+        when(col("__tp") > 0,
+          round(col("__cumPos") / col("__tp").cast("double"), 6))
+          .as("cum_capture"))
+    Checkpoints.materialize(out, rows)
+  }
+
+
   /** Per-query ranking metrics at cutoff `k`.
     *
     * `run`: (query, doc, rank) — rank 1-based; rows past `k` are
@@ -59,93 +157,6 @@ object Ranking {
     * (query, n_rel, rr, ap, ndcg) — one row per query IN THE RUN
     * (a query with qrels but no run rows is a missing-run bug the
     * caller should see as an absent row, not a silent zero). */
-  /** ROC AUC of a binary classifier's scores, by the rank-sum
-    * identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) — the probability a
-    * random positive outscores a random negative, with ties at half
-    * credit (average ranks give the tie correction for free). This is
-    * [[graft.operators.Stats.mannWhitneyU]]'s machinery reread as a
-    * classifier metric: same distinct-value grain, same exact
-    * half-integer rank arithmetic — no sorting the corpus, no
-    * trapezoid sweep, no FP accumulation anywhere.
-    *
-    * Returns one row (n_pos, n_neg, auc 6dp); auc null when either
-    * class is empty (the metric is undefined, not 0.5). */
-  def auc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grain = df
-      .select(labelCol.cast("boolean").as("__y"),
-        scoreCol.cast("double").as("__s"))
-      .where(col("__y").isNotNull && col("__s").isNotNull &&
-        !isnan(col("__s")))
-      .groupBy("__s")
-      .agg(count(lit(1)).as("__c"),
-        sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"))
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = grain
-      .withColumn("__start", lit(1L) + coalesce(sum(col("__c")).over(w), lit(0L)))
-      .withColumn("__avgRank", col("__start") + (col("__c") - 1) / lit(2.0))
-    val agg = ranked.agg(
-      sum("__cp").as("n_pos"),
-      sum(col("__c") - col("__cp")).as("n_neg"),
-      sum(col("__cp") * col("__avgRank")).as("__rp"))
-    val nP = col("n_pos").cast("double")
-    val nN = col("n_neg").cast("double")
-    agg.select(col("n_pos"), col("n_neg"),
-      when(col("n_pos") > 0 && col("n_neg") > 0,
-        round((col("__rp") - nP * (nP + 1) / lit(2.0)) / (nP * nN), 6))
-        .as("auc"))
-  }
-
-  /** Decile gains table for a scored population — the campaign-
-    * targeting readout ("mail the top 2 deciles"): rows bucketed into
-    * 10 score bands by the EXACT score deciles, decile 1 = highest
-    * scores, with per-decile response rate, lift over the base rate,
-    * and cumulative capture of all positives.
-    *
-    * Determinism: the nine cuts come from ONE exact-percentile
-    * aggregate (the [[graft.ops.Analytics.rfmSegments]] rule — never
-    * a global ntile sort), each rounded 6dp so the band comparison
-    * chain is engine-portable; counts are exact and every rate is a
-    * pinned division rounded 6dp. Ties at a cut share a band by the
-    * comparison chain (bands may be uneven under heavy ties — that is
-    * the honest answer, not a silently split tie).
-    *
-    * Scale shape: one percentile aggregate, one broadcast of 9 cuts,
-    * one codegen'd banding pass, one 10-group aggregate, one 10-row
-    * window. */
-  def gainsTable(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rows = df
-      .select(scoreCol.cast("double").as("__s"),
-        labelCol.cast("boolean").as("__y"))
-      .where(col("__s").isNotNull && !isnan(col("__s")) &&
-        col("__y").isNotNull)
-    val cuts = rows.agg(
-      percentile(col("__s"), typedLit((1 to 9).map(_ / 10.0))).as("__cuts"))
-    val banded = rows.crossJoin(broadcast(cuts))
-      .select(col("__y"),
-        (lit(10L) - (1 to 9).map(i =>
-          when(col("__s") > round(element_at(col("__cuts"), i), 6), 1L)
-            .otherwise(0L)).reduce(_ + _)).as("decile"))
-    val per = banded.groupBy("decile")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
-    val tot = per.agg(sum("n").as("__tn"), sum("n_pos").as("__tp"))
-    val wCum = Window.orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per.crossJoin(broadcast(tot))
-      .withColumn("__cumPos", sum(col("n_pos")).over(wCum))
-      .select(col("decile"), col("n"), col("n_pos"),
-        round(col("n_pos") / col("n").cast("double"), 6).as("rate"),
-        when(col("__tp") > 0, round(
-          (col("n_pos") / col("n").cast("double")) /
-            (col("__tp") / col("__tn").cast("double")), 6)).as("lift"),
-        when(col("__tp") > 0,
-          round(col("__cumPos") / col("__tp").cast("double"), 6))
-          .as("cum_capture"))
-  }
-
   def rankEval(run: DataFrame, qrels: DataFrame, k: Int,
       queryCol: String = "query", docCol: String = "doc",
       rankCol: String = "rank", gradeCol: String = "grade"): DataFrame = {

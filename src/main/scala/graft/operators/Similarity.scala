@@ -598,19 +598,6 @@ object Similarity {
     out
   }
 
-  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel, TOIS
-    * 2010) between two per-query rankings — [[recallAtK]]'s
-    * top-weighted complement for ANN/retrieval evaluation: recall@k
-    * treats every rank the same, RBO discounts agreement
-    * geometrically (weight (1−p)·p^(d−1)/d at depth d), which is what
-    * distinguishes an index that misses rank 1 from one that misses
-    * rank k. Both inputs are (qid, rank, nid) frames; queries with
-    * zero overlap report 0.
-    *
-    * Execution: one equi-join on (qid, nid) inside depth k, overlap
-    * counts per depth via an `explode(sequence(m..k))` of at most k
-    * rows per match (k is small by contract), one aggregate — all
-    * shuffles keyed on qid. */
   /** Top principal component by QUANTIZED power iteration — PCA's
     * first direction at corpus scale (the dominant axis of variation:
     * embedding-drift diagnosis, whitening's first step, the 1-D
@@ -650,8 +637,19 @@ object Similarity {
       .where(col(vecCol).isNotNull)
       .select(expr(s"transform($vecCol, e -> cast(round(e * 1e6, 0) as bigint))")
         .as("__x6"))
-    val d = x6.select(size(col("__x6"))).head().getInt(0)
-    require(d >= 1, "need non-empty vectors")
+    // fail LOUDLY on the degenerate inputs the math silently mangles:
+    // a ragged corpus makes zip_with null-pad, a null element makes a
+    // projection null, an empty corpus has no dimensionality at all
+    val shape = x6.agg(
+      min(size(col("__x6"))).as("__dMin"), max(size(col("__x6"))).as("__dMax"),
+      sum(when(expr("exists(__x6, e -> e is null)"), 1L).otherwise(0L))
+        .as("__nulls")).head()
+    require(!shape.isNullAt(0), "pcaPowerComponent needs a non-empty corpus")
+    val d = shape.getInt(0)
+    require(d >= 1 && d == shape.getInt(1),
+      s"vectors must share one non-zero length, got [$d, ${shape.getInt(1)}]")
+    require(shape.getLong(2) == 0L,
+      s"${shape.getLong(2)} vectors contain null elements")
     // micro-rounded per-dim mean, rebuilt as a d-length array (no
     // driver collect — the array rides a 1-row broadcast)
     val dimSums = x6
@@ -701,6 +699,19 @@ object Similarity {
     } finally xc.unpersist(blocking = false)
   }
 
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel, TOIS
+    * 2010) between two per-query rankings — [[recallAtK]]'s
+    * top-weighted complement for ANN/retrieval evaluation: recall@k
+    * treats every rank the same, RBO discounts agreement
+    * geometrically (weight (1−p)·p^(d−1)/d at depth d), which is what
+    * distinguishes an index that misses rank 1 from one that misses
+    * rank k. Both inputs are (qid, rank, nid) frames; queries with
+    * zero overlap report 0.
+    *
+    * Execution: one equi-join on (qid, nid) inside depth k, overlap
+    * counts per depth via an `explode(sequence(m..k))` of at most k
+    * rows per match (k is small by contract), one aggregate — all
+    * shuffles keyed on qid. */
   def rboAtK(a: DataFrame, b: DataFrame, k: Int, p: Double): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")

@@ -262,9 +262,10 @@ object Stats {
     *
     * Determinism — exact-integer end to end: ranks are computed on
     * the DOUBLED scale `2·avgRank = 2·start + c − 1`, a LONG even
-    * under ties (Pearson is invariant to the linear rescale), so
-    * every per-row product is an exact long and the three sums
-    * accumulate as decimal(38,0) — order-independent, no FP until
+    * under ties (Pearson is invariant to the linear rescale), and
+    * every per-row product multiplies decimal(38,0) FACTORS (a long
+    * product 4n² would wrap past ~1.5e9 rows) with the sums
+    * accumulating as decimal(38,0) — order-independent, no FP until
     * the one final pinned expression (cast to double, round 6dp).
     * ρ is null when either column is constant (zero variance).
     *
@@ -294,13 +295,16 @@ object Stats {
         .join(rankTable("__x", "__rx"), Seq("__x"))
         .join(rankTable("__y", "__ry"), Seq("__y"))
       val dec = "decimal(38,0)"
+      // cast each FACTOR to decimal before multiplying: doubled ranks
+      // reach 2n, so a long product 4n² would wrap past ~1.5e9 rows —
+      // decimal×decimal stays exact to 1e38
       val agg = withR.agg(
         count(lit(1)).as("n"),
         sum(col("__rx").cast(dec)).as("__sx"),
         sum(col("__ry").cast(dec)).as("__sy"),
-        sum((col("__rx") * col("__rx")).cast(dec)).as("__sxx"),
-        sum((col("__ry") * col("__ry")).cast(dec)).as("__syy"),
-        sum((col("__rx") * col("__ry")).cast(dec)).as("__sxy"))
+        sum(col("__rx").cast(dec) * col("__rx").cast(dec)).as("__sxx"),
+        sum(col("__ry").cast(dec) * col("__ry").cast(dec)).as("__syy"),
+        sum(col("__rx").cast(dec) * col("__ry").cast(dec)).as("__sxy"))
       val n = col("n").cast("double")
       def d(c: String) = col(c).cast("double")
       val cov = n * d("__sxy") - d("__sx") * d("__sy")
@@ -568,6 +572,17 @@ object Stats {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** Cumulative Poisson(1) CDF for k = 0..6 as FLOOR(CDF·2^40)
+    * integer thresholds — public so an external replay (the oracle)
+    * interpolates the identical literals. */
+  lazy val poissonThresholds40: Seq[Long] = {
+    val cdf = (0 to 6).scanLeft(0.0) { case (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).map(_.toDouble).product
+    }.tail
+    cdf.map(c => (BigDecimal(c) * BigDecimal(1L << 40))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+  }
+
   /** Poisson-bootstrap 95% confidence interval for a mean — the
     * distributed bootstrap (Chamandy et al., Google 2012): instead of
     * materializing B resamples, every row draws a Poisson(1) weight
@@ -592,16 +607,6 @@ object Stats {
     * combined 200-group aggregate — no shuffle wider than B rows),
     * one B-row percentile reduction. Returns one row
     * (n, reps, mean, lo95, hi95). */
-  /** Cumulative Poisson(1) CDF for k = 0..6 as FLOOR(CDF·2^40)
-    * integer thresholds — public so an external replay (the oracle)
-    * interpolates the identical literals. */
-  lazy val poissonThresholds40: Seq[Long] = {
-    val cdf = (0 to 6).scanLeft(0.0) { case (acc, k) =>
-      acc + math.exp(-1.0) / (1 to k).map(_.toDouble).product
-    }.tail
-    cdf.map(c => (BigDecimal(c) * BigDecimal(1L << 40))
-      .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
-  }
 
   def bootstrapCiMean(df: DataFrame, idCol: Column, valueCol: Column,
       reps: Int = 200, unitScale: Double = 100.0,

@@ -139,27 +139,6 @@ object Tfidf {
       .limit(k)
   }
 
-  /** Exact phrase search over a positional token index — the
-    * token-boundary query [[bm25TopK]]'s bag-of-terms scoring cannot
-    * express ("new york" must not match "york, new"). Occurrences are
-    * counted at TOKEN granularity, overlapping matches included
-    * ("w w w" holds two "w w" occurrences) — the positional-join
-    * semantics, which no substring-count replay can reproduce.
-    *
-    * Execution: ONE corpus tokenize pass position-explodes and
-    * immediately filters to the phrase's tokens (the posting frame —
-    * phrase-token rows only, never the full token stream; the filter
-    * sits directly over the generator). The phrase then assembles by
-    * m−1 equi joins on (doc, position−offset) — each join can only
-    * shrink the frame, all shuffles key on the uniform (doc, pos)
-    * pair. A production engine would anchor on the rarest token
-    * first; with equi joins AQE's runtime stats reorder the small
-    * sides anyway, so the static order stays the readable one.
-    *
-    * Returns (idCol, n_occurrences, first_pos) for matching docs
-    * only — positions 1-BASED (the SQL/DuckDB list convention, so
-    * oracle replays need no off-by-one). Exact integers throughout;
-    * no FP anywhere. */
   /** Pointwise-mutual-information collocations (Church & Hanks 1990)
     * — adjacent word pairs that co-occur far above chance ("new york"
     * vs "of the"): the multi-word-expression detector a tokenizer/
@@ -240,6 +219,27 @@ object Tfidf {
     Graph.pageRank(edges, "src", "dst", iters)
   }
 
+  /** Exact phrase search over a positional token index — the
+    * token-boundary query [[bm25TopK]]'s bag-of-terms scoring cannot
+    * express ("new york" must not match "york, new"). Occurrences are
+    * counted at TOKEN granularity, overlapping matches included
+    * ("w w w" holds two "w w" occurrences) — the positional-join
+    * semantics, which no substring-count replay can reproduce.
+    *
+    * Execution: ONE corpus tokenize pass position-explodes and
+    * immediately filters to the phrase's tokens (the posting frame —
+    * phrase-token rows only, never the full token stream; the filter
+    * sits directly over the generator). The phrase then assembles by
+    * m−1 equi joins on (doc, position−offset) — each join can only
+    * shrink the frame, all shuffles key on the uniform (doc, pos)
+    * pair. A production engine would anchor on the rarest token
+    * first; with equi joins AQE's runtime stats reorder the small
+    * sides anyway, so the static order stays the readable one.
+    *
+    * Returns (idCol, n_occurrences, first_pos) for matching docs
+    * only — positions 1-BASED (the SQL/DuckDB list convention, so
+    * oracle replays need no off-by-one). Exact integers throughout;
+    * no FP anywhere. */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch needs at least one token")

@@ -502,10 +502,13 @@ object Analytics {
         col("age_months"), col("n_customers"),
         col("__active").as("n_active"),
         round(col("__cents") / lit(100.0), 2).as("revenue"),
-        // LTV floors to WHOLE CENTS per member (integer div) before the
-        // one exact /100 — a rounded rational here can land on a decimal
-        // tie where engines' double-rounding disagrees
-        (expr("__cum div n_customers").cast("double") / 100.0).as("cum_ltv"))
+        // LTV floors to WHOLE CENTS per member before the one exact
+        // /100 — a rounded rational here can land on a decimal tie
+        // where engines' double-rounding disagrees. TRUE floor via the
+        // pmod spelling (the holtDaily rule): a refund-heavy cohort's
+        // cumulative goes negative, where truncating div rounds wrong
+        (expr("(__cum - pmod(__cum, n_customers)) div n_customers")
+          .cast("double") / 100.0).as("cum_ltv"))
   }
 
   /** Ordinary-least-squares daily trend per key — [[theilSenDaily]]'s
@@ -520,9 +523,10 @@ object Analytics {
     * — the [[graft.operators.Stats.zipfFit]] closed-form rule
     * (`regr_slope`'s streaming internals differ across engines; the
     * five sums don't). Determinism: x is the day offset and y the
-    * daily COUNT — every sum an exact long (headroom: a 30-year
-    * daily series with 10⁹-event days keeps Σxy under 2^53, far
-    * under long overflow) — and slope/intercept/R² are single pinned
+    * daily COUNT — every product multiplies decimal(38,0) factors
+    * and every sum accumulates as decimal(38,0) (exact and
+    * order-independent at any scale; a long Σy² wraps at ~3·10⁹
+    * daily events) — and slope/intercept/R² are single pinned
     * double expressions, rounded 6dp. slope/intercept are null for a
     * single-day series (zero x-variance), R² additionally null for a
     * constant series (zero y-variance).
@@ -536,13 +540,17 @@ object Analytics {
     val w = Window.partitionBy(col(keyCol))
     val pts = dense.withColumn("__x",
       datediff(col("day"), min(col("day")).over(w)).cast("long"))
+    // decimal(38,0) factors+sums (the spearman rule): sum(n·n) in
+    // long wraps once daily counts pass ~3e9 over a 10-day span —
+    // far-fetched for days, not for the claim "exact at any scale"
+    val dec = "decimal(38,0)"
     val agg = pts.groupBy(col(keyCol)).agg(
       count(lit(1)).as("n_days"),
-      sum(col("__x")).as("__sx"),
-      sum(col("__x") * col("__x")).as("__sxx"),
-      sum(col("n")).as("__sy"),
-      sum(col("n") * col("n")).as("__syy"),
-      sum(col("__x") * col("n")).as("__sxy"))
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+      sum(col("n").cast(dec)).as("__sy"),
+      sum(col("n").cast(dec) * col("n").cast(dec)).as("__syy"),
+      sum(col("__x").cast(dec) * col("n").cast(dec)).as("__sxy"))
     val t = col("n_days").cast("double")
     def d(c: String) = col(c).cast("double")
     val cov = t * d("__sxy") - d("__sx") * d("__sy")

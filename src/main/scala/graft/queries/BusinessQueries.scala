@@ -1370,9 +1370,12 @@ object BusinessQueries {
             s AS (SELECT CAST(count(*) AS BIGINT) AS n,
                          CAST(sum(rxv) AS DOUBLE) AS sx,
                          CAST(sum(ryv) AS DOUBLE) AS sy,
-                         CAST(sum(rxv * rxv) AS DOUBLE) AS sxx,
-                         CAST(sum(ryv * ryv) AS DOUBLE) AS syy,
-                         CAST(sum(rxv * ryv) AS DOUBLE) AS sxy
+                         CAST(sum(CAST(rxv AS HUGEINT) * rxv) AS DOUBLE)
+                           AS sxx,
+                         CAST(sum(CAST(ryv AS HUGEINT) * ryv) AS DOUBLE)
+                           AS syy,
+                         CAST(sum(CAST(rxv AS HUGEINT) * ryv) AS DOUBLE)
+                           AS sxy
                   FROM j),
             e AS (SELECT n,
                          CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
@@ -1819,7 +1822,9 @@ object BusinessQueries {
                    CAST(age AS BIGINT) AS age_months, n_customers,
                    active AS n_active,
                    round(cents / 100.0, 2) AS revenue,
-                   CAST(cumc // n_customers AS DOUBLE) / 100.0 AS cum_ltv
+                   CAST((cumc - ((cumc % n_customers + n_customers)
+                       % n_customers)) // n_customers AS DOUBLE)
+                     / 100.0 AS cum_ltv
             FROM cum ORDER BY cohort_month, age_months"""))
 
   /** q176 — Holt-Winters triple smoothing

@@ -3792,7 +3792,11 @@ object LlmQueries {
     * replays train AND score value-for-value. */
   private val q158 = Q("q158_nb_lang_classifier",
     (s, d) => {
+      // the oracle's docs CTE drops null-lang/null-text rows BEFORE
+      // scoring — mirror that here, or a future fixture with a null
+      // lang would score on the Spark side only
       val docs = Tables.documents(s, d)
+        .where(col("lang").isNotNull && col("text").isNotNull)
       val model = graft.operators.TextClassifier.trainNb(
         docs, "text", "lang", alpha = 1.0)
       val pred = graft.operators.TextClassifier.scoreNb(
@@ -4119,18 +4123,19 @@ object LlmQueries {
                            AS BIGINT) AS cp
                   FROM sc GROUP BY 1),
             r AS (SELECT *,
-                         1 + coalesce(CAST(sum(c) OVER (ORDER BY score
+                         CAST(2 * (1 + coalesce(CAST(sum(c) OVER (
+                             ORDER BY score
                              ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND 1 PRECEDING) AS BIGINT), 0)
-                           + (c - 1) / 2.0 AS avg_rank
+                             AND 1 PRECEDING) AS BIGINT), 0))
+                           + c - 1 AS BIGINT) AS rank2
                   FROM g),
             a AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
                          CAST(sum(c - cp) AS BIGINT) AS n_neg,
-                         sum(cp * avg_rank) AS rp
+                         CAST(sum(cp * rank2) AS DOUBLE) AS rp2
                   FROM r)
             SELECT n_pos, n_neg,
                    CASE WHEN n_pos > 0 AND n_neg > 0
-                        THEN round((rp - CAST(n_pos AS DOUBLE)
+                        THEN round((rp2 / 2.0 - CAST(n_pos AS DOUBLE)
                                * (CAST(n_pos AS DOUBLE) + 1) / 2.0)
                              / (CAST(n_pos AS DOUBLE)
                                 * CAST(n_neg AS DOUBLE)), 6) END AS auc
