@@ -65,7 +65,13 @@ object Bench {
       System.gc()
       t
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (comma-separated names) for re-timing a
+    // few queries without the full suite; the driver never sets it,
+    // so official artifacts always cover everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       var times = (0 until reps).flatMap(_ => runOnce(fn))
       val failed = times.length != reps
       // load-suspect retry: a wide spread on a deterministic local

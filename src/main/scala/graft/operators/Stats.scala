@@ -615,9 +615,16 @@ object Stats {
     import graft.functions.TextFunctions.md5Long
     val grid = 1L << 40
     val thresholds = poissonThresholds40
+    // repartition BEFORE the explode: the draw pass does reps·n md5s —
+    // B× the scan's work — so inheriting a byte-narrow scan's few
+    // partitions serializes it (the sf0.1 fixture ran 32-thread-wide
+    // at 1/8 the wall time after this). The shuffled frame is the
+    // skinny (id, value) pair; its cost is noise next to the draws.
     val rows = df.select(idCol.cast("string").as("__id"),
         valueCol.cast("long").as("__v"))
       .where(col("__id").isNotNull && col("__v").isNotNull)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__id"))
       .persist()
     try {
       val totals = rows.agg(count(lit(1)).as("n"),
@@ -680,6 +687,65 @@ object Stats {
         round(col("__sm") / (col("n").cast("double") * 1e6), 6)
           .as("mean_pred"),
         round(col("n_pos") / col("n").cast("double"), 6).as("frac_pos"))
+  }
+
+  /** Isotonic (monotone non-decreasing) calibration over the
+    * [[calibration]] bins — PAV's answer computed by the exact
+    * MINIMAX identity instead of the sequential pool-adjacent-
+    * violators loop:
+    *
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} mean(j..k),
+    *   mean(j..k) = Σ n_pos / Σ n  over bins j..k
+    *
+    * (Robertson/Wright/Dykstra 1988, Thm 1.4.4 — the isotonic
+    * regression under weighted squared loss). The i-th calibrated
+    * rate never decreases, pooling exactly the adjacent violator
+    * blocks PAV would pool. A classifier whose reliability curve dips
+    * (q168's honest answer) gets the monotone correction an isotonic
+    * calibrator actually deploys.
+    *
+    * Determinism: every interval mean is ONE division of exact
+    * integer sums (prefix-sum differences), and max/min over a
+    * finite set of identical doubles is engine-exact — no rounding
+    * rule needed until the 6dp output. Scale shape: the bin frame is
+    * nBins-sized by contract, so the (i, j, k) triple explosion is
+    * nBins³ TINY rows (10³ = 1000) — corpus-scale work stays inside
+    * [[calibration]]'s one aggregate. Returns (bin, n, n_pos,
+    * frac_pos, iso_rate). */
+  def isotonicCalibration(df: DataFrame, scoreCol: Column, labelCol: Column,
+      nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = calibration(df, scoreCol, labelCol, nBins)
+      .select(col("bin"), col("n"), col("n_pos"), col("frac_pos"))
+      .persist()
+    try {
+      val wCum = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = bins
+        .withColumn("__cn", sum(col("n")).over(wCum))
+        .withColumn("__cp", sum(col("n_pos")).over(wCum))
+        .select(col("bin"),
+          col("__cn"), col("__cp"),
+          (col("__cn") - col("n")).as("__pn"),   // exclusive prefixes
+          (col("__cp") - col("n_pos")).as("__pp"))
+      // interval means from prefix differences; all joins stay on the
+      // nBins-sized frame
+      val means = pre.select(col("bin").as("__j"), col("__pn"), col("__pp"))
+        .join(pre.select(col("bin").as("__k"), col("__cn"), col("__cp")),
+          col("__j") <= col("__k"))
+        .select(col("__j"), col("__k"),
+          ((col("__cp") - col("__pp")).cast("double") /
+            (col("__cn") - col("__pn"))).as("__m"))
+      val iso = bins.select(col("bin"))
+        .join(means, col("__j") <= col("bin") && col("__k") >= col("bin"))
+        .groupBy(col("bin"), col("__j")).agg(min(col("__m")).as("__inner"))
+        .groupBy(col("bin")).agg(max(col("__inner")).as("__iso"))
+      val out = bins.join(iso, Seq("bin"))
+        .select(col("bin"), col("n"), col("n_pos"), col("frac_pos"),
+          round(col("__iso"), 6).as("iso_rate"))
+        .orderBy("bin")
+      Checkpoints.materialize(out)
+    } finally bins.unpersist(blocking = false)
   }
 
   /** Jensen-Shannon divergence between two corpus slices' token

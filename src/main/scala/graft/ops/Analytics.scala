@@ -460,6 +460,75 @@ object Analytics {
     graft.operators.Checkpoints.materialize(out, daily, pts)
   }
 
+  /** Linear interpolation of gaps in a per-key daily MEASURE series —
+    * the imputation step before any smoother/anomaly pass when the
+    * metric is an observation (a mean price, a sensor reading), where
+    * a silent day is MISSING, not zero. (For event COUNTS the
+    * [[densifiedDaily]] zero-fill is the correct semantics — these
+    * are deliberately different operators.) Interior gaps fill by the
+    * straight line between the flanking observed days; leading and
+    * trailing gaps stay NULL (extrapolation is a modeling choice, not
+    * an imputation default).
+    *
+    * Determinism: the daily measure quantizes to exact micro-units
+    * once (`round(mean·1e6)` — the mean itself is a pinned division
+    * of exact cent sums by exact counts), and each interpolated value
+    * is ONE pinned expression over four exact longs
+    * (prev + (next−prev)·pos/len), rounded 6dp.
+    *
+    * Scale shape: one (key, day) aggregate, the calendar-bounded
+    * densify, two ignoreNulls carry windows per key (forward and
+    * backward) — the same per-key window budget as [[rollingDaily]].
+    * Returns (keyCol, day, observed, value). */
+  def interpolateDaily(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .where(valueCol.isNotNull && !isnan(valueCol.cast("double")))
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(valueCol * 100, 0).cast("long")).as("__cents"),
+        count(lit(1)).as("__cnt"))
+      .withColumn("__m",
+        round(col("__cents") * 10000.0 / col("__cnt"), 0).cast("long"))
+      .persist()
+    val dense = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day")))
+          .as("day"))
+      .join(daily.select(col(keyCol), col("day"), col("__m")),
+        Seq(keyCol, "day"), "left")
+      .withColumn("__ord",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("__ord"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsOrd = when(col("__m").isNotNull, col("__ord"))
+    val filled = dense
+      .withColumn("__pm", last(col("__m"), ignoreNulls = true).over(wPrev))
+      .withColumn("__po", last(obsOrd, ignoreNulls = true).over(wPrev))
+      .withColumn("__nm", first(col("__m"), ignoreNulls = true).over(wNext))
+      .withColumn("__no", first(obsOrd, ignoreNulls = true).over(wNext))
+    val lerp = col("__pm") +
+      (col("__nm") - col("__pm")).cast("double") *
+        (col("__ord") - col("__po")).cast("double") /
+        (col("__no") - col("__po")).cast("double")
+    // the lerp re-quantizes to WHOLE micro-units before the one /1e6
+    // (no round-at-6dp call anywhere): a half-micro tie (gap length a
+    // power of two) is exactly representable in binary, so both
+    // engines see the true tie and round it half-away identically —
+    // where round(x/1e6, 6) would hand engines a near-tie double to
+    // disagree on (the cohortLtv lesson)
+    val out = filled.select(col(keyCol), col("day"),
+      col("__m").isNotNull.as("observed"),
+      (when(col("__m").isNotNull, col("__m"))
+        .when(col("__pm").isNotNull && col("__nm").isNotNull,
+          round(lerp, 0).cast("long"))
+        .cast("double") / 1e6).as("value"))
+    graft.operators.Checkpoints.materialize(out, daily)
+  }
+
   /** Cohort LTV curve: customers grouped by first-purchase month,
     * cumulative revenue per customer tracked by months-since-joining
     * — [[cohortRetention]]'s revenue twin (retention says who came

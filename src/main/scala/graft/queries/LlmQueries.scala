@@ -4260,6 +4260,116 @@ object LlmQueries {
                    CAST(v6 AS DOUBLE) / 1e6 AS loading
             FROM v2 ORDER BY dim"""))
 
+  /** q177 — isotonic (PAV) calibration
+    * ([[graft.operators.Stats.isotonicCalibration]]): the monotone
+    * correction over q168's reliability bins, computed by the exact
+    * minimax identity (max over j≤i of min over k≥i of the interval
+    * mean) instead of a sequential PAV loop — every interval mean is
+    * one division of exact integer prefix differences, so the oracle
+    * replays the whole lattice. */
+  private val q177 = Q("q177_isotonic_calibration",
+    (s, d) => graft.operators.Stats.isotonicCalibration(scoredOrders(s, d),
+      col("score"), col("label"), nBins = 10),
+    Some(s"""WITH $scoredOrdersSql,
+            bins AS (SELECT CAST(greatest(0, least(9, floor(score * 10)))
+                       AS BIGINT) AS bin,
+                     count(*) AS n,
+                     CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                     round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                         AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+                       AS frac_pos
+                     FROM sc GROUP BY 1),
+            pre AS (SELECT bin, n, n_pos,
+                           CAST(sum(n) OVER (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cn,
+                           CAST(sum(n_pos) OVER (ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cp
+                    FROM bins),
+            prex AS (SELECT bin, cn, cp, cn - n AS pn, cp - n_pos AS pp
+                     FROM pre),
+            means AS (SELECT a.bin AS j, b.bin AS k,
+                             CAST(b.cp - a.pp AS DOUBLE) / (b.cn - a.pn)
+                               AS m
+                      FROM prex a JOIN prex b ON a.bin <= b.bin),
+            inner_ AS (SELECT i.bin, ms.j, min(ms.m) AS inner_m
+                       FROM bins i JOIN means ms
+                         ON ms.j <= i.bin AND ms.k >= i.bin
+                       GROUP BY 1, 2),
+            iso AS (SELECT bin, max(inner_m) AS iso FROM inner_ GROUP BY 1)
+            SELECT b.bin, b.n, b.n_pos, b.frac_pos,
+                   round(iso.iso, 6) AS iso_rate
+            FROM bins b JOIN iso USING (bin) ORDER BY bin"""))
+
+  /** q178 — linear gap interpolation
+    * ([[graft.ops.Analytics.interpolateDaily]]): per-type daily mean
+    * event value, micro-quantized, interior gaps filled by the exact
+    * straight line (ties re-quantized to whole micro-units — no
+    * decimal rounding call exists to disagree on), edges null. The
+    * oracle mirrors the carry windows with IGNORE NULLS. */
+  private val q178 = Q("q178_interpolate_daily",
+    (s, d) => graft.ops.Analytics.interpolateDaily(
+        // punch deterministic holes (every 7th day-of-month) so the
+        // interior-gap lerp genuinely runs under the oracle — the raw
+        // fixture is gapless at this scale
+        Tables.events(s, d).where(dayofmonth(col("ts")) % 7 =!= 3),
+        "event_type", "ts", col("value"))
+      .orderBy("event_type", "day"),
+    Some("""WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                       AS BIGINT) AS cents,
+                     count(*) AS cnt
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+                AND dayofmonth(ts) % 7 <> 3
+              GROUP BY 1, 2),
+            dm AS (SELECT event_type, day,
+                          CAST(round(cents * 10000.0 / cnt, 0) AS BIGINT)
+                            AS m
+                   FROM daily),
+            dense AS (
+              SELECT s.event_type, CAST(d AS DATE) AS day
+              FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                    FROM dm GROUP BY 1) s,
+                   unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                     CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)),
+            f AS (SELECT dense.event_type, dense.day, dm.m,
+                         CAST(datediff('day', DATE '1970-01-01', dense.day)
+                           AS BIGINT) AS ord
+                  FROM dense LEFT JOIN dm USING (event_type, day)),
+            w AS (SELECT *,
+                         last_value(m IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY ord
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS pm,
+                         last_value(CASE WHEN m IS NOT NULL THEN ord END
+                           IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY ord
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS po,
+                         first_value(m IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY ord
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS nm,
+                         first_value(CASE WHEN m IS NOT NULL THEN ord END
+                           IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY ord
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS no_
+                  FROM f)
+            SELECT event_type, day, (m IS NOT NULL) AS observed,
+                   CAST(CASE WHEN m IS NOT NULL THEN m
+                             WHEN pm IS NOT NULL AND nm IS NOT NULL
+                             THEN CAST(round(pm
+                               + CAST(nm - pm AS DOUBLE)
+                                 * CAST(ord - po AS DOUBLE)
+                                 / CAST(no_ - po AS DOUBLE), 0) AS BIGINT)
+                             END AS DOUBLE) / 1e6 AS value
+            FROM w ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
@@ -4267,5 +4377,5 @@ object LlmQueries {
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
     q134, q136, q145, q147, q148, q149, q150, q158, q159, q160, q162, q164,
-    q165, q166, q167, q168, q169, q172, q173)
+    q165, q166, q167, q168, q169, q172, q173, q177, q178)
 }

@@ -3097,6 +3097,48 @@ class OperatorSpec extends SparkSpec {
       (10.0, 0.0, 0.0), (10.0, 0.0, 0.0), (8.2, -0.36, -0.84)))
   }
 
+  test("isotonicCalibration: adjacent violators pool weighted, monotone output") {
+    import graft.operators.Stats
+    // four bins, rates [0.2, 0.5, 0.4, 0.8]: bins 2 and 3 violate and
+    // pool to (1+2)/(2+5) = 3/7; ends stay put
+    def rows(score: Double, n: Int, pos: Int) =
+      (0 until n).map(i => (score, i < pos))
+    val df = (rows(0.125, 5, 1) ++ rows(0.375, 2, 1) ++
+      rows(0.625, 5, 2) ++ rows(0.875, 5, 4)).toDF("s", "y")
+    val out = Stats.isotonicCalibration(df, col("s"), col("y"), nBins = 4)
+      .orderBy("bin").collect().map(_.getAs[Double]("iso_rate"))
+    val pooled = BigDecimal(3.0 / 7.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Array(0.2, pooled, pooled, 0.8))
+    assert(out.zip(out.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("interpolateDaily: interior gaps lerp exactly, edges stay null, observed pass through") {
+    import graft.ops.Analytics
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-05-$day%02d 12:00:00")
+    // observed on days 1 and 4 (means 10.0 and 16.0): days 2,3
+    // interpolate to 12, 14; a second key with one day has no gaps
+    val ev = Seq(("a", ts(1), 10.0), ("a", ts(4), 16.0), ("b", ts(2), 5.0))
+      .toDF("k", "ts", "v")
+    val out = Analytics.interpolateDaily(ev, "k", "ts", col("v"))
+      .orderBy("k", "day").collect()
+      .map(r => (r.getString(0), r.getBoolean(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out === Array(
+      ("a", true, Some(10.0)), ("a", false, Some(12.0)),
+      ("a", false, Some(14.0)), ("a", true, Some(16.0)),
+      ("b", true, Some(5.0))))
+    // half-micro tie: day 1 mean = 10000 micro, day 3 mean =
+    // round(10000/3) = 3333 micro -> midpoint 6666.5 is a TRUE binary
+    // half and must round half-away to 6667 micro = 0.006667
+    val tie = Seq(("c", ts(1), 0.01), ("c", ts(3), 0.01),
+      ("c", ts(3), 0.0), ("c", ts(3), 0.0)).toDF("k", "ts", "v")
+    val mid = Analytics.interpolateDaily(tie, "k", "ts", col("v"))
+      .orderBy("day").collect()(1)
+    assert(!mid.getBoolean(2) && mid.getDouble(3) === 0.006667)
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
