@@ -846,6 +846,125 @@ object Analytics {
       pairs)
   }
 
+  /** Daily concurrency profile of a set of time INTERVALS (sessions,
+    * jobs, rentals — `[start, end)`, end exclusive): per covered day,
+    * how many intervals touch it (`n_active`) and the PEAK number
+    * open at one instant (`peak`) — capacity planning's two numbers.
+    * The classic sweep line, partitioned scale-right: ±1 deltas at
+    * interval endpoints, running-summed WITHIN each day on top of
+    * that day's carry-in (intervals spanning midnight), so no global
+    * single-partition ordering ever exists. Ties at one instant
+    * process ends before starts (end-exclusive semantics: back-to-
+    * back intervals never overlap); an end falling exactly ON
+    * midnight belongs to no day's sweep (the interval doesn't cover
+    * that day) and is dropped rather than pushing a covered day's
+    * running sum spuriously negative.
+    *
+    * Exact integers throughout — no FP anywhere. Scale shape: one
+    * day-coverage explode (bounded by interval length in days — the
+    * theilSen calendar-bound argument), one day-partitioned window
+    * over the day's own endpoints, two day-keyed aggregates. Returns
+    * (day, n_active, peak). */
+  def concurrencyDaily(intervals: DataFrame, startCol: Column,
+      endCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = intervals.select(startCol.as("__s"), endCol.as("__e"))
+      .where(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__e") > col("__s"))
+      .persist()
+    val cov = iv.select(
+        explode(sequence(to_date(col("__s")),
+          to_date(col("__e") - expr("interval 1 microsecond")),
+          expr("interval 1 day"))).as("day"),
+        col("__s"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(to_date(col("__s")) < col("day"), 1L).otherwise(0L))
+          .as("__carry"))
+    val deltas = iv.select(col("__s").as("__ts"), lit(1L).as("__d"))
+      .unionByName(iv.select(col("__e").as("__ts"), lit(-1L).as("__d")))
+      .withColumn("day", to_date(col("__ts")))
+      // a midnight-exact END closed the previous day; it covers
+      // nothing of `day` and must not enter its sweep
+      .where(!(col("__d") === -1L &&
+        col("__ts") === col("day").cast("timestamp")))
+    val w = Window.partitionBy(col("day")).orderBy(col("__ts"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = deltas
+      .withColumn("__run", sum(col("__d")).over(w))
+      .groupBy("day").agg(max(col("__run")).as("__maxr"))
+    val out = cov.join(peaks, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        (col("__carry") +
+          greatest(coalesce(col("__maxr"), lit(0L)), lit(0L))).as("peak"))
+    graft.operators.Checkpoints.materialize(out, iv)
+  }
+
+  /** Stationary distribution of a first-order Markov transition
+    * matrix ([[eventTransitions]]'s output shape: from, to, p) — the
+    * long-run share of attention each state holds if users keep
+    * walking the journey graph, the summary number the per-edge
+    * matrix can't give ("where does traffic END UP"). `iters`
+    * synchronous power iterations π' = πP from the uniform start.
+    *
+    * Mass accounting is EXPLICIT: a state with no out-edges (or one
+    * whose rounded out-probabilities don't sum to exactly 1) leaks
+    * its residual each step; the leaked mass is redistributed
+    * uniformly (the pageRank dangling treatment), so Σπ stays ~1 and
+    * the iteration can't silently decay to zero. Determinism: the
+    * [[graft.operators.Graph.pageRank]] rule — π rounds 9dp per
+    * iteration, output 6dp.
+    *
+    * Scale shape: per iteration one src-keyed join + one dst-keyed
+    * map-side-combined aggregate + one 1-row broadcast for the leak
+    * — the matrix is |states|²-bounded (tiny by contract), the
+    * machinery is the same as a corpus-scale host graph's. Returns
+    * (state, pi). */
+  def stationaryDistribution(trans: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = trans.select(col("from_type").as("__src"),
+        col("to_type").as("__dst"), col("p").as("__p"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull &&
+        col("__p").isNotNull)
+      .persist()
+    val nodes = e.select(col("__src").as("state"))
+      .unionByName(e.select(col("__dst").as("state"))).distinct().persist()
+    try {
+      val n = nodes.count()
+      require(n > 0, "stationaryDistribution needs at least one transition")
+      val outMass = e.groupBy(col("__src").as("state"))
+        .agg(sum("__p").as("__out"))
+      var pi = graft.operators.Checkpoints.stableTracked(
+        nodes.withColumn("pi", round(lit(1.0) / n, 9)))
+      for (_ <- 1 to iters) {
+        val flowed = e.join(
+            pi._1.select(col("state").as("__src"), col("pi").as("__pi")),
+            Seq("__src"))
+          .groupBy(col("__dst").as("state"))
+          .agg(sum(col("__pi") * col("__p")).as("__in"))
+        // leaked mass = 1-step total minus what flowed: states with
+        // no out-edges contribute all their pi, under-summing rows
+        // their residual
+        val leak = pi._1.join(outMass, Seq("state"), "left")
+          .agg((sum(col("pi")) -
+            sum(col("pi") * coalesce(col("__out"), lit(0.0)))).as("__leak"))
+        val prev = pi
+        pi = graft.operators.Checkpoints.stableTracked(
+          nodes.join(flowed, Seq("state"), "left")
+            .crossJoin(broadcast(leak))
+            .select(col("state"), round(
+              coalesce(col("__in"), lit(0.0)) + col("__leak") / n,
+              9).as("pi")))
+        prev._1.unpersist(blocking = false)
+        graft.operators.Checkpoints.drop(prev._1, prev._2)
+      }
+      val out = pi._1.select(col("state"), round(col("pi"), 6).as("pi"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.drop(pi._1, pi._2)
+      out
+    } finally { e.unpersist(blocking = false); nodes.unpersist(blocking = false) }
+  }
+
   /** Conversion-delay distribution: per converting user, the delay
     * from the first `fromType` event to the first `toType` event
     * STRICTLY AFTER it — exactly [[funnel]]'s two-step audience (a

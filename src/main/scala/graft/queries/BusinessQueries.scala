@@ -1893,9 +1893,106 @@ object BusinessQueries {
                    CAST(sm AS DOUBLE) / CAST(1000000 AS DOUBLE) AS seasonal
             FROM rec ORDER BY event_type, day"""))
 
+  /** q179 — Markov stationary distribution
+    * ([[graft.ops.Analytics.stationaryDistribution]], 3 power
+    * iterations): where the q124 journey matrix's traffic ENDS UP,
+    * with leaked mass (no-out-edge states, rounded under-sums)
+    * redistributed uniformly — the pageRank dangling treatment. 9dp
+    * per-iteration rounding; the oracle builds the same matrix and
+    * unrolls all three steps. */
+  private val q179 = Q("q179_stationary_distribution",
+    (s, d) => {
+      val trans = graft.ops.Analytics.eventTransitions(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id")
+      graft.ops.Analytics.stationaryDistribution(trans, iters = 3)
+        .orderBy("state")
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type AS from_type,
+                                lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+                         FROM events),
+            pc AS (SELECT from_type, to_type, count(*) AS n
+                   FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+                  FROM pc GROUP BY 1),
+            tr AS (SELECT pc.from_type AS src, pc.to_type AS dst,
+                          round(pc.n / CAST(t.tot AS DOUBLE), 6) AS p
+                   FROM pc JOIN t USING (from_type)),
+            nodes AS (SELECT src AS state FROM tr UNION SELECT dst FROM tr),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            om AS (SELECT src AS state, sum(p) AS outp FROM tr GROUP BY 1),
+            p0 AS (SELECT state, round(CAST(1 AS DOUBLE) / n, 9) AS pi
+                   FROM nodes, nn),
+            f1 AS (SELECT tr.dst AS state, sum(p0.pi * tr.p) AS inp
+                   FROM tr JOIN p0 ON tr.src = p0.state GROUP BY 1),
+            l1 AS (SELECT sum(pi) - sum(pi * coalesce(outp, 0.0)) AS leak
+                   FROM p0 LEFT JOIN om USING (state)),
+            p1 AS (SELECT nodes.state,
+                          round(coalesce(f1.inp, 0.0) + l1.leak / n, 9) AS pi
+                   FROM nodes LEFT JOIN f1 USING (state), l1, nn),
+            f2 AS (SELECT tr.dst AS state, sum(p1.pi * tr.p) AS inp
+                   FROM tr JOIN p1 ON tr.src = p1.state GROUP BY 1),
+            l2 AS (SELECT sum(pi) - sum(pi * coalesce(outp, 0.0)) AS leak
+                   FROM p1 LEFT JOIN om USING (state)),
+            p2 AS (SELECT nodes.state,
+                          round(coalesce(f2.inp, 0.0) + l2.leak / n, 9) AS pi
+                   FROM nodes LEFT JOIN f2 USING (state), l2, nn),
+            f3 AS (SELECT tr.dst AS state, sum(p2.pi * tr.p) AS inp
+                   FROM tr JOIN p2 ON tr.src = p2.state GROUP BY 1),
+            l3 AS (SELECT sum(pi) - sum(pi * coalesce(outp, 0.0)) AS leak
+                   FROM p2 LEFT JOIN om USING (state)),
+            p3 AS (SELECT nodes.state,
+                          round(coalesce(f3.inp, 0.0) + l3.leak / n, 9) AS pi
+                   FROM nodes LEFT JOIN f3 USING (state), l3, nn)
+            SELECT state, round(pi, 6) AS pi FROM p3 ORDER BY state"""))
+
+  /** q180 — daily interval concurrency
+    * ([[graft.ops.Analytics.concurrencyDaily]]): each user's active
+    * window `[first event, last event + 1µs)` swept per day —
+    * intervals touching the day plus the peak simultaneously open.
+    * Exact integer sweep, day-partitioned (no global ordering); the
+    * oracle replays coverage, carry-in, and the within-day running
+    * max. */
+  private val q180 = Q("q180_daily_concurrency",
+    (s, d) => {
+      val iv = Tables.events(s, d).groupBy("user_id")
+        .agg(min("ts").as("s"),
+          (max("ts") + expr("interval 1 microsecond")).as("e"))
+      graft.ops.Analytics.concurrencyDaily(iv, col("s"), col("e"))
+        .orderBy("day")
+    },
+    Some("""WITH iv AS (SELECT user_id, min(ts) AS s,
+                               max(ts) + INTERVAL 1 MICROSECOND AS e
+                        FROM events GROUP BY 1),
+            cov AS (SELECT CAST(t.d AS DATE) AS day,
+                           CASE WHEN CAST(s AS DATE) < CAST(t.d AS DATE)
+                                THEN 1 ELSE 0 END AS before
+                    FROM iv, unnest(generate_series(
+                      CAST(CAST(s AS DATE) AS TIMESTAMP),
+                      CAST(CAST(e - INTERVAL 1 MICROSECOND AS DATE)
+                        AS TIMESTAMP),
+                      INTERVAL 1 DAY)) AS t(d)),
+            ca AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+                          CAST(sum(before) AS BIGINT) AS carry
+                   FROM cov GROUP BY 1),
+            del AS (SELECT CAST(ts_ AS DATE) AS day, ts_, dd
+                    FROM (SELECT s AS ts_, 1 AS dd FROM iv
+                          UNION ALL
+                          SELECT e, -1 FROM iv)
+                    WHERE NOT (dd = -1
+                      AND ts_ = CAST(CAST(ts_ AS DATE) AS TIMESTAMP))),
+            run AS (SELECT day, sum(dd) OVER (PARTITION BY day
+                      ORDER BY ts_, dd ROWS UNBOUNDED PRECEDING) AS r
+                    FROM del),
+            pk AS (SELECT day, CAST(max(r) AS BIGINT) AS maxr
+                   FROM run GROUP BY 1)
+            SELECT ca.day, n_active,
+                   carry + greatest(coalesce(maxr, 0), 0) AS peak
+            FROM ca LEFT JOIN pk USING (day) ORDER BY day"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
     q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146,
     q151, q152, q153, q154, q155, q156, q157, q161, q163, q170, q171, q174,
-    q175, q176)
+    q175, q176, q179, q180)
 }

@@ -3139,6 +3139,47 @@ class OperatorSpec extends SparkSpec {
     assert(!mid.getBoolean(2) && mid.getDouble(3) === 0.006667)
   }
 
+  test("stationaryDistribution: symmetric chain uniform, absorbing leak redistributes") {
+    import graft.ops.Analytics
+    val cycle = Seq(("A", "B", 1L, 1.0), ("B", "A", 1L, 1.0))
+      .toDF("from_type", "to_type", "n", "p")
+    val u = Analytics.stationaryDistribution(cycle, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(u("A") === 0.5 && u("B") === 0.5)
+    // A->B only; B leaks and redistributes uniformly:
+    // pi = (.5,.5) -> (.25,.75) -> (.375,.625) -> (.3125,.6875)
+    val absorb = Seq(("A", "B", 1L, 1.0)).toDF("from_type", "to_type", "n", "p")
+    val a = Analytics.stationaryDistribution(absorb, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a("A") === 0.3125 && a("B") === 0.6875)
+  }
+
+  test("concurrencyDaily: overlap peaks, midnight spans carry, end-exclusive ties") {
+    import graft.ops.Analytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val iv = Seq(
+      // two overlapping on day 1 (peak 2), one back-to-back (no overlap)
+      (ts("2024-06-01 09:00:00"), ts("2024-06-01 11:00:00")),
+      (ts("2024-06-01 10:00:00"), ts("2024-06-01 12:00:00")),
+      (ts("2024-06-01 12:00:00"), ts("2024-06-01 13:00:00")),
+      // spans midnight into day 2: carry-in makes day 2 active
+      (ts("2024-06-01 23:00:00"), ts("2024-06-02 01:00:00")))
+      .toDF("s", "e")
+    val out = Analytics.concurrencyDaily(iv, col("s"), col("e"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // day 1: 4 active, peak 2 (the 12:00 end processes before the
+    // 12:00 start — end-exclusive, so that handoff never reads 2...
+    // but the 09-11/10-12 overlap does)
+    assert(out === Array(("2024-06-01", 4L, 2L), ("2024-06-02", 1L, 1L)))
+    // an interval ending exactly at midnight never touches the next day
+    val mid = Seq((ts("2024-06-01 22:00:00"), ts("2024-06-02 00:00:00")))
+      .toDF("s", "e")
+    val om = Analytics.concurrencyDaily(mid, col("s"), col("e"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(om === Array(("2024-06-01", 1L, 1L)))
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
