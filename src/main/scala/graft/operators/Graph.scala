@@ -485,6 +485,70 @@ object Graph {
     } finally pinned.foreach(_.unpersist(blocking = false))
   }
 
+  /** k-core decomposition (the k-core: the maximal subgraph where
+    * every node keeps degree ≥ k INSIDE the subgraph) — the
+    * link-farm/spam-cluster detector and the "dense core vs sparse
+    * periphery" split of a crawl graph (Seidman 1983). Iterative
+    * peeling: drop nodes of degree < k, recompute degrees in what
+    * remains, repeat to the fixpoint. The fixpoint is UNIQUE and
+    * order-independent (peeling is confluent), so any schedule — this
+    * synchronous one, a sequential one, an unrolled SQL one — lands
+    * on the same node set: that is what makes an external replay
+    * possible without mirroring the iteration count.
+    *
+    * Determinism: degrees are exact integers; no FP exists anywhere.
+    * Scale shape: per round two semi joins (edge endpoints against
+    * the surviving set) + one map-side-combined degree aggregate;
+    * survivors through [[Checkpoints.stableTracked]]; one
+    * convergence scalar per round (the BFS frontier rule). Rounds are
+    * data-bounded (each round removes ≥ 1 node or stops). The input
+    * is canonicalized to a simple undirected graph (dedup, self-loops
+    * dropped) first. Returns surviving (id, core_degree). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val und = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    try {
+      var alive = Checkpoints.stableTracked(
+        und.select(col("u").as("id")).distinct())
+      var aliveCount = alive._1.count()
+      var done = aliveCount == 0
+      while (!done) {
+        val deg = und
+          .join(alive._1.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(alive._1.select(col("id").as("v")), Seq("v"), "left_semi")
+          .groupBy(col("u").as("id")).agg(count(lit(1)).as("core_degree"))
+        val next = Checkpoints.stableTracked(
+          deg.where(col("core_degree") >= k))
+        val nextCount = next._1.count()
+        if (nextCount == aliveCount || nextCount == 0) {
+          Checkpoints.drop(alive._1, alive._2)
+          alive = next
+          aliveCount = nextCount
+          done = true
+        } else {
+          Checkpoints.drop(alive._1, alive._2)
+          alive = next
+          aliveCount = nextCount
+        }
+      }
+      // the converged frame carries (id, core_degree) except the
+      // empty-graph / all-peeled case, where it is the id-only seed
+      val out = (if (alive._1.columns.contains("core_degree")) alive._1
+        else alive._1.withColumn("core_degree", lit(0L)))
+        .localCheckpoint()
+      Checkpoints.drop(alive._1, alive._2)
+      out
+    } finally und.unpersist(blocking = false)
+  }
+
   /** Multi-source BFS hop distance — "how many links out from the
     * trusted core is this page": minimum hop count from any seed,
     * bounded by `maxHops` (the crawl-frontier depth audit, and the

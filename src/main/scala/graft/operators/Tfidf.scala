@@ -195,6 +195,60 @@ object Tfidf {
     } finally { bi.unpersist(blocking = false); uni.unpersist(blocking = false) }
   }
 
+  /** Rocchio pseudo-relevance feedback (Rocchio 1971; the classic PRF
+    * loop): run the query, treat the top `kFeedback` hits as
+    * pseudo-relevant, elect the `nExpand` highest tf·idf terms from
+    * them that the query didn't already contain, and re-run with the
+    * expanded term set — the vocabulary-mismatch fix ("car" finds
+    * docs that say "automobile") that needs no embeddings.
+    *
+    * Determinism: both retrieval passes are [[bm25TopK]] (micro-unit
+    * exact); the expansion election scores each candidate term as
+    * Σ_feedback tf · idf_micro with idf_micro = round((ln((N+1)/
+    * (df+1)) + 1)·1e6) — exact long sums, ties term-asc, a total
+    * order. The elected terms are collected (nExpand rows — the
+    * IVF-probe by-contract-tiny scalar) to parametrize the second
+    * pass.
+    *
+    * Scale shape: two bm25TopK passes plus one corpus df pass
+    * restricted to the feedback docs' vocabulary (semi-joined before
+    * the distinct — the only new corpus-scale work) and one
+    * feedback-doc-sized tf aggregate. Returns the final ranking
+    * (idCol, bm25_micros, n_terms). */
+  def rocchioExpand(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], kFeedback: Int, nExpand: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(nExpand >= 1, s"nExpand must be >= 1, got $nExpand")
+    val fb = bm25TopK(docs, idCol, textCol, queryTerms, kFeedback, k1, b)
+      .select(col(idCol))
+    val fbTf = docs.join(broadcast(fb), Seq(idCol), "left_semi")
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(!col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+      .persist()
+    try {
+      val cand = fbTf.select("term").distinct()
+      val stats = docs.agg(count(lit(1)).as("__n"))
+      val dfc = docs
+        .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+        .join(broadcast(cand), Seq("term"), "left_semi")
+        .distinct()
+        .groupBy("term").agg(count(lit(1)).as("__df"))
+      val idfMicro = round(
+        (log((col("__n") + 1).cast("double") / (col("__df") + 1)) + 1) * 1e6,
+        0).cast("long")
+      val elected = fbTf
+        .join(dfc, Seq("term"))
+        .crossJoin(broadcast(stats))
+        .groupBy("term")
+        .agg(sum(col("__tf") * idfMicro).as("__score"))
+        .orderBy(col("__score").desc, col("term"))
+        .limit(nExpand)
+        .collect().map(_.getString(0)).toSeq
+      bm25TopK(docs, idCol, textCol, queryTerms ++ elected, k, k1, b)
+    } finally fbTf.unpersist(blocking = false)
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
     * PageRank over the word-adjacency graph — a corpus-level keyword
     * ranking that, unlike [[topTerms]]' frequency weighting, rewards

@@ -4370,6 +4370,109 @@ object LlmQueries {
                              END AS DOUBLE) / 1e6 AS value
             FROM w ORDER BY event_type, day"""))
 
+  /** q181 — Rocchio pseudo-relevance feedback
+    * ([[graft.operators.Tfidf.rocchioExpand]]): BM25 top-10 as
+    * pseudo-relevant, 3 tf·idf expansion terms elected in exact
+    * micro-units, re-ranked with the widened query. The oracle
+    * replays BOTH retrieval passes and the election. */
+  private val q181 = Q("q181_rocchio_prf",
+    (s, d) => graft.operators.Tfidf.rocchioExpand(Tables.documents(s, d),
+      "doc_id", "text", Seq("dup", "vector"),
+      kFeedback = 10, nExpand = 3, k = 25),
+    Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ws
+                          FROM documents),
+            stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl
+                      FROM toks),
+            tf1 AS (SELECT doc_id, len(ws) AS dl, w AS term, count(*) AS tf
+                    FROM toks, LATERAL (SELECT unnest(ws) AS w)
+                    WHERE w IN ('dup', 'vector')
+                    GROUP BY 1, 2, 3),
+            df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+            c1 AS (SELECT doc_id,
+                          CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                            * (tf * (CAST(1.2 AS DOUBLE) + 1))
+                            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+                            * 1000000) AS BIGINT) AS micros
+                   FROM tf1 JOIN df1 USING (term) CROSS JOIN stats),
+            fb AS (SELECT doc_id FROM (
+                     SELECT doc_id, CAST(sum(micros) AS BIGINT) AS s
+                     FROM c1 GROUP BY 1
+                     ORDER BY s DESC, doc_id LIMIT 10)),
+            ftf AS (SELECT t.doc_id, w AS term, count(*) AS tf
+                    FROM toks t JOIN fb USING (doc_id),
+                         LATERAL (SELECT unnest(ws) AS w)
+                    WHERE w NOT IN ('dup', 'vector')
+                    GROUP BY 1, 2),
+            cdf AS (SELECT w AS term, count(DISTINCT doc_id) AS df
+                    FROM toks, LATERAL (SELECT unnest(ws) AS w)
+                    WHERE w IN (SELECT term FROM ftf)
+                    GROUP BY 1),
+            exp_ AS (SELECT term FROM (
+                       SELECT ftf.term,
+                              CAST(sum(tf * CAST(round(
+                                (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))
+                                  + 1) * 1e6, 0) AS BIGINT)) AS BIGINT) AS sc
+                       FROM ftf JOIN cdf USING (term) CROSS JOIN stats
+                       GROUP BY 1 ORDER BY sc DESC, term LIMIT 3)),
+            tf2 AS (SELECT doc_id, len(ws) AS dl, w AS term, count(*) AS tf
+                    FROM toks, LATERAL (SELECT unnest(ws) AS w)
+                    WHERE w IN ('dup', 'vector')
+                       OR w IN (SELECT term FROM exp_)
+                    GROUP BY 1, 2, 3),
+            df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+            c2 AS (SELECT doc_id,
+                          CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                            * (tf * (CAST(1.2 AS DOUBLE) + 1))
+                            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+                            * 1000000) AS BIGINT) AS micros
+                   FROM tf2 JOIN df2 USING (term) CROSS JOIN stats)
+            SELECT doc_id, CAST(sum(micros) AS BIGINT) AS bm25_micros,
+                   count(*) AS n_terms
+            FROM c2 GROUP BY 1
+            ORDER BY bm25_micros DESC, doc_id LIMIT 25"""))
+
+  /** q182 — k-core decomposition ([[graft.operators.Graph.kCore]],
+    * k=4): the dense core of the link graph by iterative peeling.
+    * The k-core fixpoint is UNIQUE and schedule-independent, so the
+    * oracle peels by a generated 16-round unrolled chain (the
+    * observed fixpoint needs 13; extra rounds are no-ops) while the
+    * operator iterates to convergence — equality IS the confluence
+    * claim. Exact integers; no FP anywhere. */
+  private val q182 = Q("q182_kcore",
+    (s, d) => {
+      graft.operators.Graph.kCore(linkEdges(s, d), "src", "dst", k = 4)
+        .orderBy("id")
+    },
+    Some {
+      // every n_i is referenced TWICE by round i+1 — without
+      // MATERIALIZED, DuckDB inlines CTEs and the 16-round chain
+      // expands exponentially (observed as an fd-exhaustion crash)
+      val rounds = (1 to 16).map { i =>
+        val prev = if (i == 1) "n0" else s"n${i - 1}"
+        s"""d$i AS MATERIALIZED (SELECT u AS id, count(*) AS c
+                   FROM und
+                   JOIN $prev pa ON und.u = pa.id
+                   JOIN $prev pb ON und.v = pb.id
+                   GROUP BY 1),
+            n$i AS MATERIALIZED (SELECT id, c FROM d$i WHERE c >= 4)"""
+      }.mkString(",\n            ")
+      s"""WITH ed AS (
+              SELECT doc_id AS src,
+                     CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),
+                       '|e', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 400 AS dst
+              FROM documents, (SELECT unnest(generate_series(0, 2)) AS j)
+              WHERE doc_id % 5 <> 0),
+            canon AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+                      FROM ed WHERE src <> dst GROUP BY 1, 2),
+            und AS MATERIALIZED (SELECT a AS u, b AS v FROM canon
+                    UNION ALL
+                    SELECT b, a FROM canon),
+            n0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM und),
+            $rounds
+            SELECT id, CAST(c AS BIGINT) AS core_degree
+            FROM n16 ORDER BY id"""
+    })
+
   val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q40, q41,
     q42, q43, q47, q49, q50, q51, q52, q53, q54, q55, q56, q59, q60, q61, q62,
     q63, q66, q67, q68, q69, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
@@ -4377,5 +4480,5 @@ object LlmQueries {
     q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q126, q127,
     q134, q136, q145, q147, q148, q149, q150, q158, q159, q160, q162, q164,
-    q165, q166, q167, q168, q169, q172, q173, q177, q178)
+    q165, q166, q167, q168, q169, q172, q173, q177, q178, q181, q182)
 }

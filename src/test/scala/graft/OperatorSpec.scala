@@ -3180,6 +3180,39 @@ class OperatorSpec extends SparkSpec {
     assert(om === Array(("2024-06-01", 1L, 1L)))
   }
 
+  test("rocchioExpand: expansion retrieves the vocabulary-mismatched doc") {
+    import graft.operators.Tfidf
+    val docs = Seq((1L, "dup cat"), (2L, "dup cat"), (3L, "cat zebra"),
+      (4L, "noise words only")).toDF("doc_id", "text")
+    val plain = Tfidf.bm25TopK(docs, "doc_id", "text", Seq("dup"), k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(3L)) // says "cat", never "dup"
+    val prf = Tfidf.rocchioExpand(docs, "doc_id", "text", Seq("dup"),
+        kFeedback = 2, nExpand = 1, k = 4)
+      .collect().map(_.getLong(0)).toSet
+    // feedback docs 1,2 elect "cat"; the mismatch doc comes back
+    assert(prf.contains(3L) && !prf.contains(4L))
+  }
+
+  test("kCore: K4 survives k=3, pendant chain peels in cascade, empty core empty") {
+    import graft.operators.Graph
+    // K4 on 1..4 plus a chain 4-5-6: the chain peels over TWO rounds
+    // (6 first, then 5), the clique keeps degree 3
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("s", "d")
+    val core3 = Graph.kCore(e, "s", "d", k = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core3 === Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // k=4: nothing qualifies -> empty, not an error
+    assert(Graph.kCore(e, "s", "d", k = 4).count() === 0L)
+    // duplicate + reversed + self-loop edges canonicalize away
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("s", "d")
+    val c2 = Graph.kCore(messy, "s", "d", k = 2)
+      .collect().map(_.getLong(1))
+    assert(c2.toSeq === Seq(2L, 2L, 2L)) // the triangle, degree 2 each
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
