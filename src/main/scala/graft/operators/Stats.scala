@@ -428,6 +428,169 @@ object Stats {
     graft.operators.Checkpoints.materialize(out, counts)
   }
 
+  /** Difference-in-differences estimator — the observational
+    * experiment readout when treatment wasn't randomized but a PRE
+    * period exists: the treated group's pre→post change minus the
+    * control group's, cancelling both the level difference between
+    * groups and the common time trend:
+    *
+    *   DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)
+    *
+    * `valueCol` must be INTEGER units (cents — the bootstrap rule);
+    * the four cell sums are decimal-exact, each mean is one pinned
+    * division, and the estimate is one pinned expression rounded
+    * 6dp (`unitScale` divides back to natural units). Null when any
+    * cell is empty (the contrast is undefined, not 0). One corpus
+    * aggregate. Returns one row: (n_<cell>×4, mean_<cell>×4, did). */
+  def diffInDiff(df: DataFrame, treatCol: Column, postCol: Column,
+      valueCol: Column, unitScale: Double = 100.0): DataFrame = {
+    val rows = df.select(treatCol.cast("boolean").as("__t"),
+        postCol.cast("boolean").as("__p"), valueCol.cast("long").as("__v"))
+      .where(col("__t").isNotNull && col("__p").isNotNull &&
+        col("__v").isNotNull)
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      sum(when(col("__t") === t && col("__p") === p, 1L).otherwise(0L))
+        .as(s"n_$suffix"),
+      sum(when(col("__t") === t && col("__p") === p,
+        col("__v")).otherwise(0L).cast("decimal(38,0)")).as(s"__s_$suffix"))
+    val agg = rows.agg(count(lit(1)).as("__n"),
+      (cell(true, false, "t_pre") ++ cell(true, true, "t_post") ++
+        cell(false, false, "c_pre") ++ cell(false, true, "c_post")): _*)
+    def mean(s: String) =
+      col(s"__s_$s").cast("double") / (col(s"n_$s").cast("double") * unitScale)
+    val allCells = Seq("t_pre", "t_post", "c_pre", "c_post")
+    val nonEmpty = allCells.map(s => col(s"n_$s") > 0).reduce(_ && _)
+    agg.select(
+      (allCells.map(s => col(s"n_$s")) ++
+        allCells.map(s => when(col(s"n_$s") > 0,
+          round(mean(s), 6)).as(s"mean_$s")) :+
+        when(nonEmpty, round((mean("t_post") - mean("t_pre")) -
+          (mean("c_post") - mean("c_pre")), 6)).as("did")): _*)
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013) — the A/B
+    * sensitivity booster: adjust the experiment metric by a
+    * PRE-EXPERIMENT covariate the treatment cannot have affected,
+    *
+    *   θ = cov(x, y)/var(x)   (pooled),
+    *   ȳ_adj,arm = ȳ_arm − θ·(x̄_arm − x̄)
+    *
+    * which leaves every arm's expectation unchanged while removing
+    * the covariate-explained variance from the contrast. Both
+    * columns must be INTEGER units; θ comes from the zipfFit closed
+    * form over decimal-exact sums, each adjusted mean is one pinned
+    * expression, outputs round 6dp. Returns one row per arm
+    * (arm, n, mean_raw, mean_adj) plus theta and the pooled
+    * variance-reduction ratio rho2 = cov²/(var_x·var_y) repeated
+    * (the fraction of metric variance the covariate explains —
+    * the sensitivity win). */
+  def cuped(df: DataFrame, armCol: Column, valueCol: Column,
+      covariateCol: Column, unitScale: Double = 100.0): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = df.select(armCol.as("__arm"), valueCol.cast("long").as("__y"),
+        covariateCol.cast("long").as("__x"))
+      .where(col("__arm").isNotNull && col("__y").isNotNull &&
+        col("__x").isNotNull)
+      .persist()
+    try {
+      val pooled = rows.agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"))
+      val n = col("__n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val cov = n * d("__sxy") - d("__sx") * d("__sy")
+      val vx = n * d("__sxx") - d("__sx") * d("__sx")
+      val vy = n * d("__syy") - d("__sy") * d("__sy")
+      val scalars = pooled.select(col("__n"),
+        when(vx > 0.0, cov / vx).as("__theta"),
+        when(vx > 0.0 && vy > 0.0, cov * cov / (vx * vy)).as("__rho2"),
+        (d("__sx") / n).as("__xbar"))
+      val perArm = rows.groupBy(col("__arm").as("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__y").cast(dec)).as("__ay"),
+          sum(col("__x").cast(dec)).as("__ax"))
+      val an = col("n").cast("double")
+      val out = perArm.crossJoin(broadcast(scalars))
+        .select(col("arm"), col("n"),
+          round(col("__ay").cast("double") / (an * unitScale), 6)
+            .as("mean_raw"),
+          when(col("__theta").isNotNull, round(
+            (col("__ay").cast("double") / an -
+              col("__theta") * (col("__ax").cast("double") / an -
+                col("__xbar"))) / unitScale, 6)).as("mean_adj"),
+          round(col("__theta"), 6).as("theta"),
+          round(col("__rho2"), 6).as("rho2"))
+      Checkpoints.materialize(out)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** Stratified treatment-effect estimate — exact-subclassification
+    * causal adjustment (Cochran 1968): when treatment assignment is
+    * CONFOUNDED with an observed stratum (rich segments get treated
+    * more), the naive mean difference mixes the effect with the
+    * confounding; stratify, difference WITHIN each stratum, and
+    * weight by the treated count:
+    *
+    *   ATT = Σ_s (n_t,s / N_t) · (ȳ_t,s − ȳ_c,s)
+    *
+    * over strata with BOTH arms present (off-support strata are
+    * reported but carry no weight — the overlap requirement made
+    * visible, not silently imputed).
+    *
+    * Determinism: per-stratum sums exact (integer units); each
+    * within-stratum difference is a pinned expression; the
+    * ≤|strata|-term weighted sum folds SEQUENTIALLY over the
+    * stratum-sorted array (the seasonal-decomposition rule — a
+    * groupBy sum of doubles would leak accumulation order). Outputs
+    * round 6dp. Returns one row per stratum (stratum, n_t, n_c,
+    * mean_t, mean_c, diff) with the overall `att` repeated (the
+    * klDrift total convention). */
+  def stratifiedEffect(df: DataFrame, treatCol: Column, valueCol: Column,
+      strataCol: Column, unitScale: Double = 100.0): DataFrame = {
+    val rows = df.select(treatCol.cast("boolean").as("__t"),
+        valueCol.cast("long").as("__v"), strataCol.as("__s"))
+      .where(col("__t").isNotNull && col("__v").isNotNull &&
+        col("__s").isNotNull)
+    val per = rows.groupBy(col("__s").as("stratum"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("__t"), col("__v")).otherwise(0L)
+          .cast("decimal(38,0)")).as("__st"),
+        sum(when(!col("__t"), col("__v")).otherwise(0L)
+          .cast("decimal(38,0)")).as("__sc"))
+      .persist()
+    try {
+      val meanT = col("__st").cast("double") / (col("n_t").cast("double") * unitScale)
+      val meanC = col("__sc").cast("double") / (col("n_c").cast("double") * unitScale)
+      val scored = per.select(col("stratum"), col("n_t"), col("n_c"),
+        when(col("n_t") > 0, round(meanT, 6)).as("mean_t"),
+        when(col("n_c") > 0, round(meanC, 6)).as("mean_c"),
+        when(col("n_t") > 0 && col("n_c") > 0, meanT - meanC).as("__diff"))
+      // ATT folds over the stratum-sorted array: Σ n_t·diff / N_t,
+      // with N_t counted over supported strata only
+      val att = scored
+        .where(col("__diff").isNotNull)
+        .groupBy()
+        .agg(expr(
+          """aggregate(sort_array(collect_list(struct(stratum, n_t, __diff))),
+               named_struct('w', cast(0.0 as double), 'nt', cast(0 as bigint)),
+               (acc, p) -> named_struct(
+                 'w', acc.w + p.n_t * p.__diff, 'nt', acc.nt + p.n_t),
+               acc -> case when acc.nt > 0 then acc.w / acc.nt end)""")
+          .as("att"))
+      val out = scored
+        .crossJoin(broadcast(att))
+        .select(col("stratum"), col("n_t"), col("n_c"),
+          col("mean_t"), col("mean_c"),
+          when(col("__diff").isNotNull, round(col("__diff"), 6)).as("diff"),
+          round(col("att"), 6).as("att"))
+      Checkpoints.materialize(out, per)
+    } finally per.unpersist(blocking = false)
+  }
+
   /** Two-proportion z-test for an A/B experiment readout: conversion
     * rates per arm and the pooled z statistic
     *

@@ -1990,9 +1990,170 @@ object BusinessQueries {
                    carry + greatest(coalesce(maxr, 0), 0) AS peak
             FROM ca LEFT JOIN pk USING (day) ORDER BY day"""))
 
+  /** q183 — difference-in-differences
+    * ([[graft.operators.Stats.diffInDiff]]): md5-assigned groups,
+    * pre/post 1995 — the observational contrast that cancels group
+    * level and common trend. Four decimal-exact cells, one pinned
+    * estimate. */
+  private val q183 = Q("q183_diff_in_diff",
+    (s, d) => graft.operators.Stats.diffInDiff(Tables.orders(s, d),
+      pmod(graft.functions.TextFunctions.md5Long(
+        concat(col("o_custkey").cast("string"), lit("|did"))), lit(2)) === 0,
+      col("o_orderdate") >= lit("1995-01-01").cast("date"),
+      round(col("o_totalprice") * 100, 0).cast("long")),
+    Some("""WITH r AS (SELECT
+                (CAST(('0x' || substr(md5(concat(CAST(o_custkey AS VARCHAR),
+                   '|did')), 1, 15)) AS BIGINT) % 2 = 0) AS t,
+                (o_orderdate >= DATE '1995-01-01') AS p,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+              FROM orders
+              WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+            a AS (SELECT
+                CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+                CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+                CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+                CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+                sum(CASE WHEN t AND NOT p THEN v ELSE 0 END) AS s_t_pre,
+                sum(CASE WHEN t AND p THEN v ELSE 0 END) AS s_t_post,
+                sum(CASE WHEN NOT t AND NOT p THEN v ELSE 0 END) AS s_c_pre,
+                sum(CASE WHEN NOT t AND p THEN v ELSE 0 END) AS s_c_post
+              FROM r)
+            SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+                   round(CAST(s_t_pre AS DOUBLE) / (CAST(n_t_pre AS DOUBLE) * 100.0), 6) AS mean_t_pre,
+                   round(CAST(s_t_post AS DOUBLE) / (CAST(n_t_post AS DOUBLE) * 100.0), 6) AS mean_t_post,
+                   round(CAST(s_c_pre AS DOUBLE) / (CAST(n_c_pre AS DOUBLE) * 100.0), 6) AS mean_c_pre,
+                   round(CAST(s_c_post AS DOUBLE) / (CAST(n_c_post AS DOUBLE) * 100.0), 6) AS mean_c_post,
+                   round((CAST(s_t_post AS DOUBLE) / (CAST(n_t_post AS DOUBLE) * 100.0)
+                        - CAST(s_t_pre AS DOUBLE) / (CAST(n_t_pre AS DOUBLE) * 100.0))
+                       - (CAST(s_c_post AS DOUBLE) / (CAST(n_c_post AS DOUBLE) * 100.0)
+                        - CAST(s_c_pre AS DOUBLE) / (CAST(n_c_pre AS DOUBLE) * 100.0)), 6) AS did
+            FROM a"""))
+
+  /** q184 — CUPED variance reduction
+    * ([[graft.operators.Stats.cuped]]): order value adjusted by the
+    * customer's account balance; pooled θ from the closed form over
+    * decimal-exact sums, per-arm adjusted means, the explained-
+    * variance ratio. */
+  private val q184 = Q("q184_cuped",
+    (s, d) => {
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+      graft.operators.Stats.cuped(joined,
+          pmod(graft.functions.TextFunctions.md5Long(
+            concat(col("o_custkey").cast("string"), lit("|cu"))), lit(2)),
+          round(col("o_totalprice") * 100, 0).cast("long"),
+          round(col("c_acctbal") * 100, 0).cast("long"))
+        .orderBy("arm")
+    },
+    Some("""WITH r AS (SELECT
+                CAST(('0x' || substr(md5(concat(CAST(o_custkey AS VARCHAR),
+                  '|cu')), 1, 15)) AS BIGINT) % 2 AS arm,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y,
+                CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_totalprice IS NOT NULL AND c_acctbal IS NOT NULL),
+            p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS DOUBLE) AS sx,
+                         CAST(sum(y) AS DOUBLE) AS sy,
+                         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+                         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+                         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+                  FROM r),
+            sc AS (SELECT n,
+                          CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+                               THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                                  / (CAST(n AS DOUBLE) * sxx - sx * sx) END
+                            AS theta,
+                          CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+                                AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0
+                               THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                                  * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                                  / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                   * (CAST(n AS DOUBLE) * syy - sy * sy)) END
+                            AS rho2,
+                          sx / CAST(n AS DOUBLE) AS xbar
+                   FROM p),
+            arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(y) AS DOUBLE) AS ay,
+                            CAST(sum(x) AS DOUBLE) AS ax
+                     FROM r GROUP BY 1)
+            SELECT arm, arms.n,
+                   round(ay / (CAST(arms.n AS DOUBLE) * 100.0), 6) AS mean_raw,
+                   CASE WHEN theta IS NOT NULL THEN round(
+                     (ay / CAST(arms.n AS DOUBLE)
+                      - theta * (ax / CAST(arms.n AS DOUBLE) - xbar))
+                     / 100.0, 6) END AS mean_adj,
+                   round(theta, 6) AS theta,
+                   round(rho2, 6) AS rho2
+            FROM arms, sc ORDER BY arm"""))
+
+  /** q185 — stratified treatment effect
+    * ([[graft.operators.Stats.stratifiedEffect]]): a deliberately
+    * CONFOUNDED assignment (treatment rate varies by market segment)
+    * adjusted by exact subclassification; the ATT folds sequentially
+    * over the stratum-sorted array, replayed by the oracle as a
+    * recursive CTE. */
+  private val q185 = Q("q185_stratified_effect",
+    (s, d) => {
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      graft.operators.Stats.stratifiedEffect(joined,
+          pmod(graft.functions.TextFunctions.md5Long(
+            concat(col("o_custkey").cast("string"), lit("|ps"))), lit(10)) <
+            lit(3) + pmod(length(col("c_mktsegment")), lit(4)),
+          round(col("o_totalprice") * 100, 0).cast("long"),
+          col("c_mktsegment"))
+        .orderBy("stratum")
+    },
+    Some("""WITH RECURSIVE r AS (SELECT
+                (CAST(('0x' || substr(md5(concat(CAST(o_custkey AS VARCHAR),
+                   '|ps')), 1, 15)) AS BIGINT) % 10
+                 < 3 + length(c_mktsegment) % 4) AS t,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+                c_mktsegment AS s
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_totalprice IS NOT NULL AND c_mktsegment IS NOT NULL),
+            per AS (SELECT s AS stratum,
+                           CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_t,
+                           CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT)
+                             AS n_c,
+                           sum(CASE WHEN t THEN v ELSE 0 END) AS st,
+                           sum(CASE WHEN t THEN 0 ELSE v END) AS sc
+                    FROM r GROUP BY 1),
+            sd AS (SELECT stratum, n_t, n_c,
+                          CASE WHEN n_t > 0 AND n_c > 0 THEN
+                            CAST(st AS DOUBLE) / (CAST(n_t AS DOUBLE) * 100.0)
+                            - CAST(sc AS DOUBLE) / (CAST(n_c AS DOUBLE) * 100.0)
+                          END AS diff,
+                          st, sc
+                   FROM per),
+            nb AS (SELECT *, row_number() OVER (ORDER BY stratum) AS rn,
+                          count(*) OVER () AS nd
+                   FROM sd WHERE diff IS NOT NULL),
+            rec AS (
+              SELECT rn, nd, 0.0 + n_t * diff AS w,
+                     CAST(n_t AS BIGINT) AS nt
+              FROM nb WHERE rn = 1
+              UNION ALL
+              SELECT nb.rn, nb.nd, rec.w + nb.n_t * nb.diff,
+                     rec.nt + nb.n_t
+              FROM rec JOIN nb ON nb.rn = rec.rn + 1),
+            att AS (SELECT CASE WHEN nt > 0 THEN w / nt END AS att
+                    FROM rec WHERE rn = nd)
+            SELECT stratum, n_t, n_c,
+                   CASE WHEN n_t > 0 THEN round(CAST(st AS DOUBLE)
+                     / (CAST(n_t AS DOUBLE) * 100.0), 6) END AS mean_t,
+                   CASE WHEN n_c > 0 THEN round(CAST(sc AS DOUBLE)
+                     / (CAST(n_c AS DOUBLE) * 100.0), 6) END AS mean_c,
+                   CASE WHEN diff IS NOT NULL THEN round(diff, 6) END AS diff,
+                   round(att, 6) AS att
+            FROM sd, att ORDER BY stratum"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
     q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146,
     q151, q152, q153, q154, q155, q156, q157, q161, q163, q170, q171, q174,
-    q175, q176, q179, q180)
+    q175, q176, q179, q180, q183, q184, q185)
 }

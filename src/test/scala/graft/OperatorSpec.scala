@@ -3213,6 +3213,51 @@ class OperatorSpec extends SparkSpec {
     assert(c2.toSeq === Seq(2L, 2L, 2L)) // the triangle, degree 2 each
   }
 
+  test("diffInDiff: hand-computed contrast, empty cell nulls the estimate") {
+    import graft.operators.Stats
+    val df = Seq(
+      (true, false, 1000L), (true, true, 2500L),
+      (false, false, 1000L), (false, true, 2000L)).toDF("t", "p", "v")
+    val r = Stats.diffInDiff(df, col("t"), col("p"), col("v")).head()
+    // (25 - 10) - (20 - 10) = 5
+    assert(r.getAs[Double]("did") === 5.0)
+    val missing = Seq((true, true, 100L), (false, false, 100L),
+      (false, true, 100L)).toDF("t", "p", "v")
+    assert(Stats.diffInDiff(missing, col("t"), col("p"), col("v"))
+      .head().isNullAt(8))
+  }
+
+  test("cuped: perfectly explained metric equalizes adjusted means, rho2 = 1") {
+    import graft.operators.Stats
+    // y = 2x exactly; arms differ only through x -> adjustment removes it
+    val df = Seq((0, 100L, 200L), (0, 200L, 400L),
+      (1, 300L, 600L), (1, 400L, 800L)).toDF("arm", "x", "y")
+    val out = Stats.cuped(df, col("arm"), col("y"), col("x"))
+      .orderBy("arm").collect()
+    assert(out.map(_.getAs[Double]("theta")).distinct.toSeq === Seq(2.0))
+    assert(out.map(_.getAs[Double]("rho2")).distinct.toSeq === Seq(1.0))
+    assert(out.map(_.getAs[Double]("mean_raw")).toSeq === Seq(3.0, 7.0))
+    assert(out.map(_.getAs[Double]("mean_adj")).toSeq === Seq(5.0, 5.0))
+  }
+
+  test("stratifiedEffect: confounded strata reweighted, off-support carries no weight") {
+    import graft.operators.Stats
+    val df = Seq(
+      ("A", true, 1000L), ("A", false, 800L),
+      ("B", true, 400L), ("B", true, 400L), ("B", true, 400L),
+      ("B", false, 100L),
+      ("C", false, 999L)) // off-support: no treated rows
+      .toDF("s", "t", "v")
+    val out = Stats.stratifiedEffect(df, col("t"), col("v"), col("s"))
+      .orderBy("stratum").collect()
+    assert(out.length === 3)
+    // ATT = (1*2 + 3*3) / 4 = 2.75, repeated on every row
+    assert(out.map(_.getAs[Double]("att")).distinct.toSeq === Seq(2.75))
+    val c = out.find(_.getString(0) == "C").get
+    assert(c.isNullAt(c.fieldIndex("diff")) &&
+      c.isNullAt(c.fieldIndex("mean_t")))
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
