@@ -1287,6 +1287,60 @@ object Analytics {
     graft.operators.Checkpoints.materialize(out, grain)
   }
 
+  /** Per-group Kaplan-Meier — [[kaplanMeier]] partitioned by a
+    * cohort/segment column, the "whose retention curve decays
+    * faster" comparison (the visual companion to a log-rank test).
+    * Identical machinery with every stage group-partitioned: the
+    * distinct-duration grain keys on (group, t), risk sets subtract
+    * a group-partitioned cumulative, and the survival product folds
+    * sequentially PER GROUP over its own duration-sorted array (the
+    * group is the parallel unit — no global single-partition window
+    * exists here, unlike the ungrouped operator's corpus-wide
+    * grain). Returns (group, t, n_risk, n_events, n_censored,
+    * survival 6dp). */
+  def kaplanMeierBy(df: DataFrame, groupCol: Column, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = df
+      .select(groupCol.as("grp"), durationCol.cast("long").as("__t"),
+        eventCol.cast("boolean").as("__e"))
+      .where(col("grp").isNotNull && col("__t").isNotNull &&
+        col("__t") >= 0 && col("__e").isNotNull)
+      .groupBy("grp", "__t")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        count(lit(1)).as("__l"))
+      .persist()
+    val totals = grain.groupBy("grp").agg(sum("__l").as("__N"))
+    val wPrev = Window.partitionBy(col("grp")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRisk = grain.join(totals, Seq("grp"))
+      .withColumn("__nr",
+        col("__N") - coalesce(sum(col("__l")).over(wPrev), lit(0L)))
+      .select("grp", "__t", "__d", "__l", "__nr")
+    val ser = withRisk
+      .groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("__t"), col("__d"),
+        col("__l"), col("__nr")))).as("__s"))
+    val out = ser
+      .withColumn("__r", expr(
+        """aggregate(__s,
+              cast(array() as array<struct<t: bigint, d: bigint,
+                                           l: bigint, nr: bigint,
+                                           s: double>>),
+              (acc, p) -> array_append(acc, named_struct(
+                't', p.__t, 'd', p.__d, 'l', p.__l, 'nr', p.__nr,
+                's', (case when size(acc) = 0 then cast(1.0 as double)
+                      else element_at(acc, -1).s end)
+                     * (1.0d - cast(p.__d as double) / p.__nr))))"""))
+      .select(col("grp"), explode(col("__r")).as("__x"))
+      .where(col("__x.d") > 0)
+      .select(col("grp"), col("__x.t").as("t"), col("__x.nr").as("n_risk"),
+        col("__x.d").as("n_events"),
+        (col("__x.l") - col("__x.d")).as("n_censored"),
+        round(col("__x.s"), 6).as("survival"))
+    graft.operators.Checkpoints.materialize(out, grain)
+  }
+
   /** Top-k consecutive event-type n-grams across user journeys —
     * [[eventTransitions]]'s higher-order sibling (the transition
     * matrix is exactly n = 2): which length-n PATHS dominate, the

@@ -2155,5 +2155,118 @@ object BusinessQueries {
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
     q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146,
     q151, q152, q153, q154, q155, q156, q157, q161, q163, q170, q171, q174,
-    q175, q176, q179, q180, q183, q184, q185)
+    q175, q176, q179, q180, q183, q184, q185, q186, q187)
+
+  /** q187 — the `spark.sql(...)` surface itself: temp views over the
+    * warehouse tables and a TPC-H-Q5-shaped six-way join submitted
+    * as RAW SQL TEXT — the API a SQL-first user of this library
+    * writes, planned by Catalyst exactly like the DataFrame
+    * graph (the one SQL dialect divergence, DATE literals, is
+    * ANSI on both engines). Money sums follow the q01 rounding
+    * convention. */
+  private lazy val q187 = Q("q187_sql_surface",
+    (s, d) => {
+      Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+        .foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+      s.sql("""SELECT n_name,
+                      round(sum(l_extendedprice * (1 - l_discount)), 2)
+                        AS revenue,
+                      count(*) AS n
+               FROM customer
+               JOIN orders ON c_custkey = o_custkey
+               JOIN lineitem ON l_orderkey = o_orderkey
+               JOIN supplier ON l_suppkey = s_suppkey
+                            AND c_nationkey = s_nationkey
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA'
+                 AND o_orderdate >= DATE '1994-01-01'
+                 AND o_orderdate < DATE '1995-01-01'
+               GROUP BY n_name
+               ORDER BY revenue DESC, n_name""")
+    },
+    Some("""SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   count(*) AS n
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1994-01-01'
+              AND o_orderdate < DATE '1995-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name"""))
+
+  /** q186 — Kaplan-Meier by segment
+    * ([[graft.ops.Analytics.kaplanMeierBy]]): the q143 time-to-
+    * reorder curves split by market segment — whose customers come
+    * back faster. Same exact integer risk sets; the survival product
+    * folds per group, replayed as a group-partitioned recursive
+    * CTE. */
+  private lazy val q186 = Q("q186_kaplan_meier_by",
+    (s, d) => {
+      val po = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")))
+      val first = po.where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderdate").as("d1"))
+      val second = po.where(col("rn") === 2)
+        .select(col("o_custkey"), col("o_orderdate").as("d2"))
+      val mx = Tables.orders(s, d).agg(max("o_orderdate").as("m"))
+      val dur = first.join(second, Seq("o_custkey"), "left")
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(mx))
+        .select(col("c_mktsegment").as("seg"),
+          when(col("d2").isNull, datediff(col("m"), col("d1")))
+            .otherwise(datediff(col("d2"), col("d1"))).as("t"),
+          col("d2").isNotNull.as("e"))
+      graft.ops.Analytics.kaplanMeierBy(dur, col("seg"), col("t"), col("e"))
+        .orderBy("grp", "t")
+    },
+    Some("""WITH RECURSIVE po AS (
+              SELECT o_custkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders),
+            f AS (SELECT a.o_custkey, a.o_orderdate AS d1, b.o_orderdate AS d2
+                  FROM po a LEFT JOIN po b
+                    ON a.o_custkey = b.o_custkey AND b.rn = 2
+                  WHERE a.rn = 1),
+            mx AS (SELECT max(o_orderdate) AS m FROM orders),
+            dur AS (SELECT c_mktsegment AS grp,
+                           CASE WHEN d2 IS NULL
+                                THEN datediff('day', d1, m)
+                                ELSE datediff('day', d1, d2) END AS t,
+                           (d2 IS NOT NULL) AS e
+                    FROM f JOIN customer ON f.o_custkey = c_custkey, mx),
+            g AS (SELECT grp, t,
+                         CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT)
+                           AS d,
+                         count(*) AS l
+                  FROM dur GROUP BY 1, 2),
+            tot AS (SELECT grp, count(*) AS n FROM dur GROUP BY 1),
+            nr AS (SELECT g.grp, t, d, l,
+                          tot.n - coalesce(CAST(sum(l) OVER (
+                              PARTITION BY g.grp ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS BIGINT), 0) AS n_risk,
+                          row_number() OVER (PARTITION BY g.grp
+                            ORDER BY t) AS rn
+                   FROM g JOIN tot ON g.grp = tot.grp),
+            rec AS (
+              SELECT grp, t, d, l, n_risk, rn,
+                     1.0 * (1.0 - CAST(d AS DOUBLE) / n_risk) AS s
+              FROM nr WHERE rn = 1
+              UNION ALL
+              SELECT nr.grp, nr.t, nr.d, nr.l, nr.n_risk, nr.rn,
+                     rec.s * (1.0 - CAST(nr.d AS DOUBLE) / nr.n_risk)
+              FROM rec JOIN nr ON nr.grp = rec.grp AND nr.rn = rec.rn + 1)
+            SELECT grp, t, n_risk, d AS n_events, l - d AS n_censored,
+                   round(s, 6) AS survival
+            FROM rec WHERE d > 0 ORDER BY grp, t"""))
 }

@@ -3258,6 +3258,26 @@ class OperatorSpec extends SparkSpec {
       c.isNullAt(c.fieldIndex("mean_t")))
   }
 
+  test("kaplanMeierBy: each group's curve equals its standalone KM run") {
+    import graft.ops.Analytics
+    val df = Seq(("A", 2L, true), ("A", 3L, false), ("A", 5L, true),
+      ("B", 1L, true), ("B", 1L, true), ("B", 4L, false))
+      .toDF("g", "t", "e")
+    val grouped = Analytics.kaplanMeierBy(df, col("g"), col("t"), col("e"))
+    for (g <- Seq("A", "B")) {
+      val solo = Analytics.kaplanMeier(df.where(col("g") === g),
+          col("t"), col("e"))
+        .orderBy("t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+      val part = grouped.where(col("grp") === g)
+        .orderBy("t").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      assert(part === solo, s"group $g")
+    }
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
