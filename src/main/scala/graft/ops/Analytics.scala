@@ -1341,6 +1341,83 @@ object Analytics {
     graft.operators.Checkpoints.materialize(out, grain)
   }
 
+  /** Two-group log-rank test (Mantel 1966) — "are these two survival
+    * curves actually different", the significance readout next to
+    * [[kaplanMeierBy]]'s visual one. At each distinct event time:
+    * observed events in group A vs the hypergeometric expectation
+    * and variance given the risk sets,
+    *
+    *   E₁ = n₁·d/n,   V = d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1)
+    *
+    * and χ² = (ΣO₁ − ΣE₁)²/ΣV (1 df; χ² ≥ 3.841 is the 5% decision —
+    * the p-value needs the incomplete gamma, a libm the replayability
+    * rules exclude, exactly like q144's missing erf).
+    *
+    * Determinism: risk sets and event counts are exact integers; ΣO₁
+    * is an exact long; ΣE₁ and ΣV fold SEQUENTIALLY over the
+    * time-sorted term array (the kaplanMeier rule — identical doubles
+    * in identical order), each term one pinned expression; outputs
+    * round 6dp/4dp. Times with d = 0 or n ≤ 1 contribute nothing (V
+    * would divide by zero; a censoring-only time carries no
+    * information). Same scale shape as [[kaplanMeier]]: the grain is
+    * the distinct event time. Returns one row
+    * (n_a, n_b, o_a, e_a, var_a, chi2, z). */
+  def logRank(df: DataFrame, inA: Column, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .select(inA.cast("boolean").as("__a"),
+        durationCol.cast("long").as("__t"),
+        eventCol.cast("boolean").as("__e"))
+      .where(col("__a").isNotNull && col("__t").isNotNull &&
+        col("__t") >= 0 && col("__e").isNotNull)
+    val grain = rows.groupBy("__t")
+      .agg(sum(when(col("__a") && col("__e"), 1L).otherwise(0L)).as("__d1"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__l1"),
+        count(lit(1)).as("__l"))
+      .persist()
+    try {
+      val totals = grain.agg(
+        coalesce(sum("__l1"), lit(0L)).as("n_a"),
+        coalesce(sum(col("__l") - col("__l1")), lit(0L)).as("n_b"))
+      val wPrev = Window.orderBy(col("__t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withRisk = grain.crossJoin(broadcast(totals))
+        .withColumn("__n1",
+          col("n_a") - coalesce(sum(col("__l1")).over(wPrev), lit(0L)))
+        .withColumn("__n",
+          col("n_a") + col("n_b") -
+            coalesce(sum(col("__l")).over(wPrev), lit(0L)))
+        .where(col("__d") > 0 && col("__n") > 1)
+      val ser = withRisk
+        .groupBy("n_a", "n_b")
+        .agg(sum("__d1").as("o_a"),
+          sort_array(collect_list(struct(col("__t"), col("__d1"),
+            col("__d"), col("__n1"), col("__n")))).as("__s"))
+      val folded = ser.withColumn("__f", expr(
+        """aggregate(__s,
+             named_struct('e', cast(0.0 as double), 'v', cast(0.0 as double)),
+             (acc, p) -> named_struct(
+               'e', acc.e + cast(p.__n1 as double) * p.__d / p.__n,
+               'v', acc.v + p.__d * (cast(p.__n1 as double) / p.__n)
+                    * (1.0d - cast(p.__n1 as double) / p.__n)
+                    * (case when p.__n > 1
+                       then cast(p.__n - p.__d as double) / (p.__n - 1)
+                       else cast(0.0 as double) end)))"""))
+      val oA = col("o_a").cast("double")
+      val out = folded.select(col("n_a"), col("n_b"), col("o_a"),
+        round(col("__f.e"), 6).as("e_a"),
+        round(col("__f.v"), 6).as("var_a"),
+        when(col("__f.v") > 0.0, round(
+          (oA - col("__f.e")) * (oA - col("__f.e")) / col("__f.v"), 4))
+          .as("chi2"),
+        when(col("__f.v") > 0.0, round(
+          (oA - col("__f.e")) / sqrt(col("__f.v")), 4)).as("z"))
+      graft.operators.Checkpoints.materialize(out, grain)
+    } finally grain.unpersist(blocking = false)
+  }
+
   /** Top-k consecutive event-type n-grams across user journeys —
     * [[eventTransitions]]'s higher-order sibling (the transition
     * matrix is exactly n = 2): which length-n PATHS dominate, the

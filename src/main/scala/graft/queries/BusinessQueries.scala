@@ -2155,7 +2155,99 @@ object BusinessQueries {
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
     q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146,
     q151, q152, q153, q154, q155, q156, q157, q161, q163, q170, q171, q174,
-    q175, q176, q179, q180, q183, q184, q185, q186, q187)
+    q175, q176, q179, q180, q183, q184, q185, q186, q187, q188)
+
+  /** q188 — two-group log-rank test
+    * ([[graft.ops.Analytics.logRank]]): BUILDING vs MACHINERY
+    * time-to-reorder — is q186's visual gap significant. Exact
+    * integer risk sets; ΣE and ΣV fold sequentially over the
+    * time-sorted terms (recursive-CTE replay); χ² ≥ 3.841 is the 5%
+    * decision (no incomplete gamma by design). */
+  private lazy val q188 = Q("q188_log_rank",
+    (s, d) => {
+      val po = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")))
+      val first = po.where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderdate").as("d1"))
+      val second = po.where(col("rn") === 2)
+        .select(col("o_custkey"), col("o_orderdate").as("d2"))
+      val mx = Tables.orders(s, d).agg(max("o_orderdate").as("m"))
+      val dur = first.join(second, Seq("o_custkey"), "left")
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(mx))
+        .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select((col("c_mktsegment") === "BUILDING").as("a"),
+          when(col("d2").isNull, datediff(col("m"), col("d1")))
+            .otherwise(datediff(col("d2"), col("d1"))).as("t"),
+          col("d2").isNotNull.as("e"))
+      graft.ops.Analytics.logRank(dur, col("a"), col("t"), col("e"))
+    },
+    Some("""WITH RECURSIVE po AS (
+              SELECT o_custkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders),
+            f AS (SELECT a.o_custkey, a.o_orderdate AS d1, b.o_orderdate AS d2
+                  FROM po a LEFT JOIN po b
+                    ON a.o_custkey = b.o_custkey AND b.rn = 2
+                  WHERE a.rn = 1),
+            mx AS (SELECT max(o_orderdate) AS m FROM orders),
+            dur AS (SELECT (c_mktsegment = 'BUILDING') AS a,
+                           CASE WHEN d2 IS NULL
+                                THEN datediff('day', d1, m)
+                                ELSE datediff('day', d1, d2) END AS t,
+                           (d2 IS NOT NULL) AS e
+                    FROM f JOIN customer ON f.o_custkey = c_custkey, mx
+                    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+            g AS (SELECT t,
+                         CAST(sum(CASE WHEN a AND e THEN 1 ELSE 0 END)
+                           AS BIGINT) AS d1,
+                         CAST(sum(CASE WHEN e THEN 1 ELSE 0 END)
+                           AS BIGINT) AS d,
+                         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END)
+                           AS BIGINT) AS l1,
+                         count(*) AS l
+                  FROM dur GROUP BY 1),
+            tot AS (SELECT CAST(sum(l1) AS BIGINT) AS na,
+                           CAST(sum(l - l1) AS BIGINT) AS nb
+                    FROM g),
+            wr AS (SELECT t, d1, d,
+                          na - coalesce(CAST(sum(l1) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS BIGINT), 0) AS n1,
+                          na + nb - coalesce(CAST(sum(l) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS BIGINT), 0) AS n
+                   FROM g, tot),
+            fl AS (SELECT * FROM wr WHERE d > 0 AND n > 1),
+            nb2 AS (SELECT *, row_number() OVER (ORDER BY t) AS rn,
+                           count(*) OVER () AS nd
+                    FROM fl),
+            rec AS (
+              SELECT rn, nd,
+                     0.0 + CAST(n1 AS DOUBLE) * d / n AS e,
+                     0.0 + d * (CAST(n1 AS DOUBLE) / n)
+                         * (1.0 - CAST(n1 AS DOUBLE) / n)
+                         * (CAST(n - d AS DOUBLE) / (n - 1)) AS v
+              FROM nb2 WHERE rn = 1
+              UNION ALL
+              SELECT nb2.rn, nb2.nd,
+                     rec.e + CAST(nb2.n1 AS DOUBLE) * nb2.d / nb2.n,
+                     rec.v + nb2.d * (CAST(nb2.n1 AS DOUBLE) / nb2.n)
+                         * (1.0 - CAST(nb2.n1 AS DOUBLE) / nb2.n)
+                         * (CAST(nb2.n - nb2.d AS DOUBLE) / (nb2.n - 1))
+              FROM rec JOIN nb2 ON nb2.rn = rec.rn + 1),
+            fin AS (SELECT e, v FROM rec WHERE rn = nd),
+            oa AS (SELECT CAST(sum(d1) AS BIGINT) AS o_a FROM fl)
+            SELECT na AS n_a, nb AS n_b, o_a,
+                   round(e, 6) AS e_a, round(v, 6) AS var_a,
+                   CASE WHEN v > 0.0 THEN round(
+                     (CAST(o_a AS DOUBLE) - e) * (CAST(o_a AS DOUBLE) - e)
+                       / v, 4) END AS chi2,
+                   CASE WHEN v > 0.0 THEN round(
+                     (CAST(o_a AS DOUBLE) - e) / sqrt(v), 4) END AS z
+            FROM tot, oa, fin"""))
 
   /** q187 — the `spark.sql(...)` surface itself: temp views over the
     * warehouse tables and a TPC-H-Q5-shaped six-way join submitted

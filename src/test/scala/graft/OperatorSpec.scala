@@ -3278,6 +3278,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("logRank: hand-computed two-group chi2, solo-risk times contribute nothing") {
+    import graft.ops.Analytics
+    // A: events at t=1,2; B: censored at 1, event at 3 (n=1 there -> dropped)
+    // t=1: n=4,n1=2,d=1 -> E=0.5,V=0.25; t=2: n=2,n1=1,d=1 -> E=0.5,V=0.25
+    val df = Seq((true, 1L, true), (true, 2L, true),
+      (false, 1L, false), (false, 3L, true)).toDF("a", "t", "e")
+    val r = Analytics.logRank(df, col("a"), col("t"), col("e")).head()
+    assert(r.getLong(r.fieldIndex("n_a")) === 2L)
+    assert(r.getLong(r.fieldIndex("n_b")) === 2L)
+    assert(r.getLong(r.fieldIndex("o_a")) === 2L)
+    assert(r.getDouble(r.fieldIndex("e_a")) === 1.0)
+    assert(r.getDouble(r.fieldIndex("var_a")) === 0.5)
+    assert(r.getDouble(r.fieldIndex("chi2")) === 2.0)
+    assert(r.getDouble(r.fieldIndex("z")) === 1.4142)
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
