@@ -2151,11 +2151,51 @@ object BusinessQueries {
                    round(att, 6) AS att
             FROM sd, att ORDER BY stratum"""))
 
+  /** q189 — interval-overlap join ([[graft.ops.IntervalJoin]]): which
+    * user pairs were active simultaneously, and for how long. Per
+    * (user, day) activity windows `[min ts, max ts + 1µs)` self-joined
+    * on overlap via day-bucket blocking with first-shared-bucket
+    * reporting (never a theta join, never a DISTINCT); the oracle runs
+    * the direct inequality join — the hash match proves the blocked
+    * plan computes exactly the theta-join semantics. Overlap mass is
+    * exact integer microseconds. */
+  private val q189 = Q("q189_interval_overlap_join",
+    (s, d) => {
+      val iv = Tables.events(s, d).filter(col("user_id") < 50)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min("ts").as("s"),
+          (max("ts") + expr("interval 1 microsecond")).as("e"))
+      val a = iv.select(col("user_id").as("a_user"), col("s").as("a_s"),
+        col("e").as("a_e"))
+      val b = iv.select(col("user_id").as("b_user"), col("s").as("b_s"),
+        col("e").as("b_e"))
+      graft.ops.IntervalJoin.overlapJoin(a, col("a_s"), col("a_e"),
+          b, col("b_s"), col("b_e"), widthUs = 86400000000L)
+        .where(col("a_user") < col("b_user"))
+        .groupBy("a_user", "b_user")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(unix_micros(least(col("a_e"), col("b_e"))) -
+            unix_micros(greatest(col("a_s"), col("b_s")))).as("overlap_us"))
+        .orderBy("a_user", "b_user")
+    },
+    Some("""WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               min(ts) AS s,
+                               max(ts) + INTERVAL 1 MICROSECOND AS e
+                        FROM events WHERE user_id < 50 GROUP BY 1, 2)
+            SELECT a.user_id AS a_user, b.user_id AS b_user,
+                   CAST(count(*) AS BIGINT) AS n_overlaps,
+                   CAST(sum(epoch_us(least(a.e, b.e))
+                          - epoch_us(greatest(a.s, b.s))) AS BIGINT)
+                     AS overlap_us
+            FROM iv a JOIN iv b
+              ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q39, q44, q45, q46, q57, q58,
     q70, q119, q120, q121, q122, q123, q124, q125, q128, q129, q130, q131,
     q132, q133, q135, q137, q138, q139, q140, q141, q142, q143, q144, q146,
     q151, q152, q153, q154, q155, q156, q157, q161, q163, q170, q171, q174,
-    q175, q176, q179, q180, q183, q184, q185, q186, q187, q188)
+    q175, q176, q179, q180, q183, q184, q185, q186, q187, q188, q189)
 
   /** q188 — two-group log-rank test
     * ([[graft.ops.Analytics.logRank]]): BUILDING vs MACHINERY

@@ -3294,6 +3294,44 @@ class OperatorSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("z")) === 1.4142)
   }
 
+  test("overlapJoin matches naive theta join; end-exclusive; degenerate/null dropped") {
+    import graft.ops.IntervalJoin
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // whole-ms fixtures
+    // hand-planted: [0,10) [5,15) back-to-back [15,20); cross-bucket
+    // [8, 25) spans 3 buckets of width 10ms; degenerate [30,30); null end
+    val raw = Seq(
+      (1L, 0L, 10000L), (2L, 5000L, 15000L), (3L, 15000L, 20000L),
+      (4L, 8000L, 25000L), (5L, 30000L, 30000L))
+      .map { case (i, a, b) => (i, ts(a * 1000), ts(b * 1000)) }
+    val withNull = raw :+ ((6L, ts(0L), null.asInstanceOf[java.sql.Timestamp]))
+    val a = withNull.toDF("a_id", "a_s", "a_e")
+    val b = withNull.toDF("b_id", "b_s", "b_e")
+      .withColumnRenamed("b_id", "b_id")
+    val got = IntervalJoin.overlapJoin(a, col("a_s"), col("a_e"),
+        b, col("b_s"), col("b_e"), widthUs = 10000000L) // 10 ms buckets
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // naive truth over the non-degenerate intervals
+    val iv = raw.filter { case (_, s, e) => s.before(e) }
+    val want = (for {
+      (i, s1, e1) <- iv; (j, s2, e2) <- iv
+      if i < j && s1.getTime < e2.getTime && s2.getTime < e1.getTime
+    } yield (i, j)).toSet
+    assert(got === want)
+    assert(want === Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)))
+    // a pair sharing several buckets surfaces exactly once (no DISTINCT
+    // in the plan): 2 and 4 share buckets 0 and 1
+    val dupCheck = IntervalJoin.overlapJoin(a, col("a_s"), col("a_e"),
+        b, col("b_s"), col("b_e"), widthUs = 10000000L)
+      .where(col("a_id") === 2 && col("b_id") === 4)
+    assert(dupCheck.count() === 1L)
+    // disjoint-schema contract is loud
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(a, col("a_s"), col("a_e"),
+        a, col("a_s"), col("a_e"), widthUs = 1000L)
+    }
+  }
+
   test("naive bayes: separable corpus classified, unseen tokens tie-break to min label") {
     import graft.operators.TextClassifier
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
