@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
+  /** Nano-unit exact mean, the [[TextClassifier]] idiom: per-term
+    * log-probabilities quantize to integer NANO-units
+    * (`round(lp·1e9)` as long), tf-weighted terms sum as exact longs,
+    * and ONE double division at the end. Long sums are associative-
+    * exact, so the score is bit-identical at every partition width —
+    * `sum(tf·lp)` over raw doubles is not (the q95 lesson: Spark's
+    * partial-aggregation order varies with shuffle/scan width, and a
+    * sum landing within an ulp of a 5·10⁻⁷ boundary flips the 6th
+    * decimal). The 1e-9 quantization grain sits three orders below
+    * the 6dp at which every consumer reads these scores. */
+  private def nanoLp(lp: org.apache.spark.sql.Column) =
+    round(lp * lit(1e9), 0).cast("long")
+
+  private def nanoMean(tf: org.apache.spark.sql.Column,
+      lpn: org.apache.spark.sql.Column) =
+    sum(tf * lpn).cast("double") / sum(tf).cast("double") / lit(1e9)
+
   /** Train: (token, n, log_p) over the corpus, MLE `ln(n/total)`.
     * The count frame feeds two consumers (the total and the output),
     * so it is persisted for the call and released once the result is
@@ -97,14 +114,14 @@ object LangModel {
       model: DataFrame, ctx: DataFrame, vocab: Long, k: Double = 0.5): DataFrame = {
     val tf = docs.select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
       .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("tf"))
-    val lp = coalesce(col("log_p"),
-      log(lit(k) / (coalesce(col("cn").cast("double"), lit(0.0)) + k * vocab)))
+    val lpn = nanoLp(coalesce(col("log_p"),
+      log(lit(k) / (coalesce(col("cn").cast("double"), lit(0.0)) + k * vocab))))
     tf.join(model.select("bigram", "log_p"), Seq("bigram"), "left")
       .join(ctx.select(col("w1"), col("cn")),
         split(col("bigram"), " ").getItem(0) === col("w1"), "left")
       .groupBy(col(idCol))
       .agg(sum("tf").as("n_bigrams"),
-        (sum(col("tf") * lp) / sum("tf")).as("avg_logp"))
+        nanoMean(col("tf"), lpn).as("avg_logp"))
   }
 
   /** Train an interpolated Kneser-Ney bigram model (Kneser & Ney,
@@ -173,7 +190,7 @@ object LangModel {
         lit(discount) * col("n1p_fwd") / col("cn"))
       .otherwise(lit(1.0))
     val pcont = coalesce(col("n1p_bwd"), lit(0L)) / lit(t)
-    val lp = log(greatest(main + backoff * pcont, lit(pFloor)))
+    val lpn = nanoLp(log(greatest(main + backoff * pcont, lit(pFloor))))
     tf.join(bg.select("bigram", "c2"), Seq("bigram"), "left")
       .join(ctx.select(col("w1"), col("cn"), col("n1p_fwd")),
         col("__w1") === col("w1"), "left")
@@ -181,7 +198,7 @@ object LangModel {
         col("__w2") === col("w2"), "left")
       .groupBy(col(idCol))
       .agg(sum("tf").as("n_bigrams"),
-        (sum(col("tf") * lp) / sum("tf")).as("avg_logp"))
+        nanoMean(col("tf"), lpn).as("avg_logp"))
   }
 
   /** Score: per-document token count and mean token log-probability
@@ -195,11 +212,11 @@ object LangModel {
       lm: DataFrame, oovLogProb: Double = math.log(1e-10)): DataFrame = {
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val lp = coalesce(col("log_p"), lit(oovLogProb))
+    val lpn = nanoLp(coalesce(col("log_p"), lit(oovLogProb)))
     tf.join(lm.select("token", "log_p"), Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(sum("tf").as("n_tokens"),
-        (sum(col("tf") * lp) / sum("tf")).as("avg_logp"))
+        nanoMean(col("tf"), lpn).as("avg_logp"))
   }
 
   /** CCNet's head/middle/tail split generalized: bucket scored

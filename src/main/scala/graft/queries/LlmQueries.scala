@@ -804,9 +804,12 @@ object LlmQueries {
             tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
             cnt AS (SELECT token, sum(tf) AS n FROM tf GROUP BY 1),
             tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt),
-            lm AS (SELECT token, ln(CAST(n AS DOUBLE) / total) AS log_p FROM cnt, tot),
+            lm AS (SELECT token,
+                          CAST(round(ln(CAST(n AS DOUBLE) / total) * 1e9) AS BIGINT) AS lpn
+                   FROM cnt, tot),
             sc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-                          sum(tf.tf * lm.log_p) / sum(tf.tf) AS lp
+                          CAST(sum(tf.tf * lm.lpn) AS DOUBLE)
+                            / CAST(sum(tf.tf) AS DOUBLE) / 1e9 AS lp
                    FROM tf JOIN lm USING (token)
                    WHERE tf.doc_id < 200 GROUP BY 1)
             SELECT doc_id, n_tokens, round(lp, 6) AS avg_logp
@@ -1748,12 +1751,14 @@ object LlmQueries {
                     FROM c2 GROUP BY 1),
             v AS (SELECT count(DISTINCT tok) AS v FROM
                     (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)),
-            lm AS (SELECT bigram, ln((c2 + 0.5) / (cn + 0.5 * v)) AS log_p
+            lm AS (SELECT bigram,
+                          CAST(round(ln((c2 + 0.5) / (cn + 0.5 * v)) * 1e9) AS BIGINT) AS lpn
                    FROM c2 JOIN ctx ON str_split(bigram, ' ')[1] = w1, v),
             tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg
                    WHERE doc_id < 200 GROUP BY 1, 2),
             sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-                          sum(tf * log_p) / sum(tf) AS lp
+                          CAST(sum(tf * lpn) AS DOUBLE)
+                            / CAST(sum(tf) AS DOUBLE) / 1e9 AS lp
                    FROM tf JOIN lm USING (bigram) GROUP BY 1)
             SELECT doc_id, n_bigrams, round(lp, 6) AS avg_logp
             FROM sc ORDER BY doc_id"""))
@@ -2156,7 +2161,11 @@ object LlmQueries {
     * scores (q80's model, rounded to the engine-portable 6dp) split
     * at exact tercile cuts — one 1-row percentile aggregate broadcast
     * onto the corpus, never a global ntile sort — and rolled up per
-    * (band, source). The oracle recomputes the cuts with
+    * (band, source). The band mean sums the 6dp scores as exact
+    * MICRO-unit longs and divides once — `round(avg(double), 6)`
+    * flipped band (2, src8) by one 6th-decimal ulp between 8- and
+    * 32-wide runs (the r7 red row); an integer sum is the same at
+    * every width. The oracle recomputes the cuts with
     * `quantile_cont` and re-bands every document. */
   private val q95 = Q("q95_ppl_buckets",
     (s, d) => {
@@ -2167,7 +2176,9 @@ object LlmQueries {
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
       LangModel.perplexityBuckets(scored, "score", 3)
         .groupBy(col("ppl_bucket").cast("long").as("ppl_bucket"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), round(avg("score"), 6).as("avg_score"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(round(col("score") * lit(1e6), 0).cast("long")).cast("double")
+            / count(lit(1)).cast("double") / lit(1e6), 6).as("avg_score"))
         .orderBy("ppl_bucket", "source")
     },
     Some("""WITH toks AS (
@@ -2175,8 +2186,12 @@ object LlmQueries {
             tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
             cnt AS (SELECT token, sum(tf) AS n FROM tf GROUP BY 1),
             tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt),
-            lm AS (SELECT token, ln(CAST(n AS DOUBLE) / total) AS log_p FROM cnt, tot),
-            sc AS (SELECT tf.doc_id, round(sum(tf.tf * lm.log_p) / sum(tf.tf), 6) AS score
+            lm AS (SELECT token,
+                          CAST(round(ln(CAST(n AS DOUBLE) / total) * 1e9) AS BIGINT) AS lpn
+                   FROM cnt, tot),
+            sc AS (SELECT tf.doc_id,
+                          round(CAST(sum(tf.tf * lm.lpn) AS DOUBLE)
+                                  / CAST(sum(tf.tf) AS DOUBLE) / 1e9, 6) AS score
                    FROM tf JOIN lm USING (token) GROUP BY 1),
             cuts AS (SELECT round(quantile_cont(score, 1.0/3), 6) AS c0,
                             round(quantile_cont(score, 2.0/3), 6) AS c1 FROM sc),
@@ -2186,7 +2201,8 @@ object LlmQueries {
                                    ELSE 3 END AS BIGINT) AS ppl_bucket
                   FROM sc, cuts)
             SELECT ppl_bucket, d.source, count(*) AS n_docs,
-                   round(avg(score), 6) AS avg_score
+                   round(CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) / 1e6, 6) AS avg_score
             FROM b JOIN documents d USING (doc_id)
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
@@ -3182,7 +3198,7 @@ object LlmQueries {
                         (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
                       WHERE len(ws) >= 2) GROUP BY 1, 2),
             j AS (SELECT stf.doc_id, stf.tf,
-                         ln(greatest(
+                         CAST(round(ln(greatest(
                            (CASE WHEN sp.c2 IS NOT NULL
                                  THEN (sp.c2 - CAST(0.75 AS DOUBLE)) / ctx.cn
                                  ELSE CAST(0 AS DOUBLE) END)
@@ -3190,14 +3206,15 @@ object LlmQueries {
                                    THEN CAST(0.75 AS DOUBLE) * ctx.nf / ctx.cn
                                    ELSE CAST(1 AS DOUBLE) END)
                              * (coalesce(cont.nb, 0) / t),
-                           1e-10)) AS lp
+                           1e-10)) * 1e9) AS BIGINT) AS lpn
                   FROM stf
                   LEFT JOIN sp ON stf.bg = sp.bg
                   LEFT JOIN ctx ON str_split(stf.bg, ' ')[1] = ctx.w1
                   LEFT JOIN cont ON str_split(stf.bg, ' ')[2] = cont.w2
                   CROSS JOIN tt)
             SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-                   round(sum(tf * lp) / sum(tf), 6) AS avg_logp
+                   round(CAST(sum(tf * lpn) AS DOUBLE)
+                           / CAST(sum(tf) AS DOUBLE) / 1e9, 6) AS avg_logp
             FROM j GROUP BY 1 ORDER BY 1"""))
 
   /** q117 — hybrid retrieval via reciprocal-rank fusion

@@ -359,12 +359,14 @@ class OperatorSpec extends SparkSpec {
       .select("doc_id", "n_tokens", "avg_logp")
       .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(scores(1L)._1 === 5L)
-    assert(math.abs(scores(1L)._2 - (3 * math.log(0.5) + 2 * math.log(0.3)) / 5) < 1e-12)
+    // scores are exact tf-weighted means of NANO-quantized log-probs
+    // (width-independence contract), so hand math agrees to the 1e-9 grain
+    assert(math.abs(scores(1L)._2 - (3 * math.log(0.5) + 2 * math.log(0.3)) / 5) < 1e-9)
     // OOV: unseen token takes the floor, not a null/crash
     val oov = LangModel.lmScore(Seq((9L, "a zzz")).toDF("doc_id", "text"),
         "doc_id", "text", lm, oovLogProb = math.log(1e-10))
       .select("avg_logp").as[Double].head()
-    assert(math.abs(oov - (math.log(0.5) + math.log(1e-10)) / 2) < 1e-12)
+    assert(math.abs(oov - (math.log(0.5) + math.log(1e-10)) / 2) < 1e-9)
     // quality ordering: all-rare-token doc scores below all-common-token doc
     val cmp = LangModel.lmScore(
         Seq((10L, "a a a a"), (11L, "c c c c")).toDF("doc_id", "text"),
@@ -1436,9 +1438,10 @@ class OperatorSpec extends SparkSpec {
     // doc 11: unseen ctx c -> uniform ln(k/(0+kV)) = ln(1/V)
     val d11 = math.log(0.5 / 1.0)
     assert(score(0)._1 === 10L && score(0)._2 === 2L)
-    assert(math.abs(score(0)._3 - d10) < 1e-12)
+    // nano-quantized log-probs: hand math agrees to the 1e-9 grain
+    assert(math.abs(score(0)._3 - d10) < 1e-9)
     assert(score(1)._1 === 11L && score(1)._2 === 1L)
-    assert(math.abs(score(1)._3 - d11) < 1e-12)
+    assert(math.abs(score(1)._3 - d11) < 1e-9)
   }
 
   // --- shard assignment (q86) ----------------------------------------------
