@@ -120,6 +120,13 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     if (errors.nonEmpty) System.err.println(s"[bench] FAILED queries: ${errors.mkString(", ")}")
+    // tail-proof summary: the full line above is ~25 KB (189 queries ×
+    // {min,median,spread}) and a bounded stdout tail capture can clip
+    // its head, leaving nothing parseable (r7's driver artifact read
+    // "parsed": null). This compact line prints LAST, is always whole
+    // in any tail window, and points at the on-disk copy that carries
+    // the per-query detail.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","headline":"min_of_reps","n":${good.length},"spread":$spread,"errors":$errJson,"sf":"$sfDir","out":"$outFile"}""")
     spark.stop()
   }
 }

@@ -505,8 +505,9 @@ object Graph {
     * is canonicalized to a simple undirected graph (dedup, self-loops
     * dropped) first. Returns surviving (id, core_degree). */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxRounds: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val canon = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -520,7 +521,15 @@ object Graph {
         und.select(col("u").as("id")).distinct())
       var aliveCount = alive._1.count()
       var done = aliveCount == 0
+      var rounds = 0
       while (!done) {
+        rounds += 1
+        // fail LOUD past the cap: a caller pinning maxRounds to an
+        // externally-unrolled schedule (q182's 16-round oracle) must
+        // see "needs more rounds" as an error here, not as a
+        // confusing downstream hash mismatch
+        if (rounds > maxRounds) throw new IllegalStateException(
+          s"kCore did not converge within maxRounds=$maxRounds")
         val deg = und
           .join(alive._1.select(col("id").as("u")), Seq("u"), "left_semi")
           .join(alive._1.select(col("id").as("v")), Seq("v"), "left_semi")

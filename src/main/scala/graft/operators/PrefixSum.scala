@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed order-statistics primitive: cumulative sums (and row
+  * numbers) over a TOTAL order, without a single-partition window.
+  *
+  * The rank-statistic family (AUC, Mann-Whitney U, Spearman, KS,
+  * Lorenz/Gini) needs "sum of counts over all values ordered before
+  * mine". The naive spelling — `sum(c).over(Window.orderBy(v))` with
+  * no partition — is exact but collapses the whole frame into ONE
+  * task: fine when the frame is a distinct-value grain of a discrete
+  * metric, a scale killer when the ordered column is a continuous
+  * per-row score (the grain IS the corpus). This is the
+  * range-partitioned spelling that keeps exactness and parallelism:
+  *
+  *  1. B−1 approximate quantile cuts of the order column (one
+  *     bounded-memory `approx_percentile` aggregate, B ≈ the session
+  *     shuffle width — each bucket lands near one shuffle partition's
+  *     worth of rows);
+  *  2. each row buckets by `Σ 1[v > cutᵢ]` — monotone in v and
+  *     constant across ties, so bucket ranges never interleave;
+  *  3. per-bucket prefix sums via a PARTITIONED window (the only
+  *     corpus-scale window, B-way parallel);
+  *  4. per-bucket totals (map-side-combined aggregate, ≤ B rows)
+  *     self-joined into strictly-lower-bucket offsets — a B×B
+  *     broadcast triangle, no window at all;
+  *  5. cum = lower-bucket offset + in-bucket prefix.
+  *
+  * Exactness does NOT depend on where the cuts land: the sums are
+  * integer (long) arithmetic and the bucket boundaries respect the
+  * order, so ANY monotone bucketing yields the identical result —
+  * `approx_percentile`'s error budget only moves work between
+  * buckets, never a row past its rank. That is what makes the output
+  * bit-stable across partition widths (the q95 determinism bar) even
+  * though the sketch itself is width-sensitive.
+  *
+  * Skew: a single value carrying most of the corpus collapses to ONE
+  * grain row upstream (callers aggregate to the distinct-value grain
+  * first), so buckets stay balanced in grain rows even under heavy
+  * value skew.
+  */
+object PrefixSum {
+
+  /** `grain` + one `outPrefix<c>` long column per `sumCols` entry:
+    * the sum of that column over all rows strictly before (exclusive)
+    * or up to and including (inclusive) the current row in
+    * `(orderCol, tieBreak*)` order. The order must be TOTAL over the
+    * rows (callers either pass a distinct-value grain keyed by
+    * `orderCol`, or tie-break to uniqueness); `sumCols` must be long
+    * (integer) columns — exactness of the distributed reassembly is
+    * argued on integer addition. */
+  def withCumulative(grain: DataFrame, orderCol: String,
+      tieBreak: Seq[String], sumCols: Seq[String], inclusive: Boolean,
+      outPrefix: String = "__cum_"): DataFrame = {
+    val reserved = Set("__cuts", "__bkt") ++
+      sumCols.flatMap(c => Seq(s"__loc_$c", s"__t_$c", s"__lt_$c", s"__off_$c"))
+    val shadowed = grain.columns.toSet.intersect(reserved)
+    require(shadowed.isEmpty,
+      s"input columns shadow reserved internal names: ${shadowed.mkString(", ")}")
+    val spark = grain.sparkSession
+    val nBuckets = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, 16)
+    val cuts = grain.agg(percentile_approx(col(orderCol),
+      typedLit((1 until nBuckets).map(_ / nBuckets.toDouble)),
+      lit(10000)).as("__cuts"))
+    val bkt = coalesce(
+      aggregate(col("__cuts"), lit(0),
+        (acc, c) => acc + when(col(orderCol) > c, 1).otherwise(0)),
+      lit(0))
+    val wLoc = Window.partitionBy(col("__bkt"))
+      .orderBy(col(orderCol) +: tieBreak.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
+    val local = grain.crossJoin(broadcast(cuts))
+      .withColumn("__bkt", bkt)
+      .drop("__cuts")
+      .select(col("*") +: sumCols.map(c =>
+        coalesce(sum(col(c)).over(wLoc), lit(0L)).as(s"__loc_$c")): _*)
+    val totals = local.groupBy(col("__bkt"))
+      .agg(sum(sumCols.head).as(s"__t_${sumCols.head}"),
+        sumCols.tail.map(c => sum(c).as(s"__t_$c")): _*)
+    // strictly-lower-bucket offsets WITHOUT a window: ≤ B×B triangle
+    // join over the ≤ B-row totals frame, aggregated per bucket
+    val lower = totals.select(col("__bkt").as("__lb") +:
+      sumCols.map(c => col(s"__t_$c").as(s"__lt_$c")): _*)
+    val offsets = totals.select("__bkt")
+      .join(broadcast(lower), col("__lb") < col("__bkt"), "left")
+      .groupBy(col("__bkt"))
+      .agg(coalesce(sum(s"__lt_${sumCols.head}"), lit(0L))
+          .as(s"__off_${sumCols.head}"),
+        sumCols.tail.map(c =>
+          coalesce(sum(s"__lt_$c"), lit(0L)).as(s"__off_$c")): _*)
+    val joined = local.join(broadcast(offsets), Seq("__bkt"))
+    val outCols = grain.columns.map(col) ++ sumCols.map(c =>
+      (col(s"__off_$c") + col(s"__loc_$c")).as(s"$outPrefix$c"))
+    joined.select(outCols: _*)
+  }
+
+  /** 1-based row numbers over the total order `(orderCol,
+    * tieBreak*)` — the distributed `row_number().over(Window.orderBy
+    * (...))`. The combined sort key must be unique per row. */
+  def withRowNumber(df: DataFrame, orderCol: String, tieBreak: Seq[String],
+      out: String): DataFrame = {
+    require(!df.columns.contains("__one"),
+      "input must not contain the reserved column __one")
+    withCumulative(df.withColumn("__one", lit(1L)), orderCol, tieBreak,
+      Seq("__one"), inclusive = true)
+      .withColumnRenamed("__cum___one", out)
+      .drop("__one")
+  }
+}

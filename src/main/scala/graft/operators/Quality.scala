@@ -133,17 +133,22 @@ object Quality {
     val withMed = df.join(med, joinOn, "left")
       .drop(groupCols.map(c => s"__g_$c"): _*)
       .persist()
-    val mad = withMed.groupBy(groupCols.map(col): _*)
-      .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"))
-      .select(groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__mad"): _*)
-    val out = withMed.join(mad, joinOn, "left")
-      .withColumn("robust_z",
-        when(col("__mad") > 0, round(
-          lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"), 4)))
-      .withColumn("is_outlier",
-        coalesce(abs(col("robust_z")) > k, lit(false)))
-      .drop(groupCols.map(c => s"__g_$c") :+ "__med" :+ "__mad": _*)
-    Checkpoints.materialize(out, withMed)
+    // try/finally from the persist on: a throw during plan
+    // construction must not pin the cached frame (materialize
+    // tolerates the resulting double-unpersist)
+    try {
+      val mad = withMed.groupBy(groupCols.map(col): _*)
+        .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"))
+        .select(groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__mad"): _*)
+      val out = withMed.join(mad, joinOn, "left")
+        .withColumn("robust_z",
+          when(col("__mad") > 0, round(
+            lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad"), 4)))
+        .withColumn("is_outlier",
+          coalesce(abs(col("robust_z")) > k, lit(false)))
+        .drop(groupCols.map(c => s"__g_$c") :+ "__med" :+ "__mad": _*)
+      Checkpoints.materialize(out)
+    } finally withMed.unpersist(blocking = false)
   }
 
   /** Repetition signals per document, in the style of the Gopher

@@ -41,10 +41,14 @@ object Ranking {
     * no FP accumulation anywhere; the /2 happens once in the final
     * pinned expression. No sorting the corpus, no trapezoid sweep.
     *
+    * The cumulative rank start rides [[PrefixSum.withCumulative]]
+    * (range-bucketed, B-way-parallel), so the plan holds even when
+    * the score is continuous and the distinct-score grain IS the
+    * corpus — no single-partition window anywhere.
+    *
     * Returns one row (n_pos, n_neg, auc 6dp); auc null when either
     * class is empty (the metric is undefined, not 0.5). */
   def auc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grain = df
       .select(labelCol.cast("boolean").as("__y"),
         scoreCol.cast("double").as("__s"))
@@ -53,11 +57,10 @@ object Ranking {
       .groupBy("__s")
       .agg(count(lit(1)).as("__c"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"))
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val dec = "decimal(38,0)"
-    val ranked = grain
-      .withColumn("__start", lit(1L) + coalesce(sum(col("__c")).over(w), lit(0L)))
+    val ranked = PrefixSum.withCumulative(grain, "__s", Nil, Seq("__c"),
+        inclusive = false)
+      .withColumn("__start", lit(1L) + col("__cum___c"))
       .withColumn("__rank2",
         lit(2L) * col("__start") + col("__c") - lit(1L))
     val agg = ranked.agg(
@@ -100,30 +103,35 @@ object Ranking {
       .where(col("__s").isNotNull && !isnan(col("__s")) &&
         col("__y").isNotNull)
       .persist()
-    val cuts = rows.agg(
-      percentile(col("__s"), typedLit((1 to 9).map(_ / 10.0))).as("__cuts"))
-    val banded = rows.crossJoin(broadcast(cuts))
-      .select(col("__y"),
-        (lit(10L) - (1 to 9).map(i =>
-          when(col("__s") > round(element_at(col("__cuts"), i), 6), 1L)
-            .otherwise(0L)).reduce(_ + _)).as("decile"))
-    val per = banded.groupBy("decile")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
-    val tot = per.agg(sum("n").as("__tn"), sum("n_pos").as("__tp"))
-    val wCum = Window.orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = per.crossJoin(broadcast(tot))
-      .withColumn("__cumPos", sum(col("n_pos")).over(wCum))
-      .select(col("decile"), col("n"), col("n_pos"),
-        round(col("n_pos") / col("n").cast("double"), 6).as("rate"),
-        when(col("__tp") > 0, round(
-          (col("n_pos") / col("n").cast("double")) /
-            (col("__tp") / col("__tn").cast("double")), 6)).as("lift"),
-        when(col("__tp") > 0,
-          round(col("__cumPos") / col("__tp").cast("double"), 6))
-          .as("cum_capture"))
-    Checkpoints.materialize(out, rows)
+    // try/finally from the persist on: a throw during plan
+    // construction must not pin the cached frame (materialize
+    // tolerates the resulting double-unpersist)
+    try {
+      val cuts = rows.agg(
+        percentile(col("__s"), typedLit((1 to 9).map(_ / 10.0))).as("__cuts"))
+      val banded = rows.crossJoin(broadcast(cuts))
+        .select(col("__y"),
+          (lit(10L) - (1 to 9).map(i =>
+            when(col("__s") > round(element_at(col("__cuts"), i), 6), 1L)
+              .otherwise(0L)).reduce(_ + _)).as("decile"))
+      val per = banded.groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+      val tot = per.agg(sum("n").as("__tn"), sum("n_pos").as("__tp"))
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = per.crossJoin(broadcast(tot))
+        .withColumn("__cumPos", sum(col("n_pos")).over(wCum))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round(col("n_pos") / col("n").cast("double"), 6).as("rate"),
+          when(col("__tp") > 0, round(
+            (col("n_pos") / col("n").cast("double")) /
+              (col("__tp") / col("__tn").cast("double")), 6)).as("lift"),
+          when(col("__tp") > 0,
+            round(col("__cumPos") / col("__tp").cast("double"), 6))
+            .as("cum_capture"))
+      Checkpoints.materialize(out)
+    } finally rows.unpersist(blocking = false)
   }
 
 

@@ -216,12 +216,12 @@ object Stats {
     * null when either arm is empty or σ² = 0 (all values tied).
     *
     * Scale shape: one aggregate to the DISTINCT-VALUE grain (value,
-    * count, count-in-A), one window for the cumulative rank start
-    * over that grain (value-cardinality — bounded by the metric's
-    * distinctness, not the corpus), one 1-row reduction. Returns
+    * count, count-in-A), then the cumulative rank start rides
+    * [[PrefixSum.withCumulative]] (range-bucketed, B-way-parallel),
+    * so the plan holds even for a continuous metric whose distinct-
+    * value grain is the corpus; one 1-row reduction. Returns
     * (n_a, n_b, u_a, z). */
   def mannWhitneyU(df: DataFrame, inA: Column, valueCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grain = df
       .select(inA.cast("boolean").as("__a"), valueCol.as("__v"))
       .where(col("__a").isNotNull && col("__v").isNotNull &&
@@ -229,10 +229,9 @@ object Stats {
       .groupBy("__v")
       .agg(count(lit(1)).as("__c"),
         sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"))
-    val w = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = grain
-      .withColumn("__start", lit(1L) + coalesce(sum(col("__c")).over(w), lit(0L)))
+    val ranked = PrefixSum.withCumulative(grain, "__v", Nil, Seq("__c"),
+        inclusive = false)
+      .withColumn("__start", lit(1L) + col("__cum___c"))
       .withColumn("__avgRank",
         col("__start") + (col("__c") - 1) / lit(2.0))
     val agg = ranked.agg(
@@ -270,12 +269,12 @@ object Stats {
     * ρ is null when either column is constant (zero variance).
     *
     * Scale shape: two aggregates to each column's DISTINCT-VALUE
-    * grain, one window per rank table over that grain (value
-    * cardinality, not corpus), two joins back to the rows (each
-    * rank table is value-cardinality-sized — broadcastable for any
-    * real metric), one 1-row reduction. Returns (n, rho). */
+    * grain, each rank table's cumulative start riding
+    * [[PrefixSum.withCumulative]] (range-bucketed, B-way-parallel —
+    * holds even when the columns are continuous and the grain is the
+    * corpus), two joins back to the rows, one 1-row reduction.
+    * Returns (n, rho). */
   def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rows = df
       .select(xCol.cast("double").as("__x"), yCol.cast("double").as("__y"))
       .where(col("__x").isNotNull && !isnan(col("__x")) &&
@@ -283,11 +282,10 @@ object Stats {
       .persist()
     try {
       def rankTable(c: String, out: String): DataFrame = {
-        val w = Window.orderBy(col(c))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        rows.groupBy(col(c)).agg(count(lit(1)).as("__c"))
-          .withColumn("__start",
-            lit(1L) + coalesce(sum(col("__c")).over(w), lit(0L)))
+        val grain = rows.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        PrefixSum.withCumulative(grain, c, Nil, Seq("__c"),
+            inclusive = false)
+          .withColumn("__start", lit(1L) + col("__cum___c"))
           .select(col(c),
             (lit(2L) * col("__start") + col("__c") - lit(1L)).as(out))
       }
@@ -337,10 +335,11 @@ object Stats {
     * in both engines by construction).
     *
     * Scale shape: identical to [[mannWhitneyU]] — one aggregate to
-    * the distinct-value grain, one cumulative window over that grain,
-    * one 1-row reduction. Returns (n_a, n_b, d, crit_05, reject_05). */
+    * the distinct-value grain, both cumulative counts riding ONE
+    * [[PrefixSum.withCumulative]] pass (range-bucketed, B-way-
+    * parallel — holds for a continuous metric), one 1-row reduction.
+    * Returns (n_a, n_b, d, crit_05, reject_05). */
   def ksTest(df: DataFrame, inA: Column, valueCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grain = df
       .select(inA.cast("boolean").as("__a"), valueCol.as("__v"))
       .where(col("__a").isNotNull && col("__v").isNotNull &&
@@ -353,11 +352,10 @@ object Stats {
       val totals = grain.agg(
         coalesce(sum("__ca"), lit(0L)).as("n_a"),
         coalesce(sum("__cb"), lit(0L)).as("n_b"))
-      val w = Window.orderBy(col("__v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = grain
-        .withColumn("__cuma", sum(col("__ca")).over(w))
-        .withColumn("__cumb", sum(col("__cb")).over(w))
+      val cum = PrefixSum.withCumulative(grain, "__v", Nil,
+          Seq("__ca", "__cb"), inclusive = true)
+        .withColumnRenamed("__cum___ca", "__cuma")
+        .withColumnRenamed("__cum___cb", "__cumb")
         .crossJoin(broadcast(totals))
       val dmax = cum
         .groupBy("n_a", "n_b")
@@ -790,7 +788,14 @@ object Stats {
         col("__id"))
       .persist()
     try {
+      // idCol must be row-UNIQUE: the Poisson draw is keyed on
+      // (__id, replicate), so duplicate ids would receive identical
+      // weights in every replicate — a silently correlated resample
+      // that biases the CI narrow. Checked in-plan on the same 1-row
+      // aggregate (raise_error in the projection, the [[Ranking]]
+      // idiom), so the guard costs no extra pass over the corpus.
       val totals = rows.agg(count(lit(1)).as("n"),
+        count_distinct(col("__id")).as("__nd"),
         sum(col("__v").cast("decimal(38,0)")).as("__sv"))
       val drawn = rows
         .select(col("__id"), col("__v"),
@@ -811,7 +816,16 @@ object Stats {
         round(percentile(col("__m"), lit(0.025)), 6).as("lo95"),
         round(percentile(col("__m"), lit(0.975)), 6).as("hi95"))
       val out = totals.crossJoin(broadcast(ci))
-        .select(col("n"), col("reps"),
+        .select(
+          when(col("n") === col("__nd"), col("n"))
+            .otherwise(raise_error(concat(
+              lit("bootstrapCiMean: idCol must be row-unique ("),
+              col("__nd").cast("string"), lit(" distinct ids over "),
+              col("n").cast("string"),
+              lit(" rows) — duplicate ids correlate the resample")))
+              .cast("long"))
+            .as("n"),
+          col("reps"),
           when(col("n") > 0, round(col("__sv").cast("double") /
             (col("n").cast("double") * unitScale), 6)).as("mean"),
           col("lo95"), col("hi95"))

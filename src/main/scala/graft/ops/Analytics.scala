@@ -1183,12 +1183,13 @@ object Analytics {
     * (2dp for money).
     *
     * Scale shape: one fact-scale aggregate to the customer grain,
-    * then a GLOBAL sort window over the customer-cardinality frame —
-    * inherently so (ranks against the whole population are the
-    * definition), and customer grain is orders of magnitude below
-    * fact grain; both ntile and row_number ride the one sort.
-    * Returns one row per band: (band, n_customers, revenue,
-    * cum_share, gini — the population statistic repeated per row, the
+    * then global ranks over the customer-cardinality frame ride
+    * [[graft.operators.PrefixSum.withRowNumber]] (range-bucketed,
+    * B-way-parallel — no single-partition sort even at a 100×
+    * customer population); bands derive from (rank, n) by the exact
+    * ntile formula, so no second sort either. Returns one row per
+    * band: (band, n_customers, revenue, cum_share, gini — the
+    * population statistic repeated per row, the
     * [[graft.operators.Stats.klDrift]] convention). */
   def revenueConcentration(orders: DataFrame, custCol: String,
       amtCol: String, nBands: Int = 10): DataFrame = {
@@ -1197,10 +1198,26 @@ object Analytics {
     val perCust = orders.groupBy(col(custCol))
       .agg(round(sum(col(amtCol)), 2).as("__rev"))
       .persist()
-    val w = Window.orderBy(col("__rev"), col(custCol))
-    val ranked = perCust
-      .withColumn("__i", row_number().over(w))
-      .withColumn("band", ntile(nBands).over(w))
+    val numbered = graft.operators.PrefixSum.withRowNumber(
+      perCust, "__rev", Seq(custCol), "__i").persist()
+    val nRow = broadcast(numbered.agg(count(lit(1)).as("__n")))
+    // ntile(b) replayed as exact integer arithmetic on (i, n): the
+    // first n mod b bands hold ceil(n/b) rows, the rest floor(n/b) —
+    // identical to Spark's NTile, no sort needed once ranks exist.
+    // All-integer (DIV, never `/` — Spark's `/` is double division);
+    // the ELSE's divisor q is 0 only when n < bands, where the WHEN
+    // branch (split = n) always fires first.
+    val b = nBands.toLong
+    val band = expr(
+      s"""CASE WHEN __i <= (__n % $b) * ((__n DIV $b) + 1)
+         |     THEN (__i + (__n DIV $b)) DIV ((__n DIV $b) + 1)
+         |     ELSE (__n % $b) +
+         |          ((__i - (__n % $b) * ((__n DIV $b) + 1) + (__n DIV $b) - 1)
+         |            DIV (__n DIV $b))
+         |END""".stripMargin)
+    val ranked = numbered.crossJoin(nRow)
+      .withColumn("band", band.cast("int"))
+      .drop("__n")
       .persist()
     val scalars = ranked.agg(count(lit(1)).as("__n"),
       sum("__rev").as("__tot"), sum(col("__rev") * col("__i")).as("__si"))
@@ -1216,7 +1233,7 @@ object Analytics {
         col("cum_share"),
         round(lit(2.0) * col("__si") / (col("__n") * col("__tot")) -
           (col("__n") + 1) / col("__n").cast("double"), 6).as("gini"))
-    graft.operators.Checkpoints.materialize(out, perCust, ranked)
+    graft.operators.Checkpoints.materialize(out, perCust, numbered, ranked)
   }
 
   /** Kaplan-Meier survival estimator (Kaplan & Meier, JASA 1958) over

@@ -50,6 +50,12 @@ object IntervalJoin {
     val collisions = left.columns.toSet.intersect(right.columns.toSet)
     require(collisions.isEmpty,
       s"left/right columns collide: ${collisions.mkString(", ")} — alias them first")
+    // the internal working columns below would silently OVERWRITE (and
+    // then re-select) a same-named input column — reject those too
+    val reserved = Set("__b", "__ls", "__le", "__rs", "__re")
+    val shadowed = (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
+    require(shadowed.isEmpty,
+      s"input columns shadow reserved internal names: ${shadowed.mkString(", ")} — rename them first")
 
     // exact long floor-division as a SQL fragment: pmod floors the
     // numerator to a multiple of the width, so `div`'s

@@ -15,6 +15,42 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
+  /** Staging ground for queries that must round-trip through real
+    * files (streaming sources, the JSONL ingest, the IVF store). Every
+    * dir is registered for deletion at JVM exit, so repeated bench/
+    * correctness runs can't accumulate corpus copies on disk; queries
+    * whose file lifetime ends inside the query body (a terminated
+    * AvailableNow stream) additionally call [[dropStaging]] eagerly.
+    * Dirs read LAZILY by the returned frame (q96's JSONL, q97's
+    * parquet store) rely on the exit hook alone — eager deletion
+    * there would race the driver's materialization of the result. */
+  private val stagingDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      stagingDirs.forEach(d => dropStaging(d))
+    }, "graft-staging-cleanup"))
+  }
+
+  private def stagingDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    stagingDirs.add(d)
+    d
+  }
+
+  /** Best-effort recursive delete of a [[stagingDir]]; idempotent. */
+  private def dropStaging(dir: String): Unit = {
+    stagingDirs.remove(dir)
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(dir)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** q25 — exact dedup (hash-groupBy, min-id survivor): duplicates are
     * planted by re-keying every 7th doc, the survivor set must be
     * exactly the originals. One uniform-hash shuffle; no driver state. */
@@ -1982,7 +2018,7 @@ object LlmQueries {
     * repetitions don't collide. */
   private val q91 = Q("q91_stream_quality_windows",
     (s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_q91_").toString
+      val dir = stagingDir("graft_q91_")
       Tables.documents(s, d)
         .withColumn("ts",
           timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L))
@@ -1996,6 +2032,8 @@ object LlmQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the memory sink owns the rows now; the staged source dir is dead
+      dropStaging(dir)
       s.table(sink)
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
             .as("window_start"),
@@ -2224,8 +2262,7 @@ object LlmQueries {
     (s, d) => {
       import org.apache.spark.sql.types._
       val docs = Tables.documents(s, d)
-      val dir = java.nio.file.Files.createTempDirectory(
-        s"graft_q96_${q96Runs.incrementAndGet()}_").toString
+      val dir = stagingDir(s"graft_q96_${q96Runs.incrementAndGet()}_")
       docs.select(
           when(col("doc_id") % 97 === 0,
             concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"text\":\"")))
@@ -2271,8 +2308,7 @@ object LlmQueries {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val centroids = Similarity.sampleCentroids(emb, 50)
-      val dir = java.nio.file.Files.createTempDirectory(
-        s"graft_q97_${q97Runs.incrementAndGet()}_").toString + "/store"
+      val dir = stagingDir(s"graft_q97_${q97Runs.incrementAndGet()}_") + "/store"
       Similarity.ivfStoreAppend(emb.filter(col("vec_id") % 2 === 0), centroids, dir)
       Similarity.ivfStoreAppend(emb.filter(col("vec_id") % 2 === 1), centroids, dir)
       Similarity.ivfTopKFromStore(s.read.parquet(dir),
@@ -3454,7 +3490,7 @@ object LlmQueries {
   private val q173 = Q("q173_stream_heavy_hitters",
     (s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_q173_").toString
+      val dir = stagingDir("graft_q173_")
       Tables.documents(s, d)
         .select(col("doc_id"),
           lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),
@@ -3473,6 +3509,8 @@ object LlmQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the memory sink owns the rows now; the staged source dir is dead
+      dropStaging(dir)
       import org.apache.spark.sql.expressions.Window
       val latest = s.table(sink)
         .withColumn("__rn", row_number().over(
@@ -3519,7 +3557,7 @@ object LlmQueries {
   private val q145 = Q("q145_stream_ewma",
     (s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_q145_").toString
+      val dir = stagingDir("graft_q145_")
       Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           coalesce(col("value"), lit(0.0)).as("value"),
@@ -3534,6 +3572,8 @@ object LlmQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the memory sink owns the rows now; the staged source dir is dead
+      dropStaging(dir)
       s.table(sink).orderBy("event_type", "day")
     },
     Some("""WITH RECURSIVE daily AS (
@@ -4457,7 +4497,13 @@ object LlmQueries {
     * claim. Exact integers; no FP anywhere. */
   private val q182 = Q("q182_kcore",
     (s, d) => {
-      graft.operators.Graph.kCore(linkEdges(s, d), "src", "dst", k = 4)
+      // maxRounds = 16 is PINNED to the oracle's 16-round unrolled
+      // chain below (sf0.01 fixpoint observed at 13, +1 confirming
+      // round = headroom 2). A fixture change needing more rounds
+      // fails loud HERE — bump both the cap and the oracle's unroll
+      // together, never one of them.
+      graft.operators.Graph.kCore(linkEdges(s, d), "src", "dst", k = 4,
+          maxRounds = 16)
         .orderBy("id")
     },
     Some {

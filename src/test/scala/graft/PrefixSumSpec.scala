@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.PrefixSum
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[graft.operators.PrefixSum]]: the distributed order-statistics
+  * primitive must (a) agree exactly with the single-partition window
+  * it replaces, (b) keep every corpus-scale window PARTITIONED — the
+  * scale claim the rank-statistic family now rests on — and (c) stay
+  * exact when the approx-quantile cuts are degenerate (heavy ties,
+  * tiny frames, all-equal values). */
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 200 (value, count-ish) grain rows with planted ties and negative
+    * values so cut placement and tie-grouping both get exercised. */
+  private def grain: DataFrame =
+    (1 to 200).map { i =>
+      (((i * 37) % 23) - 11.0, (i % 5 + 1).toLong, (i % 3).toLong)
+    }.toDF("v", "c", "ca")
+      .groupBy("v").agg(sum("c").as("c"), sum("ca").as("ca"))
+
+  private def bareWindow(df: DataFrame, inclusive: Boolean): DataFrame = {
+    val w = Window.orderBy(col("v")).rowsBetween(
+      Window.unboundedPreceding, if (inclusive) Window.currentRow else -1)
+    df.withColumn("exp_c", coalesce(sum("c").over(w), lit(0L)))
+      .withColumn("exp_ca", coalesce(sum("ca").over(w), lit(0L)))
+  }
+
+  test("withCumulative (exclusive) matches the single-partition window") {
+    val got = PrefixSum.withCumulative(grain, "v", Nil, Seq("c", "ca"),
+      inclusive = false)
+    val both = got.join(bareWindow(grain, inclusive = false), Seq("v"))
+    assert(both.where(col("__cum_c") =!= col("exp_c") ||
+      col("__cum_ca") =!= col("exp_ca")).count() === 0)
+    assert(got.count() === grain.count())
+  }
+
+  test("withCumulative (inclusive) matches the single-partition window") {
+    val got = PrefixSum.withCumulative(grain, "v", Nil, Seq("c"),
+      inclusive = true)
+    val both = got.join(bareWindow(grain, inclusive = true), Seq("v"))
+    assert(both.where(col("__cum_c") =!= col("exp_c")).count() === 0)
+  }
+
+  test("withRowNumber matches row_number over the total order") {
+    val df = (1 to 97).map(i => (((i * 13) % 31).toDouble, i.toLong))
+      .toDF("v", "id")
+    val got = PrefixSum.withRowNumber(df, "v", Seq("id"), "rn")
+    val exp = df.withColumn("exp_rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+    assert(got.join(exp, Seq("v", "id"))
+      .where(col("rn") =!= col("exp_rn")).count() === 0)
+  }
+
+  test("degenerate grains: empty, single row, all-equal values") {
+    val empty = Seq.empty[(Double, Long)].toDF("v", "c")
+    assert(PrefixSum.withCumulative(empty, "v", Nil, Seq("c"),
+      inclusive = false).count() === 0)
+    val one = Seq((3.0, 5L)).toDF("v", "c")
+    val oneRow = PrefixSum.withCumulative(one, "v", Nil, Seq("c"),
+      inclusive = false).head()
+    assert(oneRow.getAs[Long]("__cum_c") === 0L)
+    // all-equal ORDER values need a tie-break for a total order
+    val ties = (1 to 50).map(i => (1.0, i.toLong)).toDF("v", "id")
+    val rn = PrefixSum.withRowNumber(ties, "v", Seq("id"), "rn")
+      .orderBy("id").select("rn").as[Long].collect()
+    assert(rn.toSeq === (1L to 50L))
+  }
+
+  test("reserved internal names are rejected, not overwritten") {
+    val bad = Seq((1.0, 1L)).toDF("v", "__bkt")
+    intercept[IllegalArgumentException] {
+      PrefixSum.withCumulative(bad, "v", Nil, Seq("__bkt"),
+        inclusive = false)
+    }
+  }
+
+  /** Partition-less logical Window nodes anywhere in the plan —
+    * including under cached subplans. The rank family must have NONE:
+    * its only corpus-scale windows are PrefixSum's, partitioned by
+    * bucket. */
+  private def barePlanWindows(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w.simpleString(120)
+    }
+  }
+
+  test("auc / mannWhitneyU / spearman-ranks plans have no single-partition window") {
+    val scored = (1 to 300)
+      .map(i => (i % 7 == 0, ((i * 31) % 83).toDouble / 7.0))
+      .toDF("y", "s")
+    assert(barePlanWindows(
+      graft.operators.Ranking.auc(scored, col("s"), col("y"))).isEmpty)
+    assert(barePlanWindows(
+      graft.operators.Stats.mannWhitneyU(scored, col("y"), col("s"))).isEmpty)
+    // spearman/ksTest localCheckpoint their OUTPUT (plan truncated), so
+    // the assertion runs on the shared primitive they delegate to
+    val grainFrame = grain
+    assert(barePlanWindows(PrefixSum.withCumulative(grainFrame, "v", Nil,
+      Seq("c", "ca"), inclusive = true)).isEmpty)
+    assert(barePlanWindows(PrefixSum.withRowNumber(
+      grainFrame.drop("c", "ca").withColumn("id", monotonically_increasing_id()),
+      "v", Seq("id"), "rn")).isEmpty)
+  }
+
+  test("revenueConcentration bands match Spark ntile semantics") {
+    // 23 customers, 10 bands: first 3 bands get 3 rows, the rest 2 —
+    // the replayed integer formula must agree with NTile exactly
+    val orders = (1 to 23).flatMap(c =>
+      Seq((s"c$c", (c * 7 % 19) + 1.0), (s"c$c", (c * 3 % 11) + 0.5)))
+      .toDF("cust", "amt")
+    val got = graft.ops.Analytics.revenueConcentration(
+      orders, "cust", "amt", nBands = 10)
+    val perCust = orders.groupBy("cust")
+      .agg(round(sum("amt"), 2).as("rev"))
+    val w = Window.orderBy(col("rev"), col("cust"))
+    val exp = perCust.withColumn("band", ntile(10).over(w))
+      .groupBy("band").agg(count(lit(1)).as("exp_n"))
+    val both = got.select("band", "n_customers").join(exp, Seq("band"), "full")
+    assert(both.where(col("n_customers").isNull || col("exp_n").isNull ||
+      col("n_customers") =!= col("exp_n")).count() === 0)
+  }
+}
