@@ -3216,6 +3216,36 @@ class OperatorSpec extends SparkSpec {
     assert(c2.toSeq === Seq(2L, 2L, 2L)) // the triangle, degree 2 each
   }
 
+  test("guards fail loud: kCore maxRounds, bootstrap duplicate ids, overlapJoin reserved names") {
+    import graft.operators.{Graph, Stats}
+    import graft.ops.IntervalJoin
+    // the K4 + pendant-chain fixture needs 2 peel rounds + 1
+    // confirming round — a cap of 1 must throw, not return a
+    // half-peeled core
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("s", "d")
+    intercept[IllegalStateException] {
+      Graph.kCore(e, "s", "d", k = 3, maxRounds = 1).count()
+    }
+    // duplicate ids correlate the Poisson resample — the in-plan
+    // raise_error must fire on materialization, naming the contract
+    val dup = ((1 to 50).map(i => (i.toLong, 100L)) :+ ((7L, 100L)))
+      .toDF("id", "v")
+    val ex = intercept[Exception] {
+      Stats.bootstrapCiMean(dup, col("id"), col("v"), reps = 5).head()
+    }
+    assert(ex.getMessage.contains("row-unique"))
+    // an input column named like an internal working column would be
+    // silently overwritten — rejected up front instead
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val l = Seq((1L, ts(0), ts(10), 0L)).toDF("a_id", "a_s", "a_e", "__ls")
+    val r = Seq((2L, ts(5), ts(15))).toDF("b_id", "b_s", "b_e")
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(l, col("a_s"), col("a_e"),
+        r, col("b_s"), col("b_e"), widthUs = 1000L)
+    }
+  }
+
   test("diffInDiff: hand-computed contrast, empty cell nulls the estimate") {
     import graft.operators.Stats
     val df = Seq(
