@@ -791,12 +791,21 @@ object Stats {
       // idCol must be row-UNIQUE: the Poisson draw is keyed on
       // (__id, replicate), so duplicate ids would receive identical
       // weights in every replicate — a silently correlated resample
-      // that biases the CI narrow. Checked in-plan on the same 1-row
-      // aggregate (raise_error in the projection, the [[Ranking]]
-      // idiom), so the guard costs no extra pass over the corpus.
+      // that biases the CI narrow. The distinct count lives in its
+      // OWN 1-row frame over the persisted rows (a cached scan of the
+      // skinny pair frame, already hash-partitioned by __id so the
+      // distinct needs no exchange) rather than inside `totals`:
+      // entangling a distinct aggregate into the shared totals
+      // aggregate de-codegens it and measured +23% on the whole
+      // operator at sf0.1 (5.95s vs 4.82s min-of-7).
+      // eager materialization (the Dedup count discipline): totals,
+      // the draw pass, and the distinct guard are three subplans of
+      // ONE downstream job, and a cache first touched concurrently
+      // populates under a race — each leg re-pays the scan+shuffle
+      rows.count()
       val totals = rows.agg(count(lit(1)).as("n"),
-        count_distinct(col("__id")).as("__nd"),
         sum(col("__v").cast("decimal(38,0)")).as("__sv"))
+      val ndist = rows.agg(count_distinct(col("__id")).as("__nd"))
       val drawn = rows
         .select(col("__id"), col("__v"),
           explode(sequence(lit(0), lit(reps - 1))).as("__b"))
@@ -815,7 +824,7 @@ object Stats {
         count(lit(1)).as("reps"),
         round(percentile(col("__m"), lit(0.025)), 6).as("lo95"),
         round(percentile(col("__m"), lit(0.975)), 6).as("hi95"))
-      val out = totals.crossJoin(broadcast(ci))
+      val out = totals.crossJoin(broadcast(ci)).crossJoin(broadcast(ndist))
         .select(
           when(col("n") === col("__nd"), col("n"))
             .otherwise(raise_error(concat(
