@@ -41,6 +41,12 @@ import org.apache.spark.sql.functions._
   * grain row upstream (callers aggregate to the distinct-value grain
   * first), so buckets stay balanced in grain rows even under heavy
   * value skew.
+  *
+  * The shape is the classic two-level scan (per-block partials + a
+  * block-offset pass; Blelloch, "Prefix Sums and Their Applications",
+  * 1990) lifted onto range partitioning à la sample-sort/TeraSort:
+  * sampled splitters bound each block, and only the ≤B-row totals
+  * frame crosses blocks.
   */
 object PrefixSum {
 
