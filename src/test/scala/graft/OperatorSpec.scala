@@ -2342,6 +2342,41 @@ class OperatorSpec extends SparkSpec {
       threshold = 0.5, dfCap = 100).count() === 0L)
   }
 
+  test("containmentPairs prefix filter loses NOTHING vs brute force") {
+    import graft.operators.Dedup
+    // 80 docs with planted prefixes/suffixes/mid-quotes at varied
+    // lengths (3..40 tokens) so prefix-length arithmetic is exercised
+    // across sizes, including tiny sets where ⌈(t−ε)·sz⌉ boundaries
+    // bite; vocabulary overlaps so candidates aren't all trivial
+    val base = (1 to 40).map { i =>
+      val n = 3 + (i * 7) % 38
+      (i.toLong, (0 until n).map(k => s"w${(i * 3 + k) % 60}").mkString(" "))
+    }
+    val planted = (1 to 40).flatMap { i =>
+      if (i % 3 != 0) Nil else {
+        val words = base(i - 1)._2.split(" ")
+        val take = math.max(3, words.length / 2 + (i % 4))
+        Seq((100L + i, words.take(take).mkString(" ")))
+      }
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, dfCap = 1000)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    // brute force: every pair, exact shingle sets, same 4dp verify
+    def shingles(t: String): Set[Seq[String]] =
+      t.split(" ").toSeq.sliding(3).filter(_.length == 3).toSet.toSet
+    val sets = (base ++ planted).map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = (a intersect b).size.toDouble
+      if round4(inter / a.size) >= 0.8 || round4(inter / b.size) >= 0.8
+    } yield (i, j)).toSet
+    assert(want.nonEmpty, "fixture must plant real containments")
+    assert(got === want)
+  }
+
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
