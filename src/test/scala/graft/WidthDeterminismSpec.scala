@@ -51,7 +51,8 @@ class WidthDeterminismSpec extends SparkSpec {
   private val others = Seq(
     "q113_embedding_drift",        // per-dimension double means
     "q189_interval_overlap_join",  // bucket-blocked join, no dedup shuffle
-    "q91_stream_quality_windows")  // streaming windowed avg_quality
+    "q91_stream_quality_windows",  // streaming windowed avg_quality
+    "q148_containment_pairs")      // prefix-length ceil over doubles
 
   private val riskSet = doubleReducers ++ lmScores ++ rankFamily ++ others
 
