@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output must reach stdout RAW: sbt's default LoggedOutput
+// strategy prefixes every line with "[info] ", so a line-oriented JSON
+// consumer (the driver's bounded tail capture of graft.Bench) never
+// sees a line that starts with '{'.
+outputStrategy := Some(StdoutOutput)
+// ...and without this the "[success] Total time ..." epilogue is the
+// final stdout line, shadowing the machine-readable bench summary that
+// must print last.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — the
+// lintUnused heuristic can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

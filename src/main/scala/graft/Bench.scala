@@ -111,6 +111,10 @@ object Bench {
     // `queries` + `value` carry the gradeable headline (min-of-reps);
     // `detail` carries {min, median, spread, reps} per query so a
     // loaded-machine run is diagnosable line by line.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","headline":"min_of_reps","n":${good.length},"spread":$spread,"errors":$errJson,"sf":"$sfDir"}"""
+    // summary FIRST and LAST (below): a bounded capture of either end
+    // of stdout contains one whole machine-readable line
+    println(compact)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","headline":"min_of_reps","reps":$reps,"spread":$spread,"queries":$qs,"detail":$detail,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // also land the line in a file: the stdout copy gets wrapped in sbt
@@ -123,9 +127,10 @@ object Bench {
     // tail-proof summary: the full line above is ~25 KB (189 queries ×
     // {min,median,spread}) and a bounded stdout tail capture can clip
     // its head, leaving nothing parseable (r7's driver artifact read
-    // "parsed": null). This compact line prints LAST, is always whole
-    // in any tail window, and points at the on-disk copy that carries
-    // the per-query detail.
+    // "parsed": null). This compact line prints LAST — with
+    // build.sbt's StdoutOutput + showSuccess := false it is the final
+    // raw stdout line, so a last-line JSON parse succeeds — and points
+    // at the on-disk copy carrying the per-query detail.
     println(s"""{"metric":"total","value":$total,"unit":"sec","headline":"min_of_reps","n":${good.length},"spread":$spread,"errors":$errJson,"sf":"$sfDir","out":"$outFile"}""")
     spark.stop()
   }

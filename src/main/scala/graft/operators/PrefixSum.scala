@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *  1. B−1 approximate quantile cuts of the order column (one
   *     bounded-memory `approx_percentile` aggregate, B ≈ the session
   *     shuffle width — each bucket lands near one shuffle partition's
-  *     worth of rows);
+  *     worth of rows; the ≤B−1 splitters are collected to the driver
+  *     and inlined as literals — the sample-sort pattern: splitters
+  *     cross to the coordinator, rows never do);
   *  2. each row buckets by `Σ 1[v > cutᵢ]` — monotone in v and
   *     constant across ties, so bucket ranges never interleave;
   *  3. per-bucket prefix sums via a PARTITIONED window (the only
@@ -61,48 +63,75 @@ object PrefixSum {
   def withCumulative(grain: DataFrame, orderCol: String,
       tieBreak: Seq[String], sumCols: Seq[String], inclusive: Boolean,
       outPrefix: String = "__cum_"): DataFrame = {
-    val reserved = Set("__cuts", "__bkt") ++
+    val reserved = Set("__bkt") ++
       sumCols.flatMap(c => Seq(s"__loc_$c", s"__t_$c", s"__lt_$c", s"__off_$c"))
     val shadowed = grain.columns.toSet.intersect(reserved)
     require(shadowed.isEmpty,
       s"input columns shadow reserved internal names: ${shadowed.mkString(", ")}")
+    // the OUTPUT names must be fresh too, or the result frame carries
+    // duplicate column names that only fail downstream
+    val outClash = grain.columns.toSet
+      .intersect(sumCols.map(c => s"$outPrefix$c").toSet)
+    require(outClash.isEmpty,
+      s"input columns collide with output names: ${outClash.mkString(", ")}")
     val spark = grain.sparkSession
     val nBuckets = math.max(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, 16)
-    val cuts = grain.agg(percentile_approx(col(orderCol),
-      typedLit((1 until nBuckets).map(_ / nBuckets.toDouble)),
-      lit(10000)).as("__cuts"))
-    val bkt = coalesce(
-      aggregate(col("__cuts"), lit(0),
-        (acc, c) => acc + when(col(orderCol) > c, 1).otherwise(0)),
-      lit(0))
-    val wLoc = Window.partitionBy(col("__bkt"))
-      .orderBy(col(orderCol) +: tieBreak.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding,
-        if (inclusive) Window.currentRow else -1)
-    val local = grain.crossJoin(broadcast(cuts))
-      .withColumn("__bkt", bkt)
-      .drop("__cuts")
-      .select(col("*") +: sumCols.map(c =>
-        coalesce(sum(col(c)).over(wLoc), lit(0L)).as(s"__loc_$c")): _*)
-    val totals = local.groupBy(col("__bkt"))
-      .agg(sum(sumCols.head).as(s"__t_${sumCols.head}"),
-        sumCols.tail.map(c => sum(c).as(s"__t_$c")): _*)
-    // strictly-lower-bucket offsets WITHOUT a window: ≤ B×B triangle
-    // join over the ≤ B-row totals frame, aggregated per bucket
-    val lower = totals.select(col("__bkt").as("__lb") +:
-      sumCols.map(c => col(s"__t_$c").as(s"__lt_$c")): _*)
-    val offsets = totals.select("__bkt")
-      .join(broadcast(lower), col("__lb") < col("__bkt"), "left")
-      .groupBy(col("__bkt"))
-      .agg(coalesce(sum(s"__lt_${sumCols.head}"), lit(0L))
-          .as(s"__off_${sumCols.head}"),
-        sumCols.tail.map(c =>
-          coalesce(sum(s"__lt_$c"), lit(0L)).as(s"__off_$c")): _*)
-    val joined = local.join(broadcast(offsets), Seq("__bkt"))
-    val outCols = grain.columns.map(col) ++ sumCols.map(c =>
-      (col(s"__off_$c") + col(s"__loc_$c")).as(s"$outPrefix$c"))
-    joined.select(outCols: _*)
+    // The grain feeds two passes (the splitter sketch and the window
+    // pass), so cache it for the duration of this call unless the
+    // caller already did; the splitter collect below doubles as the
+    // eager materialization, so nothing downstream races to fill it.
+    val wasCached =
+      grain.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val g = if (wasCached) grain else grain.persist()
+    try {
+      // bounded driver collect — ≤ nBuckets−1 splitter values, the
+      // sample-sort pattern: splitters come to the coordinator, rows
+      // never do. Inlining them as literals keeps the main pass a
+      // single-subplan scan (no broadcast-cuts branch re-reading the
+      // grain).
+      val cutsRow = g.agg(percentile_approx(col(orderCol),
+        typedLit((1 until nBuckets).map(_ / nBuckets.toDouble)),
+        lit(10000)).as("__cuts")).head()
+      val cuts: Seq[Any] =
+        if (cutsRow.isNullAt(0)) Nil
+        else cutsRow.getSeq[Any](0).filter(_ != null)
+      val bkt = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col(orderCol) > lit(c), 1).otherwise(0)
+      }
+      val wLoc = Window.partitionBy(col("__bkt"))
+        .orderBy(col(orderCol) +: tieBreak.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding,
+          if (inclusive) Window.currentRow else -1)
+      // ONE window pass over the grain, checkpointed because both the
+      // bucket-totals branch and the final join consume it — without
+      // this the partitioned window ran once per consuming subplan
+      val local = g
+        .withColumn("__bkt", bkt)
+        .select(col("*") +: sumCols.map(c =>
+          coalesce(sum(col(c)).over(wLoc), lit(0L)).as(s"__loc_$c")): _*)
+        .localCheckpoint()
+      val totals = local.groupBy(col("__bkt"))
+        .agg(sum(sumCols.head).as(s"__t_${sumCols.head}"),
+          sumCols.tail.map(c => sum(c).as(s"__t_$c")): _*)
+      // strictly-lower-bucket offsets WITHOUT a window: ≤ B×B triangle
+      // join over the ≤ B-row totals frame, aggregated per bucket
+      val lower = totals.select(col("__bkt").as("__lb") +:
+        sumCols.map(c => col(s"__t_$c").as(s"__lt_$c")): _*)
+      val offsets = totals.select("__bkt")
+        .join(broadcast(lower), col("__lb") < col("__bkt"), "left")
+        .groupBy(col("__bkt"))
+        .agg(coalesce(sum(s"__lt_${sumCols.head}"), lit(0L))
+            .as(s"__off_${sumCols.head}"),
+          sumCols.tail.map(c =>
+            coalesce(sum(s"__lt_$c"), lit(0L)).as(s"__off_$c")): _*)
+      val joined = local.join(broadcast(offsets), Seq("__bkt"))
+      val outCols = grain.columns.map(col) ++ sumCols.map(c =>
+        (col(s"__off_$c") + col(s"__loc_$c")).as(s"$outPrefix$c"))
+      joined.select(outCols: _*)
+    } finally {
+      if (!wasCached) g.unpersist(blocking = false)
+    }
   }
 
   /** 1-based row numbers over the total order `(orderCol,
@@ -112,6 +141,8 @@ object PrefixSum {
       out: String): DataFrame = {
     require(!df.columns.contains("__one"),
       "input must not contain the reserved column __one")
+    require(!df.columns.contains(out),
+      s"input already contains the output column name '$out'")
     withCumulative(df.withColumn("__one", lit(1L)), orderCol, tieBreak,
       Seq("__one"), inclusive = true)
       .withColumnRenamed("__cum___one", out)

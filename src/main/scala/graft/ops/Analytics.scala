@@ -1236,6 +1236,36 @@ object Analytics {
     graft.operators.Checkpoints.materialize(out, perCust, numbered, ranked)
   }
 
+  /** Default ceiling for the survival family's distinct-duration
+    * grain ([[kaplanMeier]]/[[kaplanMeierBy]]/[[logRank]]): 100k ≈
+    * 273 years of day-grain durations — generous for every calendar
+    * granularity, and orders of magnitude below the corpus-sized
+    * grains (second-granularity durations) that would silently
+    * collapse the family's sequential fold to one task. */
+  val SurvivalMaxGrain: Long = 100000L
+
+  /** Loud bounded-grain contract check for the survival family — the
+    * [[graft.operators.Graph.kCore]] `maxRounds` idiom: the
+    * operators' sequential survival fold and bare duration-ordered
+    * window are single-task over the grain BY DESIGN, so a grain
+    * past the ceiling must fail here, not degrade silently. Releases
+    * the caller's persisted grain before throwing so the error path
+    * pins no executor storage. */
+  private def requireBoundedGrain(observed: Long, maxGrain: Long, op: String,
+      release: DataFrame*): Unit = {
+    if (observed > maxGrain) {
+      release.foreach(_.unpersist(blocking = false))
+      throw new IllegalArgumentException(
+        s"$op: distinct-duration grain ($observed values) exceeds " +
+          s"maxGrain=$maxGrain — this family folds survival terms " +
+          "sequentially over the time-sorted grain, which is " +
+          "calendar-bounded for day granularities but corpus-sized for " +
+          "second-granularity durations. Re-bucket durations to a bounded " +
+          "granularity (e.g. days) or raise maxGrain explicitly if the " +
+          "single-task fold is acceptable.")
+    }
+  }
+
   /** Kaplan-Meier survival estimator (Kaplan & Meier, JASA 1958) over
     * right-censored durations — the time-to-event curve behind "how
     * long until customers reorder / users return / subscriptions
@@ -1261,10 +1291,20 @@ object Analytics {
     * Scale shape: one corpus-scale aggregate to the duration-grain
     * (distinct duration values — calendar-bounded for day
     * granularities), one window for the at-risk cumulative, one
-    * single-group array fold over that bounded grain. Returns
-    * (t, n_risk, n_events, n_censored, survival rounded 6dp) at
-    * event times, ascending. */
-  def kaplanMeier(df: DataFrame, durationCol: Column, eventCol: Column): DataFrame = {
+    * single-group array fold over that bounded grain. That bound is
+    * the operator's CONTRACT, enforced loud: the sequential survival
+    * fold and the bare `__t`-ordered window both collapse to one
+    * task if the grain is corpus-sized (second-granularity
+    * durations), so `maxGrain` (default [[SurvivalMaxGrain]], ~270
+    * years of days) throws rather than letting that happen silently.
+    * The guard count doubles as the eager materialization of the
+    * persisted grain (the Appendix-D sizing-count idiom), so the
+    * downstream subplans read the cache instead of racing to fill
+    * it. Returns (t, n_risk, n_events, n_censored, survival rounded
+    * 6dp) at event times, ascending. */
+  def kaplanMeier(df: DataFrame, durationCol: Column, eventCol: Column,
+      maxGrain: Long = SurvivalMaxGrain): DataFrame = {
+    require(maxGrain >= 1, s"maxGrain must be >= 1, got $maxGrain")
     import org.apache.spark.sql.expressions.Window
     val grain = df
       .select(durationCol.cast("long").as("__t"),
@@ -1274,6 +1314,7 @@ object Analytics {
       .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
         count(lit(1)).as("__l"))
       .persist()
+    requireBoundedGrain(grain.count(), maxGrain, "kaplanMeier", grain)
     val total = grain.agg(sum("__l").as("__N"))
     val wPrev = Window.orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1313,10 +1354,15 @@ object Analytics {
     * sequentially PER GROUP over its own duration-sorted array (the
     * group is the parallel unit — no global single-partition window
     * exists here, unlike the ungrouped operator's corpus-wide
-    * grain). Returns (group, t, n_risk, n_events, n_censored,
-    * survival 6dp). */
+    * grain). The bounded-grain contract is therefore PER GROUP:
+    * `maxGrain` bounds the largest single group's distinct-duration
+    * count (that group's array and fold), enforced loud like
+    * [[kaplanMeier]]'s; the guard aggregate doubles as the eager
+    * cache materialization. Returns (group, t, n_risk, n_events,
+    * n_censored, survival 6dp). */
   def kaplanMeierBy(df: DataFrame, groupCol: Column, durationCol: Column,
-      eventCol: Column): DataFrame = {
+      eventCol: Column, maxGrain: Long = SurvivalMaxGrain): DataFrame = {
+    require(maxGrain >= 1, s"maxGrain must be >= 1, got $maxGrain")
     import org.apache.spark.sql.expressions.Window
     val grain = df
       .select(groupCol.as("grp"), durationCol.cast("long").as("__t"),
@@ -1327,6 +1373,9 @@ object Analytics {
       .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
         count(lit(1)).as("__l"))
       .persist()
+    val maxGroupGrain = grain.groupBy("grp").agg(count(lit(1)).as("__g"))
+      .agg(coalesce(max("__g"), lit(0L))).head().getLong(0)
+    requireBoundedGrain(maxGroupGrain, maxGrain, "kaplanMeierBy", grain)
     val totals = grain.groupBy("grp").agg(sum("__l").as("__N"))
     val wPrev = Window.partitionBy(col("grp")).orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1376,11 +1425,13 @@ object Analytics {
     * in identical order), each term one pinned expression; outputs
     * round 6dp/4dp. Times with d = 0 or n ≤ 1 contribute nothing (V
     * would divide by zero; a censoring-only time carries no
-    * information). Same scale shape as [[kaplanMeier]]: the grain is
-    * the distinct event time. Returns one row
-    * (n_a, n_b, o_a, e_a, var_a, chi2, z). */
+    * information). Same scale shape — and same enforced
+    * bounded-grain contract (`maxGrain`, see [[kaplanMeier]]) — as
+    * the estimator: the grain is the distinct event time. Returns
+    * one row (n_a, n_b, o_a, e_a, var_a, chi2, z). */
   def logRank(df: DataFrame, inA: Column, durationCol: Column,
-      eventCol: Column): DataFrame = {
+      eventCol: Column, maxGrain: Long = SurvivalMaxGrain): DataFrame = {
+    require(maxGrain >= 1, s"maxGrain must be >= 1, got $maxGrain")
     import org.apache.spark.sql.expressions.Window
     val rows = df
       .select(inA.cast("boolean").as("__a"),
@@ -1395,6 +1446,7 @@ object Analytics {
         count(lit(1)).as("__l"))
       .persist()
     try {
+      requireBoundedGrain(grain.count(), maxGrain, "logRank")
       val totals = grain.agg(
         coalesce(sum("__l1"), lit(0L)).as("n_a"),
         coalesce(sum(col("__l") - col("__l1")), lit(0L)).as("n_b"))

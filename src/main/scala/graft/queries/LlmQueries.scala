@@ -38,7 +38,12 @@ object LlmQueries {
     d
   }
 
-  /** Best-effort recursive delete of a [[stagingDir]]; idempotent. */
+  /** Best-effort recursive delete of a [[stagingDir]]; idempotent.
+    * The walk stream is closed via `Using` (the API requires
+    * try-with-resources), and `UncheckedIOException` — what
+    * `Files.walk` actually throws mid-traversal — is swallowed
+    * alongside `IOException` so one bad dir can't abort the shutdown
+    * hook's cleanup of the remaining registered dirs. */
   private def dropStaging(dir: String): Unit = {
     stagingDirs.remove(dir)
     try {
@@ -46,9 +51,13 @@ object LlmQueries {
       import scala.jdk.CollectionConverters._
       val root = Paths.get(dir)
       if (Files.exists(root))
-        Files.walk(root).iterator().asScala.toSeq.reverseIterator
-          .foreach(p => Files.deleteIfExists(p))
-    } catch { case _: java.io.IOException => () }
+        scala.util.Using.resource(Files.walk(root)) { walk =>
+          walk.iterator().asScala.toSeq.reverseIterator
+            .foreach(p => Files.deleteIfExists(p))
+        }
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+    }
   }
 
   /** q25 — exact dedup (hash-groupBy, min-id survivor): duplicates are

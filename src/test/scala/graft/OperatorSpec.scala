@@ -2394,6 +2394,44 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 5L, 2L, 0L, 0.6), (5L, 2L, 1L, 0L, 0.3)))
   }
 
+  test("survival family: bounded-grain contract fails loud past maxGrain") {
+    import graft.ops.Analytics
+    // 20 distinct second-granularity-ish durations: over a maxGrain
+    // of 10 the sequential fold's contract is violated and every
+    // operator in the family must throw BEFORE collapsing to one task
+    val wide = (1 to 20).map(i => (i.toLong, i % 2 == 0, i % 3 == 0))
+      .toDF("t", "e", "a")
+    val e1 = intercept[IllegalArgumentException] {
+      Analytics.kaplanMeier(wide, col("t"), col("e"), maxGrain = 10L)
+    }
+    assert(e1.getMessage.contains("maxGrain=10"))
+    val e2 = intercept[IllegalArgumentException] {
+      Analytics.logRank(wide, col("a"), col("t"), col("e"), maxGrain = 10L)
+    }
+    assert(e2.getMessage.contains("maxGrain=10"))
+    // grouped variant: the contract is PER GROUP — group "big" has 20
+    // distinct durations, "small" has 2; maxGrain=10 throws on big...
+    val grouped = wide.withColumn("g", lit("big"))
+      .unionByName(Seq((100L, true), (101L, true))
+        .toDF("t", "e").withColumn("a", lit(false))
+        .withColumn("g", lit("small")).select("t", "e", "a", "g"))
+    val e3 = intercept[IllegalArgumentException] {
+      Analytics.kaplanMeierBy(grouped, col("g"), col("t"), col("e"),
+        maxGrain = 10L)
+    }
+    assert(e3.getMessage.contains("kaplanMeierBy"))
+    // ...while a maxGrain at the largest group's grain passes (the
+    // bound is the max single group, not the summed grain of 22)
+    assert(Analytics.kaplanMeierBy(grouped, col("g"), col("t"), col("e"),
+      maxGrain = 20L).count() > 0)
+    // bounded grains under the default ceiling are untouched
+    assert(Analytics.kaplanMeier(wide, col("t"), col("e")).count() > 0)
+    // a nonsensical ceiling is rejected up front
+    intercept[IllegalArgumentException] {
+      Analytics.kaplanMeier(wide, col("t"), col("e"), maxGrain = 0L)
+    }
+  }
+
   test("mannWhitneyU: hand-computed with and without ties, exact rank arithmetic") {
     import graft.operators.Stats
     def r4(x: Double) =

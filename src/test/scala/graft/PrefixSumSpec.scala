@@ -78,6 +78,19 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("output-name collisions are rejected up front, not as duplicate columns") {
+    // an input already carrying __cum_c would otherwise come back with
+    // TWO __cum_c columns and fail only at first downstream resolution
+    val clash = Seq((1.0, 1L, 9L)).toDF("v", "c", "__cum_c")
+    intercept[IllegalArgumentException] {
+      PrefixSum.withCumulative(clash, "v", Nil, Seq("c"), inclusive = false)
+    }
+    val rnClash = Seq((1.0, 1L)).toDF("v", "rn")
+    intercept[IllegalArgumentException] {
+      PrefixSum.withRowNumber(rnClash, "v", Seq("rn"), "rn")
+    }
+  }
+
   /** Partition-less logical Window nodes anywhere in the plan —
     * including under cached subplans. The rank family must have NONE:
     * its only corpus-scale windows are PrefixSum's, partitioned by
