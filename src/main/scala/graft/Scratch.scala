@@ -43,6 +43,22 @@ object Scratch {
       println(s"[scratch] flagged: ${flagged.mkString(", ")}")
       spark.stop(); return
     }
+    if (name == "riskscan") {
+      // riskscan [sfDir]: build every declared query's plan and print
+      // the width-risk reasons the detector sees — the dev-loop twin
+      // of WidthDeterminismSpec's self-enrollment gate
+      val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+      var n = 0
+      SparkEntry.queries.keys.toSeq.sorted.foreach { qname =>
+        val reasons = try widthRiskReasons(SparkEntry.queries(qname)(spark, dir))
+        catch { case e: Throwable =>
+          println(s"[scratch] $qname: ERROR ${e.getMessage.take(120)}"); Nil }
+        if (reasons.nonEmpty) { n += 1
+          println(s"[scratch] $qname: ${reasons.mkString("; ")}") }
+      }
+      println(s"[scratch] riskscan: $n flagged of ${SparkEntry.queries.size}")
+      spark.stop(); return
+    }
     if (name == "appendstages") { appendStages(spark, sfDir); spark.stop(); return }
     if (name == "containstages") { containStages(spark, sfDir); spark.stop(); return }
     if (name == "q61stages") { pipelineStages(spark, sfDir); spark.stop(); return }
@@ -89,6 +105,50 @@ object Scratch {
     * collected, canonically-sorted rows. Returns true when the outputs
     * DIFFER — i.e. the query's result depends on partial-aggregation
     * order, the q95 failure class. */
+  /** Plan-walk width-risk detector: reasons this frame's OPTIMIZED
+    * plan suggests the output could depend on partition width —
+    * Spark's partial-aggregation order varies with scan/shuffle
+    * width, so floating-point reductions and width-sensitive sketches
+    * are the enrollment signal for [[WidthDeterminismSpec]]'s gate.
+    *
+    * Flags: (a) `avg`/`sum` over Double/Float anywhere in the plan
+    * (the q95 class — float addition is non-associative, so ANY
+    * reassociation can flip the last digit whether or not a `round`
+    * sits above it); (b) `percentile_approx` (the sketch's merge
+    * order is width-dependent by design).
+    *
+    * Blind spots, by construction (the hand-curated risk list in
+    * WidthDeterminismSpec stays as the FLOOR for these): plans
+    * truncated by localCheckpoint (PrefixSum materializes its window
+    * pass, so the rank family's sketch is invisible downstream) and
+    * streaming queries (the risk lives in the stream's plan, not the
+    * returned memory-sink scan). */
+  def widthRiskReasons(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, ApproximatePercentile, Average, Sum}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    def flatten(e: Expression): Seq[Expression] =
+      e +: e.children.flatMap(flatten)
+    val exprs = df.queryExecution.optimizedPlan
+      .collect { case p => p.expressions.flatMap(flatten) }.flatten
+    def isFp(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == DoubleType || dt == FloatType
+    val aggFns = exprs.collect {
+      case ae: AggregateExpression => ae.aggregateFunction }
+    val fpAvg = aggFns.exists {
+      case a: Average => isFp(a.child.dataType); case _ => false }
+    val fpSum = aggFns.exists {
+      case s: Sum => isFp(s.child.dataType); case _ => false }
+    val sketch = aggFns.exists {
+      case _: ApproximatePercentile => true; case _ => false }
+    Seq(
+      if (fpAvg) Some("avg over Double/Float (q95 class)") else None,
+      if (fpSum) Some("sum over Double/Float") else None,
+      if (sketch) Some("percentile_approx (width-sensitive sketch)") else None,
+    ).flatten
+  }
+
   def widthDiff(spark: SparkSession, qname: String, sfDir: String,
       verbose: Boolean): Boolean = {
     val fn = SparkEntry.queries(qname)

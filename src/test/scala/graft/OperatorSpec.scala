@@ -2380,6 +2380,65 @@ class OperatorSpec extends SparkSpec {
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("containmentPairs property: random corpora x thresholds x shingle sizes match brute force") {
+    import graft.operators.Dedup
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random corpora over a small shared vocab (so candidates aren't
+    // all trivial), with planted slices (prefix/mid/suffix quotes),
+    // byte-identical duplicates, and docs shorter than the shingle
+    // size (empty sets — excluded from the score, like the operator)
+    val caseGen = for {
+      k <- Gen.oneOf(2, 3, 4)
+      t <- Gen.oneOf(0.5, 0.7, 0.8, 0.9, 1.0)
+      nDocs <- Gen.choose(6, 16)
+      texts <- Gen.listOfN(nDocs, Gen.choose(0, 18).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf((0 until 14).map(i => s"w$i")))
+          .map(_.mkString(" "))))
+      nSlices <- Gen.choose(1, 4)
+      slices <- Gen.listOfN(nSlices, for {
+        src <- Gen.choose(0, nDocs - 1)
+        from <- Gen.choose(0, 6)
+        len <- Gen.choose(1, 12)
+      } yield (src, from, len))
+      dupOf <- Gen.choose(0, nDocs - 1)
+    } yield {
+      val sliced = slices.zipWithIndex.map { case ((src, from, len), i) =>
+        (1000L + i,
+          texts(src).split(" ").filter(_.nonEmpty).slice(from, from + len)
+            .mkString(" "))
+      }
+      val base = texts.zipWithIndex.map { case (t0, i) => (i.toLong, t0) }
+      (k, t, base ++ sliced :+ (2000L -> texts(dupOf)))
+    }
+    val cases = (1 to 8).flatMap(i =>
+      caseGen(Gen.Parameters.default, Seed(i.toLong)))
+    var plantedTotal = 0
+    cases.foreach { case (k, t, corpus) =>
+      val docs = corpus.toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(docs, "doc_id", "text",
+          shingleSize = k, threshold = t, dfCap = 1000)
+        .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+      // brute force: every pair, exact token-shingle sets, the same
+      // 4dp verify the operator applies
+      def shingles(s: String): Set[Seq[String]] =
+        s.split(" ").filter(_.nonEmpty).toSeq.sliding(k)
+          .filter(_.length == k).toSet
+      val sets = corpus.map { case (id, s) => id -> shingles(s) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (i, a) <- sets; (j, b) <- sets if i < j
+        inter = (a intersect b).size.toDouble
+        if round4(inter / a.size) >= t || round4(inter / b.size) >= t
+      } yield (i, j)).toSet
+      plantedTotal += want.size
+      assert(got === want,
+        s"shingleSize=$k threshold=$t corpus=${corpus.take(4)}... " +
+          s"missing=${(want -- got).take(5)} spurious=${(got -- want).take(5)}")
+    }
+    assert(plantedTotal > 0, "generator must produce real containments")
+  }
+
   test("kaplanMeier: hand-computed curve, censoring shrinks risk sets without stepping S") {
     import graft.ops.Analytics
     // events at t=2 (x2) and t=5; censored at t=3 and t=7:

@@ -16,7 +16,13 @@ package graft
   * (money/ratio/LM-score averages), the rank-statistic family now on
   * [[graft.operators.PrefixSum]] (whose approx-quantile cuts ARE
   * width-sensitive — exactness must not depend on them), the
-  * bootstrap/outlier statistics, and the streaming-windowed average.
+  * bootstrap/outlier statistics, the streaming-windowed average, and
+  * every query [[Scratch.widthRiskReasons]]'s plan walk flags. The
+  * set is SELF-ENROLLING: a final gate scans every other declared
+  * query's optimized plan and width-tests anything the detector
+  * flags, so a new risky reducer is gated the build it lands without
+  * a spec edit (the hand lists remain the floor for the detector's
+  * blind spots — checkpoint-truncated and streaming plans).
   * `SPARK_GRAFT_WIDTH_ALL=1` widens the gate to every declared query
   * (the ~6-minute full sweep; dev/CI-nightly, not the default build).
   */
@@ -54,7 +60,23 @@ class WidthDeterminismSpec extends SparkSpec {
     "q91_stream_quality_windows",  // streaming windowed avg_quality
     "q148_containment_pairs")      // prefix-length ceil over doubles
 
-  private val riskSet = doubleReducers ++ lmScores ++ rankFamily ++ others
+  /** Every query [[Scratch.widthRiskReasons]] flags beyond the groups
+    * above (avg/sum over Double/Float somewhere in the optimized
+    * plan) — enrolled as pinned per-query tests so a failure
+    * localizes; the self-enrollment gate below keeps this list
+    * honest mechanically. */
+  private val detectedFloats = Seq(
+    "q04_star_revenue", "q10_top_customers", "q15_event_rollup",
+    "q21_merge_type1", "q22_scd2_apply", "q24_point_in_time",
+    "q36_sales_by_category_year", "q38_returns_by_category",
+    "q43_event_windows", "q44_rollup_totals", "q46_order_timeline",
+    "q47_session_windows", "q51_hash_sample", "q57_cube_grouping",
+    "q62_pq_topk", "q63_ivfpq_topk", "q64_zscore_outliers",
+    "q69_ann_recall", "q90_zipf_fit", "q94_dsir_weights",
+    "q115_rbo_eval", "q131_winsorized_stats", "q187_sql_surface")
+
+  private val riskSet =
+    doubleReducers ++ lmScores ++ rankFamily ++ others ++ detectedFloats
 
   riskSet.foreach { name =>
     test(s"$name is identical at narrow (3/1) and wide (32/32) widths") {
@@ -63,6 +85,36 @@ class WidthDeterminismSpec extends SparkSpec {
       assert(!Scratch.widthDiff(spark, name, sfDir, verbose = true),
         s"$name output depends on partition width — see diff above")
     }
+  }
+
+  /** Self-enrollment gate: the risk set above must never silently go
+    * stale. Every declared query outside it gets its OPTIMIZED plan
+    * walked by [[Scratch.widthRiskReasons]] (cheap sf0.001 build —
+    * plan shape is scale-independent); anything detected is
+    * width-tested RIGHT HERE, so a new `round(avg(double))`-shaped
+    * query is gated the build it lands, whether or not anyone
+    * remembers to enroll it. The pinned lists stay as the FLOOR for
+    * the detector's documented blind spots (localCheckpoint-truncated
+    * rank-family plans, streaming state). */
+  test("self-enrollment: plan-detected width risks outside the risk set are width-tested") {
+    val detectDir = "/root/testdata/sf0.001"
+    val flagged = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(riskSet.contains).flatMap { name =>
+        val reasons =
+          try Scratch.widthRiskReasons(SparkEntry.queries(name)(spark, detectDir))
+          catch { case e: Throwable =>
+            Seq(s"PLAN BUILD FAILED: ${String.valueOf(e.getMessage).take(120)}") }
+        if (reasons.isEmpty) Nil else Seq(name -> reasons)
+      }
+    assert(!flagged.exists(_._2.exists(_.startsWith("PLAN BUILD FAILED"))),
+      s"queries failed to build during the risk scan: $flagged")
+    val unstable = flagged.map(_._1)
+      .filter(name => Scratch.widthDiff(spark, name, sfDir, verbose = true))
+    assert(unstable.isEmpty,
+      s"width-DEPENDENT queries not in the risk set: ${unstable.mkString(", ")}")
+    if (flagged.nonEmpty)
+      info(s"width-stable but detector-flagged — enroll in detectedFloats " +
+        s"for per-test localization: ${flagged.map(_._1).mkString(", ")}")
   }
 
   if (sys.env.get("SPARK_GRAFT_WIDTH_ALL").contains("1")) {
