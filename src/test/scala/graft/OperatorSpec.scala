@@ -2453,6 +2453,45 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 5L, 2L, 0L, 0.6), (5L, 2L, 1L, 0L, 0.3)))
   }
 
+  test("kaplanMeier property: random censored corpora match the reference fold") {
+    import graft.ops.Analytics
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        t <- Gen.choose(0L, 15L) // heavy ties + zero durations
+        e <- Gen.oneOf(true, false)
+      } yield (t, e))
+    } yield rows
+    val cases = (1 to 6).flatMap(i =>
+      caseGen(Gen.Parameters.default, Seed(i.toLong)))
+    cases.foreach { rows =>
+      // reference: ascending sequential product over the time grain —
+      // the operator's own determinism contract, multiplied in the
+      // identical order so doubles agree bit-for-bit before rounding
+      val grain = rows.groupBy(_._1).map { case (t, g) =>
+        (t, g.count(_._2).toLong, g.size.toLong) }.toSeq.sortBy(_._1)
+      val total = rows.size.toLong
+      var s = 1.0
+      var atRisk = total
+      val want = grain.flatMap { case (t, d, l) =>
+        s *= 1.0 - d.toDouble / atRisk
+        val row = if (d > 0) Some((t, atRisk, d, l - d, round6(s))) else None
+        atRisk -= l
+        row
+      }
+      val got = Analytics.kaplanMeier(rows.toDF("t", "e"), col("t"), col("e"))
+        .orderBy("t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+      assert(got === want, s"rows=${rows.take(8)}... n=${rows.size}")
+    }
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("survival family: bounded-grain contract fails loud past maxGrain") {
     import graft.ops.Analytics
     // 20 distinct second-granularity-ish durations: over a maxGrain

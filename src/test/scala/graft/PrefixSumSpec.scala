@@ -78,6 +78,36 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("withCumulative property: random grains match the single-partition window") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random grain sizes (incl. tiny), negative/tied order values, and
+    // both frame modes — the splitter placement and bucket-offset
+    // reassembly must be invisible at every shape
+    val caseGen = for {
+      n <- Gen.choose(1, 120)
+      inclusive <- Gen.oneOf(true, false)
+      rows <- Gen.listOfN(n, for {
+        v <- Gen.choose(-50, 50)
+        c <- Gen.choose(0L, 9L)
+        ca <- Gen.choose(-4L, 4L) // negative sums must reassemble too
+      } yield (v.toDouble, c, ca))
+    } yield (inclusive, rows)
+    val cases = (1 to 6).flatMap(i =>
+      caseGen(Gen.Parameters.default, Seed(i.toLong)))
+    cases.foreach { case (inclusive, rows) =>
+      val g = rows.toDF("v", "c", "ca")
+        .groupBy("v").agg(sum("c").as("c"), sum("ca").as("ca"))
+      val got = PrefixSum.withCumulative(g, "v", Nil, Seq("c", "ca"),
+        inclusive = inclusive)
+      val both = got.join(bareWindow(g, inclusive), Seq("v"))
+      assert(both.where(col("__cum_c") =!= col("exp_c") ||
+        col("__cum_ca") =!= col("exp_ca")).count() === 0,
+        s"inclusive=$inclusive n=${rows.length}")
+      assert(got.count() === g.count())
+    }
+  }
+
   test("output-name collisions are rejected up front, not as duplicate columns") {
     // an input already carrying __cum_c would otherwise come back with
     // TWO __cum_c columns and fail only at first downstream resolution
