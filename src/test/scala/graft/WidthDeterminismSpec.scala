@@ -53,11 +53,16 @@ class WidthDeterminismSpec extends SparkSpec {
     "q155_ks_test", "q167_classifier_auc", "q169_gains_table",
     "q170_bootstrap_ci", "q174_mad_outliers")
 
-  /** Other width-shaped reducers worth pinning. */
+  /** Other width-shaped reducers worth pinning. Streaming queries are
+    * ALL floored here (or caught by the detector over their post-
+    * stream aggregates, like q43/q47): the plan detector cannot see
+    * inside a stream — the returned frame scans a memory sink. */
   private val others = Seq(
     "q113_embedding_drift",        // per-dimension double means
     "q189_interval_overlap_join",  // bucket-blocked join, no dedup shuffle
     "q91_stream_quality_windows",  // streaming windowed avg_quality
+    "q145_stream_ewma",            // streaming per-key EWMA state
+    "q173_stream_heavy_hitters",   // streaming MG sketch + rescore
     "q148_containment_pairs")      // prefix-length ceil over doubles
 
   /** Every query [[Scratch.widthRiskReasons]] flags beyond the groups
