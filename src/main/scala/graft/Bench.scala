@@ -70,6 +70,13 @@ object Bench {
     // so official artifacts always cover everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd subset name would silently bench nothing and corrupt an
+    // A/B comparison — fail loud instead
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not declared: ${unknown.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       var times = (0 until reps).flatMap(_ => runOnce(fn))

@@ -2492,6 +2492,52 @@ class OperatorSpec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("logRank property: random two-group corpora match the reference fold") {
+    import graft.ops.Analytics
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      n <- Gen.choose(4, 60)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.oneOf(true, false)
+        t <- Gen.choose(0L, 12L)
+        e <- Gen.oneOf(true, false)
+      } yield (a, t, e))
+    } yield rows
+    val cases = (1 to 6).flatMap(i =>
+      caseGen(Gen.Parameters.default, Seed(100L + i)))
+    cases.foreach { rows =>
+      // reference: ascending fold over event times with d>0 and n>1,
+      // hypergeometric E/V terms accumulated in time order (the
+      // operator's declared sequential-fold contract)
+      val nA = rows.count(_._1).toLong
+      val nB = rows.size - nA
+      val grain = rows.groupBy(_._2).map { case (t, g) =>
+        (t, g.count(p => p._1 && p._3).toLong, g.count(_._3).toLong,
+          g.count(_._1).toLong, g.size.toLong) }.toSeq.sortBy(_._1)
+      var (riskA, risk) = (nA, rows.size.toLong)
+      var (oA, e, v) = (0L, 0.0, 0.0)
+      grain.foreach { case (_, d1, d, l1, l) =>
+        if (d > 0 && risk > 1) {
+          oA += d1
+          e += riskA.toDouble * d / risk
+          v += d * (riskA.toDouble / risk) * (1.0 - riskA.toDouble / risk) *
+            ((risk - d).toDouble / (risk - 1))
+        }
+        riskA -= l1; risk -= l
+      }
+      val r = Analytics.logRank(rows.toDF("a", "t", "e"),
+        col("a"), col("t"), col("e")).head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((nA, nB, oA)),
+        s"counts mismatch on rows=${rows.take(6)}...")
+      assert(r.getDouble(3) === round6(e), "e_a")
+      assert(r.getDouble(4) === round6(v), "var_a")
+      val chi2 = if (v > 0.0) Some(round4((oA - e) * (oA - e) / v)) else None
+      assert(Option(if (r.isNullAt(5)) null else r.getDouble(5))
+        .map(_.asInstanceOf[Double]) === chi2, "chi2")
+    }
+  }
+
   test("survival family: bounded-grain contract fails loud past maxGrain") {
     import graft.ops.Analytics
     // 20 distinct second-granularity-ish durations: over a maxGrain
