@@ -105,12 +105,17 @@ object PrefixSum {
           if (inclusive) Window.currentRow else -1)
       // ONE window pass over the grain, checkpointed because both the
       // bucket-totals branch and the final join consume it — without
-      // this the partitioned window ran once per consuming subplan
-      val local = g
+      // this the partitioned window ran once per consuming subplan.
+      // Checkpoints.stable, not a bare localCheckpoint: this frame is
+      // corpus-scale (the grain of a continuous score IS the corpus),
+      // and a lineage-truncated local checkpoint cannot recompute a
+      // partition lost with its executor — under a configured
+      // checkpoint dir the pass lands reliably, locally it falls back
+      // to the executor-local copy.
+      val local = Checkpoints.stable(g
         .withColumn("__bkt", bkt)
         .select(col("*") +: sumCols.map(c =>
-          coalesce(sum(col(c)).over(wLoc), lit(0L)).as(s"__loc_$c")): _*)
-        .localCheckpoint()
+          coalesce(sum(col(c)).over(wLoc), lit(0L)).as(s"__loc_$c")): _*))
       val totals = local.groupBy(col("__bkt"))
         .agg(sum(sumCols.head).as(s"__t_${sumCols.head}"),
           sumCols.tail.map(c => sum(c).as(s"__t_$c")): _*)
