@@ -2492,6 +2492,161 @@ class OperatorSpec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("auc property: random scored corpora match brute-force pair counting") {
+    import graft.operators.Ranking
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      n <- Gen.choose(2, 80)
+      rows <- Gen.listOfN(n, for {
+        y <- Gen.oneOf(true, false)
+        s <- Gen.choose(0, 20) // heavy score ties
+      } yield (y, s.toDouble / 7.0))
+    } yield rows
+    val cases = (1 to 6).flatMap(i =>
+      caseGen(Gen.Parameters.default, Seed(200L + i)))
+    cases.foreach { rows =>
+      val pos = rows.filter(_._1).map(_._2)
+      val neg = rows.filterNot(_._1).map(_._2)
+      val r = Ranking.auc(rows.toDF("y", "s"), col("s"), col("y")).head()
+      assert((r.getLong(0), r.getLong(1)) === ((pos.size.toLong, neg.size.toLong)))
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // brute force: P(score_pos > score_neg) + P(tie)/2 over every
+        // (pos, neg) pair, exact integer numerator
+        val conc = (for (p <- pos; q <- neg) yield
+          if (p > q) 2L else if (p == q) 1L else 0L).sum
+        val want = round6(conc.toDouble / (2.0 * pos.size * neg.size))
+        assert(r.getDouble(2) === want, s"n=${rows.size}")
+      } else assert(r.isNullAt(2), "one-class AUC must be null")
+    }
+  }
+
+  test("ksTest property: random two-sample corpora match the brute-force sup") {
+    import graft.operators.Stats
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      n <- Gen.choose(2, 80)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.oneOf(true, false)
+        v <- Gen.choose(-12, 12)
+      } yield (a, v.toDouble / 3.0))
+    } yield rows
+    val cases = (1 to 6).flatMap(i =>
+      caseGen(Gen.Parameters.default, Seed(300L + i)))
+    cases.foreach { rows =>
+      val a = rows.filter(_._1).map(_._2)
+      val b = rows.filterNot(_._1).map(_._2)
+      val r = Stats.ksTest(rows.toDF("a", "v"), col("a"), col("v")).head()
+      assert((r.getLong(0), r.getLong(1)) === ((a.size.toLong, b.size.toLong)))
+      if (a.nonEmpty && b.nonEmpty) {
+        // brute force over the distinct-value grain: exact integer sup
+        // |cumA·nB − cumB·nA|, one division, same 6dp rounding
+        val values = (a ++ b).distinct.sorted
+        val dnum = values.map(v =>
+          math.abs(a.count(_ <= v).toLong * b.size -
+            b.count(_ <= v).toLong * a.size)).max
+        val dStat = dnum.toDouble / (a.size.toDouble * b.size.toDouble)
+        val crit = 1.358 * math.sqrt(
+          (a.size + b.size).toDouble / (a.size.toDouble * b.size.toDouble))
+        assert(r.getDouble(2) === round6(dStat), s"n=${rows.size}")
+        assert(r.getDouble(3) === round6(crit))
+        assert(r.getBoolean(4) === (dStat > crit))
+      } else {
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
+          "one-sample KS must be null")
+      }
+    }
+  }
+
+  test("mannWhitneyU property: random two-group corpora match the rank-sum reference") {
+    import graft.operators.Stats
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      n <- Gen.choose(2, 70)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.oneOf(true, false)
+        v <- Gen.choose(0, 15) // tie-heavy
+      } yield (a, v.toDouble / 4.0))
+    } yield rows
+    val cases = (1 to 6).flatMap(i =>
+      caseGen(Gen.Parameters.default, Seed(400L + i)))
+    cases.foreach { rows =>
+      val nA = rows.count(_._1).toDouble
+      val nB = rows.size - nA
+      // reference: tie-averaged ranks over the distinct-value grain
+      // (half-integers — exact in doubles), the operator's own formulas
+      val grain = rows.groupBy(_._2).map { case (v, g) =>
+        (v, g.size.toLong, g.count(_._1).toLong) }.toSeq.sortBy(_._1)
+      var before = 0L
+      var (ra, ties) = (0.0, 0.0)
+      grain.foreach { case (_, c, ca) =>
+        val avgRank = (before + 1) + (c - 1) / 2.0
+        ra += ca * avgRank
+        ties += (c.toDouble * c * c - c)
+        before += c
+      }
+      val n = nA + nB
+      val u = ra - nA * (nA + 1) / 2.0
+      val r = Stats.mannWhitneyU(rows.toDF("a", "v"), col("a"), col("v")).head()
+      assert((r.getLong(0), r.getLong(1)) === ((nA.toLong, nB.toLong)))
+      assert(r.getDouble(2) === round4(u), s"u on n=${rows.size}")
+      val sigma2 = nA * nB / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+      if (nA > 0 && nB > 0 && sigma2 > 0.0)
+        assert(r.getDouble(3) === round4((u - nA * nB / 2.0) /
+          math.sqrt(sigma2)), s"z on n=${rows.size}")
+      else assert(r.isNullAt(3), "degenerate z must be null")
+    }
+  }
+
+  test("spearman property: random metric pairs match the tie-averaged-rank reference") {
+    import graft.operators.Stats
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      n <- Gen.choose(2, 70)
+      rows <- Gen.listOfN(n, for {
+        x <- Gen.choose(0, 12)
+        y <- Gen.choose(0, 12)
+      } yield (x.toDouble / 3.0, x.toDouble / 6.0 + y.toDouble / 5.0))
+    } yield rows
+    val cases = (1 to 6).flatMap(i =>
+      caseGen(Gen.Parameters.default, Seed(500L + i)))
+    cases.foreach { rows =>
+      // reference: DOUBLED tie-averaged ranks (exact longs), BigInt
+      // sums, then the operator's one pinned double expression
+      def doubledRanks(vs: Seq[Double]): Map[Double, Long] = {
+        val grain = vs.groupBy(identity).map { case (v, g) =>
+          (v, g.size.toLong) }.toSeq.sortBy(_._1)
+        var before = 0L
+        grain.map { case (v, c) =>
+          val r2 = 2 * (before + 1) + c - 1
+          before += c
+          v -> r2
+        }.toMap
+      }
+      val rx = doubledRanks(rows.map(_._1))
+      val ry = doubledRanks(rows.map(_._2))
+      val pairs = rows.map { case (x, y) => (BigInt(rx(x)), BigInt(ry(y))) }
+      val nBI = BigInt(rows.size)
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val nD = rows.size.toDouble
+      val cov = nD * sxy.toDouble - sx.toDouble * sy.toDouble
+      val vx = nD * sxx.toDouble - sx.toDouble * sx.toDouble
+      val vy = nD * syy.toDouble - sy.toDouble * sy.toDouble
+      val r = Stats.spearman(rows.toDF("x", "y"), col("x"), col("y")).head()
+      assert(r.getLong(0) === rows.size.toLong)
+      if (vx > 0.0 && vy > 0.0)
+        assert(r.getDouble(1) === round6(cov / math.sqrt(vx * vy)),
+          s"rho on n=${rows.size}")
+      else assert(r.isNullAt(1), "constant-column rho must be null")
+    }
+  }
+
   test("logRank property: random two-group corpora match the reference fold") {
     import graft.ops.Analytics
     import org.scalacheck.Gen
