@@ -718,10 +718,12 @@ object Dedup {
     *    shingles") are excluded from candidate generation — they carry
     *    little dedup signal and cause quadratic blowup;
     *  - prefix filter: per doc, shingles are ordered by (global df,
-    *    hash) and only the first `sz - ceil(t·sz) + 1` participate in
-    *    the index — any pair with Jaccard ≥ t must collide inside that
-    *    prefix (Bayardo et al., WWW'07), so the prefix itself loses no
-    *    recall; the self-join fans out on the rarest shingles only.
+    *    hash) and only the first `sz - ceil((t−ε)·sz) + 1` (ε = 1e-4,
+    *    the [[containmentPairs]] rule) participate in the index — any
+    *    pair the 4dp-rounded verify can accept (true j ≥ t − 5e-5)
+    *    must collide inside that prefix (Bayardo et al., WWW'07), so
+    *    the prefix itself loses no recall; the self-join fans out on
+    *    the rarest shingles only.
     *
     * A document whose *every* shingle exceeds the df cap (pure
     * boilerplate) would otherwise get zero index entries and silently
@@ -796,7 +798,15 @@ object Dedup {
       .repartition(nParts, col(idCol))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))))
-      .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      // ε = 1e-4 slack, the containmentPairs rule: the verify accepts
+      // round4(j) >= t, i.e. true j down to t − 5e-5, and Bayardo's
+      // prefix bound only covers j >= the threshold it was sized for —
+      // sizing for t − ε keeps every 4dp-acceptable pair reachable.
+      // ceil((t−ε)·sz) differs from ceil(t·sz) only when t·sz sits
+      // within ε·sz above an integer (large docs — the scale case);
+      // on the test fixtures the prefixes are identical.
+      .where(col("rn") <=
+        col("sz") - ceil((lit(threshold) - lit(1e-4)) * col("sz")) + 1)
       .select(col(idCol), col("s"))
     // the fallback aggregate keeps its own session-width exchange: its
     // map-side min(struct) combine collapses each doc's occurrence fan

@@ -424,7 +424,7 @@ object LlmQueries {
                        SELECT i.doc_id, i.sz, i.s, d.df,
                               row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rn
                        FROM inv i JOIN dfc d USING (s))
-                     WHERE (df <= 100 AND rn <= sz - ceil(0.5 * sz) + 1) OR rn = 1),
+                     WHERE (df <= 100 AND rn <= sz - ceil((0.5 - 0.0001) * sz) + 1) OR rn = 1),
             cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                      FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
             j AS (SELECT d1 AS doc_id_1, d2 AS doc_id_2,
@@ -3791,7 +3791,7 @@ object LlmQueries {
                               row_number() OVER (PARTITION BY i.doc_id
                                 ORDER BY d.df, i.s) AS rn
                        FROM inv i JOIN dfc d USING (s))
-                     WHERE (df <= 100 AND rn <= sz - ceil(0.5 * sz) + 1)
+                     WHERE (df <= 100 AND rn <= sz - ceil((0.5 - 0.0001) * sz) + 1)
                         OR rn = 1),
             candt AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                       FROM pref a JOIN pref b

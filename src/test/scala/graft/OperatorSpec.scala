@@ -2453,6 +2453,52 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 5L, 2L, 0L, 0.6), (5L, 2L, 1L, 0L, 0.3)))
   }
 
+  test("ngramJaccardPairs property: random corpora x thresholds x shingle sizes match brute force") {
+    import graft.operators.Dedup
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      k <- Gen.oneOf(2, 3)
+      t <- Gen.oneOf(0.3, 0.5, 0.7, 0.9)
+      nDocs <- Gen.choose(6, 14)
+      texts <- Gen.listOfN(nDocs, Gen.choose(0, 16).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf((0 until 10).map(i => s"w$i")))
+          .map(_.mkString(" "))))
+      dupOf <- Gen.choose(0, nDocs - 1)
+      sliceOf <- Gen.choose(0, nDocs - 1)
+    } yield {
+      val base = texts.zipWithIndex.map { case (t0, i) => (i.toLong, t0) }
+      val near = texts(sliceOf).split(" ").filter(_.nonEmpty)
+      (k, t, base ++ Seq(
+        (1000L, texts(dupOf)),                    // exact dup: j = 1
+        (1001L, (near :+ "w99").mkString(" ")))) // near dup
+    }
+    val cases = (1 to 8).flatMap(i =>
+      caseGen(Gen.Parameters.default, Seed(600L + i)))
+    var plantedTotal = 0
+    cases.foreach { case (k, t, corpus) =>
+      val docs = corpus.toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleSize = k, threshold = t, dfCap = 1000)
+        .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+      def shingles(s: String): Set[Seq[String]] =
+        s.split(" ").filter(_.nonEmpty).toSeq.sliding(k)
+          .filter(_.length == k).toSet
+      val sets = corpus.map { case (id, s) => id -> shingles(s) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (i, a) <- sets; (j, b) <- sets if i < j
+        inter = (a intersect b).size.toDouble
+        if round4(inter / (a.size + b.size - inter)) >= t
+      } yield (i, j)).toSet
+      plantedTotal += want.size
+      assert(got === want,
+        s"shingleSize=$k threshold=$t missing=${(want -- got).take(5)} " +
+          s"spurious=${(got -- want).take(5)}")
+    }
+    assert(plantedTotal > 0, "generator must produce real near-dups")
+  }
+
   test("kaplanMeier property: random censored corpora match the reference fold") {
     import graft.ops.Analytics
     import org.scalacheck.Gen
