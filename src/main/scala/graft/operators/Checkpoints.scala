@@ -17,6 +17,15 @@ import org.apache.spark.sql.DataFrame
   *    round's — executor loss mid-loop costs one round, not the whole
   *    40-round job, and nothing accumulates. Without a dir (or with
   *    `spark.graft.checkpoint=local`), falls back to localCheckpoint.
+  *  - MID-OPERATOR CORPUS-SCALE PASSES ([[stableDeferred]]): a frame
+  *    that (a) is corpus-scale, so losing an executor's partitions
+  *    mid-job should not kill a cluster-scale run (ruling out bare
+  *    localCheckpoint), and (b) escapes inside the returned result's
+  *    plan, so the operator can never delete it itself (ruling out
+  *    [[drop]]). The written directory is registered for deletion at
+  *    JVM shutdown — storage is bounded by the session's lifetime
+  *    instead of growing forever (PrefixSum's window pass is the
+  *    canonical caller).
   *
   * The parquet round-trip (not `Dataset.checkpoint`) is what makes
   * deletion possible: it yields a KNOWN path, where
@@ -24,6 +33,29 @@ import org.apache.spark.sql.DataFrame
   * under `spark.cleaner.referenceTracking.cleanCheckpoints`.
   */
 object Checkpoints {
+
+  /** Reliable-checkpoint dirs awaiting the shutdown hook: (path, the
+    * Hadoop conf captured at write time — the SparkSession may already
+    * be stopped when the hook runs, but FileSystem.delete needs only
+    * the conf). */
+  private val deferred = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(String, org.apache.hadoop.conf.Configuration)]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      deferred.forEach { e =>
+        deferred.remove(e)
+        try {
+          val hp = new org.apache.hadoop.fs.Path(e._1)
+          hp.getFileSystem(e._2).delete(hp, true)
+          ()
+        } catch { case _: java.io.IOException => () } // best-effort
+      }
+    }, "graft-checkpoint-cleanup"))
+  }
+
+  /** Count of directories currently registered for shutdown-time
+    * deletion — observability for tests and operators. */
+  def deferredCount: Int = deferred.size
 
   /** Eagerly materialize an operator result and release its
     * intermediate caches — released even when materialization fails,
@@ -53,6 +85,23 @@ object Checkpoints {
     * lifetime ends with the loop (the caller drops nothing). Prefer
     * stableTracked inside loops. */
   def stable(df: DataFrame): DataFrame = stableTracked(df)._1
+
+  /** [[stableTracked]] for a frame that escapes inside the caller's
+    * returned plan: the written directory (reliable-checkpoint mode
+    * only) is registered for deletion at JVM shutdown, so repeated
+    * calls on a checkpoint-dir-configured cluster accumulate storage
+    * bounded by the session, not forever. The frame must not be read
+    * after the JVM exits — true by construction for operator results,
+    * which are consumed (or re-materialized by the caller) within the
+    * session that computed them. */
+  def stableDeferred(df: DataFrame): DataFrame = {
+    val (out, path) = stableTracked(df)
+    path.foreach { p =>
+      deferred.add((p,
+        df.sparkSession.sparkContext.hadoopConfiguration))
+    }
+    out
+  }
 
   /** Best-effort deletion of a superseded [[stableTracked]] directory.
     * Safe to call with None (the localCheckpoint path — its blocks are

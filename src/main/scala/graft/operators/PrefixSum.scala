@@ -106,13 +106,19 @@ object PrefixSum {
       // ONE window pass over the grain, checkpointed because both the
       // bucket-totals branch and the final join consume it — without
       // this the partitioned window ran once per consuming subplan.
-      // Checkpoints.stable, not a bare localCheckpoint: this frame is
-      // corpus-scale (the grain of a continuous score IS the corpus),
-      // and a lineage-truncated local checkpoint cannot recompute a
+      // Reliable (not local) checkpoint: this frame is corpus-scale
+      // (the grain of a continuous score IS the corpus), and a
+      // lineage-truncated local checkpoint cannot recompute a
       // partition lost with its executor — under a configured
-      // checkpoint dir the pass lands reliably, locally it falls back
-      // to the executor-local copy.
-      val local = Checkpoints.stable(g
+      // checkpoint dir the pass lands reliably (costing one parquet
+      // write+read of the window pass per call), locally it falls
+      // back to the executor-local copy. stableDeferred, not stable:
+      // the written dir escapes inside the returned plan so this
+      // operator can never delete it itself — the deferred registry
+      // deletes it at JVM shutdown, bounding checkpoint storage by
+      // the session instead of growing without bound across the rank
+      // family's calls.
+      val local = Checkpoints.stableDeferred(g
         .withColumn("__bkt", bkt)
         .select(col("*") +: sumCols.map(c =>
           coalesce(sum(col(c)).over(wLoc), lit(0L)).as(s"__loc_$c")): _*))

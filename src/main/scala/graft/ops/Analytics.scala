@@ -1248,13 +1248,13 @@ object Analytics {
     * [[graft.operators.Graph.kCore]] `maxRounds` idiom: the
     * operators' sequential survival fold and bare duration-ordered
     * window are single-task over the grain BY DESIGN, so a grain
-    * past the ceiling must fail here, not degrade silently. Releases
-    * the caller's persisted grain before throwing so the error path
-    * pins no executor storage. */
-  private def requireBoundedGrain(observed: Long, maxGrain: Long, op: String,
-      release: DataFrame*): Unit = {
+    * past the ceiling must fail here, not degrade silently. Callers
+    * release their persisted grain in a surrounding try/finally (so
+    * the error path pins no executor storage even when the guard's
+    * own count job fails). */
+  private def requireBoundedGrain(observed: Long, maxGrain: Long,
+      op: String): Unit = {
     if (observed > maxGrain) {
-      release.foreach(_.unpersist(blocking = false))
       throw new IllegalArgumentException(
         s"$op: distinct-duration grain ($observed values) exceeds " +
           s"maxGrain=$maxGrain — this family folds survival terms " +
@@ -1314,35 +1314,40 @@ object Analytics {
       .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
         count(lit(1)).as("__l"))
       .persist()
-    requireBoundedGrain(grain.count(), maxGrain, "kaplanMeier", grain)
-    val total = grain.agg(sum("__l").as("__N"))
-    val wPrev = Window.orderBy(col("__t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withRisk = grain.crossJoin(broadcast(total))
-      .withColumn("__nr",
-        col("__N") - coalesce(sum(col("__l")).over(wPrev), lit(0L)))
-      .select("__t", "__d", "__l", "__nr")
-    val ser = withRisk
-      .agg(sort_array(collect_list(struct(col("__t"), col("__d"),
-        col("__l"), col("__nr")))).as("__s"))
-    val out = ser
-      .withColumn("__r", expr(
-        """aggregate(__s,
-              cast(array() as array<struct<t: bigint, d: bigint,
-                                           l: bigint, nr: bigint,
-                                           s: double>>),
-              (acc, p) -> array_append(acc, named_struct(
-                't', p.__t, 'd', p.__d, 'l', p.__l, 'nr', p.__nr,
-                's', (case when size(acc) = 0 then cast(1.0 as double)
-                      else element_at(acc, -1).s end)
-                     * (1.0d - cast(p.__d as double) / p.__nr))))"""))
-      .select(explode(col("__r")).as("__x"))
-      .where(col("__x.d") > 0)
-      .select(col("__x.t").as("t"), col("__x.nr").as("n_risk"),
-        col("__x.d").as("n_events"),
-        (col("__x.l") - col("__x.d")).as("n_censored"),
-        round(col("__x.s"), 6).as("survival"))
-    graft.operators.Checkpoints.materialize(out, grain)
+    // try/finally (not just the guard's release path): if the guard's
+    // own count() job or any later analysis error fires before
+    // Checkpoints.materialize, the cached grain must not stay pinned
+    try {
+      requireBoundedGrain(grain.count(), maxGrain, "kaplanMeier")
+      val total = grain.agg(sum("__l").as("__N"))
+      val wPrev = Window.orderBy(col("__t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withRisk = grain.crossJoin(broadcast(total))
+        .withColumn("__nr",
+          col("__N") - coalesce(sum(col("__l")).over(wPrev), lit(0L)))
+        .select("__t", "__d", "__l", "__nr")
+      val ser = withRisk
+        .agg(sort_array(collect_list(struct(col("__t"), col("__d"),
+          col("__l"), col("__nr")))).as("__s"))
+      val out = ser
+        .withColumn("__r", expr(
+          """aggregate(__s,
+                cast(array() as array<struct<t: bigint, d: bigint,
+                                             l: bigint, nr: bigint,
+                                             s: double>>),
+                (acc, p) -> array_append(acc, named_struct(
+                  't', p.__t, 'd', p.__d, 'l', p.__l, 'nr', p.__nr,
+                  's', (case when size(acc) = 0 then cast(1.0 as double)
+                        else element_at(acc, -1).s end)
+                       * (1.0d - cast(p.__d as double) / p.__nr))))"""))
+        .select(explode(col("__r")).as("__x"))
+        .where(col("__x.d") > 0)
+        .select(col("__x.t").as("t"), col("__x.nr").as("n_risk"),
+          col("__x.d").as("n_events"),
+          (col("__x.l") - col("__x.d")).as("n_censored"),
+          round(col("__x.s"), 6).as("survival"))
+      graft.operators.Checkpoints.materialize(out, grain)
+    } finally grain.unpersist(blocking = false)
   }
 
   /** Per-group Kaplan-Meier — [[kaplanMeier]] partitioned by a
@@ -1373,38 +1378,42 @@ object Analytics {
       .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
         count(lit(1)).as("__l"))
       .persist()
-    val maxGroupGrain = grain.groupBy("grp").agg(count(lit(1)).as("__g"))
-      .agg(coalesce(max("__g"), lit(0L))).head().getLong(0)
-    requireBoundedGrain(maxGroupGrain, maxGrain, "kaplanMeierBy", grain)
-    val totals = grain.groupBy("grp").agg(sum("__l").as("__N"))
-    val wPrev = Window.partitionBy(col("grp")).orderBy(col("__t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withRisk = grain.join(totals, Seq("grp"))
-      .withColumn("__nr",
-        col("__N") - coalesce(sum(col("__l")).over(wPrev), lit(0L)))
-      .select("grp", "__t", "__d", "__l", "__nr")
-    val ser = withRisk
-      .groupBy("grp")
-      .agg(sort_array(collect_list(struct(col("__t"), col("__d"),
-        col("__l"), col("__nr")))).as("__s"))
-    val out = ser
-      .withColumn("__r", expr(
-        """aggregate(__s,
-              cast(array() as array<struct<t: bigint, d: bigint,
-                                           l: bigint, nr: bigint,
-                                           s: double>>),
-              (acc, p) -> array_append(acc, named_struct(
-                't', p.__t, 'd', p.__d, 'l', p.__l, 'nr', p.__nr,
-                's', (case when size(acc) = 0 then cast(1.0 as double)
-                      else element_at(acc, -1).s end)
-                     * (1.0d - cast(p.__d as double) / p.__nr))))"""))
-      .select(col("grp"), explode(col("__r")).as("__x"))
-      .where(col("__x.d") > 0)
-      .select(col("grp"), col("__x.t").as("t"), col("__x.nr").as("n_risk"),
-        col("__x.d").as("n_events"),
-        (col("__x.l") - col("__x.d")).as("n_censored"),
-        round(col("__x.s"), 6).as("survival"))
-    graft.operators.Checkpoints.materialize(out, grain)
+    // same error-path discipline as kaplanMeier/logRank: the cached
+    // grain is released even when the guard aggregate itself fails
+    try {
+      val maxGroupGrain = grain.groupBy("grp").agg(count(lit(1)).as("__g"))
+        .agg(coalesce(max("__g"), lit(0L))).head().getLong(0)
+      requireBoundedGrain(maxGroupGrain, maxGrain, "kaplanMeierBy")
+      val totals = grain.groupBy("grp").agg(sum("__l").as("__N"))
+      val wPrev = Window.partitionBy(col("grp")).orderBy(col("__t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withRisk = grain.join(totals, Seq("grp"))
+        .withColumn("__nr",
+          col("__N") - coalesce(sum(col("__l")).over(wPrev), lit(0L)))
+        .select("grp", "__t", "__d", "__l", "__nr")
+      val ser = withRisk
+        .groupBy("grp")
+        .agg(sort_array(collect_list(struct(col("__t"), col("__d"),
+          col("__l"), col("__nr")))).as("__s"))
+      val out = ser
+        .withColumn("__r", expr(
+          """aggregate(__s,
+                cast(array() as array<struct<t: bigint, d: bigint,
+                                             l: bigint, nr: bigint,
+                                             s: double>>),
+                (acc, p) -> array_append(acc, named_struct(
+                  't', p.__t, 'd', p.__d, 'l', p.__l, 'nr', p.__nr,
+                  's', (case when size(acc) = 0 then cast(1.0 as double)
+                        else element_at(acc, -1).s end)
+                       * (1.0d - cast(p.__d as double) / p.__nr))))"""))
+        .select(col("grp"), explode(col("__r")).as("__x"))
+        .where(col("__x.d") > 0)
+        .select(col("grp"), col("__x.t").as("t"), col("__x.nr").as("n_risk"),
+          col("__x.d").as("n_events"),
+          (col("__x.l") - col("__x.d")).as("n_censored"),
+          round(col("__x.s"), 6).as("survival"))
+      graft.operators.Checkpoints.materialize(out, grain)
+    } finally grain.unpersist(blocking = false)
   }
 
   /** Two-group log-rank test (Mantel 1966) — "are these two survival

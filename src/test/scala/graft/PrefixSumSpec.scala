@@ -121,6 +121,49 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint-dir branch: withCumulative is exact in reliable mode and defers dir deletion") {
+    // both CI and the bench run the localCheckpoint fallback; this is
+    // the only exercise of the reliable branch (per-call parquet
+    // write+read of the window pass), so exactness, the parquet
+    // round-trip's schema constraints, and the deferred-deletion
+    // registry are all pinned here
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-ps").toString
+    val before = spark.conf.getOption("spark.graft.checkpoint")
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.checkpoint", "auto")
+    try {
+      // sc.setCheckpointDir appends its own UUID subdirectory, so the
+      // graft-* dirs land one level down — scan recursively
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap(c => c +: walk(c))
+      def graftDirs = walk(new java.io.File(dir))
+        .filter(f => f.isDirectory && f.getName.startsWith("graft-"))
+      val deferredBefore = graft.operators.Checkpoints.deferredCount
+      val got = PrefixSum.withCumulative(grain, "v", Nil, Seq("c", "ca"),
+        inclusive = false)
+      val both = got.join(bareWindow(grain, inclusive = false), Seq("v"))
+      assert(both.where(col("__cum_c") =!= col("exp_c") ||
+        col("__cum_ca") =!= col("exp_ca")).count() === 0)
+      // the window pass landed as a reliable checkpoint the returned
+      // frame now owns — the operator cannot delete it, the shutdown
+      // registry must have it instead (the unbounded-growth fix)
+      assert(graftDirs.nonEmpty,
+        "reliable branch did not engage — no graft-* checkpoint dir written")
+      assert(graft.operators.Checkpoints.deferredCount > deferredBefore,
+        "checkpoint dir was not registered for shutdown-time deletion")
+    } finally {
+      // setCheckpointDir has no unset; pin the shared session back to
+      // the localCheckpoint path (the same idiom as OperatorSpec's
+      // reliable-checkpoint test) and remove the temp tree
+      spark.conf.set("spark.graft.checkpoint",
+        before.filter(_ == "local").getOrElse("local"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   /** Partition-less logical Window nodes anywhere in the plan —
     * including under cached subplans. The rank family must have NONE:
     * its only corpus-scale windows are PrefixSum's, partitioned by
