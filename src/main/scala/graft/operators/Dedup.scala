@@ -652,6 +652,11 @@ object Dedup {
     // the 1e-4 slack keeps every pair the 4dp-rounded verify can
     // accept reachable, and the SAME formula is replayed by the q148
     // oracle so candidates (hence output) are engine-identical.
+    // ORACLE-INDEPENDENCE NOTE: because the oracle replays the rule in
+    // lockstep, it cannot catch a recall bug in it — the independent
+    // gates are OperatorSpec's containmentPairs brute-force tests
+    // ("loses NOTHING vs brute force" + the random-corpora property);
+    // OracleIndependenceSpec pins the formula parity.
     val prefixLen = col("sz") -
       ceil((lit(threshold) - lit(1e-4)) * col("sz")) + lit(1L)
     val prefix = withDf
@@ -805,6 +810,16 @@ object Dedup {
       // ceil((t−ε)·sz) differs from ceil(t·sz) only when t·sz sits
       // within ε·sz above an integer (large docs — the scale case);
       // on the test fixtures the prefixes are identical.
+      // ORACLE-INDEPENDENCE NOTE: the DuckDB oracle replays this SAME
+      // prefix rule in lockstep (LlmQueries q33/q149), so the oracle
+      // cannot catch a candidate-generation recall bug here — both
+      // sides would drop the same pairs and still hash-match. The
+      // independent recall gate is OperatorSpec's "ngramJaccardPairs
+      // property: random corpora x thresholds x shingle sizes match
+      // brute force" (all-pairs ground truth, no prefix filter);
+      // OracleIndependenceSpec pins the formula parity and the gate's
+      // existence. Any future lockstep edit of this rule must keep
+      // that property test in step.
       .where(col("rn") <=
         col("sz") - ceil((lit(threshold) - lit(1e-4)) * col("sz")) + 1)
       .select(col(idCol), col("s"))

@@ -402,7 +402,17 @@ object LlmQueries {
     * index with a document-frequency cap on candidate shingles (the
     * stopword-shingle scale guard, with the rarest-shingle fallback
     * guaranteeing every doc one index entry) plus PPJoin prefix
-    * filtering, threshold 0.5. */
+    * filtering, threshold 0.5.
+    *
+    * ORACLE-INDEPENDENCE NOTE: the SQL below replays the engine's
+    * ε-slack prefix rule (`ceil((0.5 − 0.0001)·sz)`) in LOCKSTEP
+    * with [[graft.operators.Dedup.ngramJaccardPairsPlan]] — so this
+    * oracle verifies the verify-join and output shape but CANNOT
+    * catch a candidate-generation recall bug (both sides would drop
+    * the same pairs and hash-match). The independent recall gate is
+    * OperatorSpec's brute-force all-pairs property test;
+    * OracleIndependenceSpec greps the two formulas into parity. Any
+    * lockstep edit must land with that gate in step. */
   private val q33 = Q("q33_ngram_jaccard",
     (s, d) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -3645,7 +3655,13 @@ object LlmQueries {
     * the asymmetric prefix filter (per-doc rarest ⌈(1−t)·sz⌉-ish
     * prefix joined against FULL sets, df cap + rarest-shingle
     * fallback — the identical formula, so candidates are
-    * engine-identical), and both containment directions. */
+    * engine-identical), and both containment directions.
+    *
+    * ORACLE-INDEPENDENCE NOTE: the lockstep `ceil((0.8 − 0.0001)·sz)`
+    * prefix rule means this oracle cannot catch a recall bug in
+    * candidate generation (see q33's note); the independent gates are
+    * OperatorSpec's containmentPairs brute-force tests, with
+    * OracleIndependenceSpec pinning the formula parity. */
   private val q148 = Q("q148_containment_pairs",
     (s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -3759,7 +3775,12 @@ object LlmQueries {
     * number that tunes bands/bucketCap (the dedup twin of q69's ANN
     * recall). Both operators ride ONE shared shingle cache. The
     * oracle replays BOTH full pipelines (the q33 and q28 CTEs over a
-    * shared shingle table) and the set comparison. */
+    * shared shingle table) and the set comparison.
+    *
+    * ORACLE-INDEPENDENCE NOTE: the truth side replays q33's lockstep
+    * ε-slack prefix rule (`ceil((0.5 − 0.0001)·sz)`) — same caveat
+    * and same independent gate as q33 (OperatorSpec brute-force
+    * property; OracleIndependenceSpec parity pin). */
   private val q149 = Q("q149_lsh_pair_recall",
     (s, d) => {
       val docs = Tables.documents(s, d)
