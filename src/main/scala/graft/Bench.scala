@@ -2,6 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Interleaved A/B mode (r10): with SPARK_GRAFT_AB_CONTROL set to a
+    // control build's classes dir (or jar), this invocation becomes an
+    // ORCHESTRATOR that alternates whole bench passes between HEAD and
+    // the control in one session and reports paired per-query ratios —
+    // session drift (thermal state, page cache, co-running load) hits
+    // both sides of each pair, so the ratio is drift-immune where the
+    // raw total is not (r8/r9 both needed post-hoc drift attribution).
+    if (sys.env.contains("SPARK_GRAFT_AB_CONTROL")) {
+      AbBench.run(sys.env("SPARK_GRAFT_AB_CONTROL"))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -140,5 +151,160 @@ object Bench {
     // at the on-disk copy carrying the per-query detail.
     println(s"""{"metric":"total","value":$total,"unit":"sec","headline":"min_of_reps","n":${good.length},"spread":$spread,"errors":$errJson,"sf":"$sfDir","out":"$outFile"}""")
     spark.stop()
+  }
+}
+
+/** The interleaved A/B orchestrator behind `SPARK_GRAFT_AB_CONTROL`.
+  *
+  * Protocol: `passes` PAIRS of full bench passes (child JVMs running
+  * the normal [[Bench]] path), each pair running HEAD and the control
+  * back-to-back; pair order alternates (H,C then C,H …) so a linear
+  * drift component cancels across pairs, not just within one. Each
+  * child is a fresh JVM with this orchestrator's exact JVM args and a
+  * classpath where only the graft classes entry differs — Spark jars,
+  * heap, add-opens identical by construction.
+  *
+  * Per query: headline = min over HEAD samples (same estimator
+  * argument as the normal mode); `control_ratio` = MEDIAN over pairs
+  * of (head_pass_i_min / control_pass_i_min) — paired, so whatever
+  * the session was doing during pair i hits both numerators and
+  * denominators of that pair. A ratio ≈ 1 means "this round's code is
+  * this fast relative to the pinned control, whatever the machine was
+  * doing"; the raw total remains session-dependent and is NOT the
+  * cross-round signal.
+  *
+  * Env: SPARK_GRAFT_AB_PASSES (pairs, default 3),
+  * SPARK_GRAFT_AB_CHILD_REPS (reps inside each child, default 2),
+  * SPARK_GRAFT_AB_LABEL (control label for the record, e.g. its
+  * commit sha), plus the normal bench env (SF_DIR, CPUS, BENCH_ONLY,
+  * BENCH_OUT) which is forwarded to every child.
+  */
+object AbBench {
+
+  private def parseQueries(json: String): Map[String, Double] = {
+    // the child's "queries" object is flat {"name":1.23,...} with
+    // machine-printed doubles — a regex parse is exact for this shape
+    val m = java.util.regex.Pattern.compile("\"queries\":\\{([^}]*)\\}")
+      .matcher(json)
+    if (!m.find()) Map.empty
+    else m.group(1).split(",").filter(_.nonEmpty).flatMap { kv =>
+      kv.split(":") match {
+        case Array(k, v) =>
+          try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def parseErrors(json: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile("\"errors\":\\[([^\\]]*)\\]")
+      .matcher(json)
+    if (!m.find() || m.group(1).isEmpty) Nil
+    else m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+  }
+
+  def run(controlEntry: String): Unit = {
+    require(new java.io.File(controlEntry).exists(),
+      s"SPARK_GRAFT_AB_CONTROL does not exist: $controlEntry")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_AB_PASSES", "3").toInt
+    val childReps = sys.env.getOrElse("SPARK_GRAFT_AB_CHILD_REPS", "2").toInt
+    val label = sys.env.getOrElse("SPARK_GRAFT_AB_LABEL", "control")
+    require(passes >= 1, s"SPARK_GRAFT_AB_PASSES must be >= 1, got $passes")
+
+    val sep = java.io.File.pathSeparator
+    val headCp = System.getProperty("java.class.path")
+    // the graft classes entry = where THIS class was loaded from; the
+    // control cp differs in exactly that entry
+    val selfEntry = new java.io.File(AbBench.getClass.getProtectionDomain
+      .getCodeSource.getLocation.toURI).getAbsolutePath
+    val ctrlAbs = new java.io.File(controlEntry).getAbsolutePath
+    val ctrlCp = headCp.split(sep).map { e =>
+      if (new java.io.File(e).getAbsolutePath == selfEntry) ctrlAbs else e
+    }.mkString(sep)
+    require(ctrlCp != headCp,
+      s"could not substitute graft classes entry ($selfEntry) in classpath")
+
+    val javaExe = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    val workDir = java.nio.file.Files.createTempDirectory("graft_ab_").toFile
+
+    def runPass(tag: String, idx: Int, cp: String): Map[String, Double] = {
+      val out = new java.io.File(workDir, s"pass_${idx}_$tag.json")
+      val log = new java.io.File(workDir, s"pass_${idx}_$tag.log")
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaExe)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(cp)
+      cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      val env = pb.environment()
+      env.remove("SPARK_GRAFT_AB_CONTROL") // children run the normal path
+      env.put("SPARK_GRAFT_BENCH_REPS", childReps.toString)
+      env.put("SPARK_GRAFT_BENCH_OUT", out.getAbsolutePath)
+      val t0 = System.nanoTime()
+      val code = pb.start().waitFor()
+      System.err.println(f"[ab] pass $idx $tag: exit $code in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      require(code == 0, s"pass $idx $tag failed (exit $code) — see $log")
+      parseQueries(java.nio.file.Files.readString(out.toPath))
+    }
+
+    // pair i runs (H,C) for even i, (C,H) for odd i
+    val headPasses = new Array[Map[String, Double]](passes)
+    val ctrlPasses = new Array[Map[String, Double]](passes)
+    (0 until passes).foreach { i =>
+      if (i % 2 == 0) {
+        headPasses(i) = runPass("head", i, headCp)
+        ctrlPasses(i) = runPass("ctrl", i, ctrlCp)
+      } else {
+        ctrlPasses(i) = runPass("ctrl", i, ctrlCp)
+        headPasses(i) = runPass("head", i, headCp)
+      }
+    }
+
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+
+    // a query is reportable when every pass of BOTH sides timed it
+    val names = headPasses.map(_.keySet).reduce(_ intersect _)
+      .intersect(ctrlPasses.map(_.keySet).reduce(_ intersect _)).toSeq.sorted
+    val dropped = (headPasses ++ ctrlPasses).map(_.keySet)
+      .reduce(_ union _).diff(names.toSet).toSeq.sorted
+    val headMin = names.map(n => n -> headPasses.map(_(n)).min).toMap
+    val ctrlMin = names.map(n => n -> ctrlPasses.map(_(n)).min).toMap
+    val ratio = names.map { n =>
+      n -> median((0 until passes).map(i => headPasses(i)(n) / ctrlPasses(i)(n)))
+    }.toMap
+
+    val total = names.map(headMin).sum
+    val ctrlTotal = names.map(ctrlMin).sum
+    def obj(m: Map[String, Double], f: Double => String): String =
+      names.map(n => "\"" + n + "\":" + f(m(n))).mkString("{", ",", "}")
+    val pairDetail = names.map { n =>
+      "\"" + n + "\":{\"head\":[" +
+        (0 until passes).map(i => headPasses(i)(n)).mkString(",") +
+        "],\"ctrl\":[" +
+        (0 until passes).map(i => ctrlPasses(i)(n)).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    val droppedJson = dropped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","headline":"min_of_reps","mode":"ab_paired","passes":$passes,"child_reps":$childReps,"n":${names.length},"control_label":"$label","control_value":$ctrlTotal,"total_ratio":${total / ctrlTotal},"control_ratio_median":${median(ratio.values.toSeq)},"queries":${obj(headMin, _.toString)},"control_ratio":${obj(ratio, r => f"$r%.4f")},"control_queries":${obj(ctrlMin, _.toString)},"pairs":$pairDetail,"errors":$droppedJson,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[ab] could not write $outFile: $e") }
+    println(json)
+    // tail-proof compact line, same contract as the normal mode
+    println(s"""{"metric":"total","value":$total,"unit":"sec","headline":"min_of_reps","mode":"ab_paired","n":${names.length},"control_value":$ctrlTotal,"total_ratio":${total / ctrlTotal},"errors":$droppedJson,"sf":"$sfDir","out":"$outFile"}""")
   }
 }

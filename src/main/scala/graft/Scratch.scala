@@ -50,7 +50,7 @@ object Scratch {
       val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
       var n = 0
       SparkEntry.queries.keys.toSeq.sorted.foreach { qname =>
-        val reasons = try widthRiskReasons(SparkEntry.queries(qname)(spark, dir))
+        val reasons = try queryRiskReasons(spark, qname, dir)
         catch { case e: Throwable =>
           println(s"[scratch] $qname: ERROR ${e.getMessage.take(120)}"); Nil }
         if (reasons.nonEmpty) { n += 1
@@ -115,23 +115,72 @@ object Scratch {
     * (the q95 class — float addition is non-associative, so ANY
     * reassociation can flip the last digit whether or not a `round`
     * sits above it); (b) `percentile_approx` (the sketch's merge
-    * order is width-dependent by design).
+    * order is width-dependent by design); (c) `flatMapGroupsWithState`
+    * / `mapGroupsWithState` (a custom stateful reducer — its per-key
+    * fold can depend on batching/arrival grouping).
     *
-    * Blind spots, by construction (the hand-curated risk list in
-    * WidthDeterminismSpec stays as the FLOOR for these): plans
-    * truncated by localCheckpoint (PrefixSum materializes its window
-    * pass, so the rank family's sketch is invisible downstream) and
-    * streaming queries (the risk lives in the stream's plan, not the
-    * returned memory-sink scan). */
-  def widthRiskReasons(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    * The r9 blind spots are now mechanized, not hand-floored:
+    *  - checkpoint-truncated plans: every
+    *    [[graft.operators.Checkpoints]] materialization registers its
+    *    pre-materialization plan (and aux plans like PrefixSum's
+    *    splitter sketch) keyed by what the downstream plan scans; the
+    *    walker recurses through [[graft.operators.Checkpoints.registeredPlans]];
+    *  - streaming queries: every memory-sink stream records its
+    *    analyzed plan in [[graft.streaming.StreamPlans]]; callers
+    *    bracket a query build with `mark()`/`since()` and walk the
+    *    recorded plans with [[planRiskReasons]] (see the enrollment
+    *    gate in WidthDeterminismSpec and the `riskscan` mode here).
+    */
+  def widthRiskReasons(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    planRiskReasons(df.queryExecution.optimizedPlan)
+
+  /** Full risk scan of one DECLARED query: builds its frame (which
+    * RUNS any streams inside it — streaming queries are eager) and
+    * combines the batch-plan reasons with the reasons of every stream
+    * plan the build recorded. This is the one detector entry point
+    * with NO structural blind spot — the enrollment gate's call. */
+  def queryRiskReasons(spark: SparkSession, qname: String,
+      dir: String): Seq[String] = {
+    val mark = graft.streaming.StreamPlans.mark()
+    val df = SparkEntry.queries(qname)(spark, dir)
+    val batch = widthRiskReasons(df)
+    val streams = graft.streaming.StreamPlans.since(mark).flatMap {
+      case (sink, p) => planRiskReasons(p).map(r => s"stream[$sink]: $r")
+    }
+    (batch ++ streams).distinct
+  }
+
+  /** [[widthRiskReasons]] over a bare plan (a streaming query's
+    * analyzed plan, or a checkpoint-registered plan), recursing
+    * through checkpoint truncations. */
+  def planRiskReasons(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    val seen = new java.util.IdentityHashMap[AnyRef, AnyRef]()
+    def go(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        depth: Int): Seq[String] = {
+      if (depth > 8 || seen.containsKey(p)) Nil
+      else {
+        seen.put(p, p)
+        ownReasons(p) ++
+          graft.operators.Checkpoints.registeredPlans(p)
+            .flatMap(pre => go(pre, depth + 1))
+            .distinct.map(r => s"via checkpoint: $r")
+      }
+    }
+    go(plan, 0).distinct
+  }
+
+  /** The non-recursive reasons of ONE plan. */
+  private def ownReasons(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.Expression
     import org.apache.spark.sql.catalyst.expressions.aggregate.{
       AggregateExpression, ApproximatePercentile, Average, Sum}
+    import org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     def flatten(e: Expression): Seq[Expression] =
       e +: e.children.flatMap(flatten)
-    val exprs = df.queryExecution.optimizedPlan
-      .collect { case p => p.expressions.flatMap(flatten) }.flatten
+    val exprs = plan.collect { case p => p.expressions.flatMap(flatten) }.flatten
     def isFp(dt: org.apache.spark.sql.types.DataType): Boolean =
       dt == DoubleType || dt == FloatType
     val aggFns = exprs.collect {
@@ -142,10 +191,14 @@ object Scratch {
       case s: Sum => isFp(s.child.dataType); case _ => false }
     val sketch = aggFns.exists {
       case _: ApproximatePercentile => true; case _ => false }
+    val stateful = plan.collectFirst {
+      case _: FlatMapGroupsWithState => () }.nonEmpty
     Seq(
       if (fpAvg) Some("avg over Double/Float (q95 class)") else None,
       if (fpSum) Some("sum over Double/Float") else None,
       if (sketch) Some("percentile_approx (width-sensitive sketch)") else None,
+      if (stateful) Some("flatMapGroupsWithState (custom stateful reducer)")
+      else None,
     ).flatten
   }
 

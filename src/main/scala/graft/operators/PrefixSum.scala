@@ -90,9 +90,10 @@ object PrefixSum {
       // never do. Inlining them as literals keeps the main pass a
       // single-subplan scan (no broadcast-cuts branch re-reading the
       // grain).
-      val cutsRow = g.agg(percentile_approx(col(orderCol),
+      val sketch = g.agg(percentile_approx(col(orderCol),
         typedLit((1 until nBuckets).map(_ / nBuckets.toDouble)),
-        lit(10000)).as("__cuts")).head()
+        lit(10000)).as("__cuts"))
+      val cutsRow = sketch.head()
       val cuts: Seq[Any] =
         if (cutsRow.isNullAt(0)) Nil
         else cutsRow.getSeq[Any](0).filter(_ != null)
@@ -122,6 +123,11 @@ object PrefixSum {
         .withColumn("__bkt", bkt)
         .select(col("*") +: sumCols.map(c =>
           coalesce(sum(col(c)).over(wLoc), lit(0L)).as(s"__loc_$c")): _*))
+      // the splitter sketch ran as a separate collected action, so the
+      // returned plan cannot show its width sensitivity — attach it to
+      // the checkpoint's plan-registry entry so the width-risk walker
+      // sees percentile_approx through the truncation
+      Checkpoints.attachAux(local, sketch)
       val totals = local.groupBy(col("__bkt"))
         .agg(sum(sumCols.head).as(s"__t_${sumCols.head}"),
           sumCols.tail.map(c => sum(c).as(s"__t_$c")): _*)

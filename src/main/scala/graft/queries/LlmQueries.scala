@@ -2044,13 +2044,10 @@ object LlmQueries {
         .select("doc_id", "ts", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(dir)
       val sink = s"q91_sink_${q91Runs.incrementAndGet()}"
-      val q = graft.streaming.CorpusStream.sourceQualityWindows(
-          graft.streaming.CorpusStream.readStream(s, dir))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamPlans.runAvailableNowMemory(
+        graft.streaming.CorpusStream.sourceQualityWindows(
+          graft.streaming.CorpusStream.readStream(s, dir)),
+        sink, org.apache.spark.sql.streaming.OutputMode.Complete())
       // the memory sink owns the rows now; the staged source dir is dead
       dropStaging(dir)
       s.table(sink)
@@ -3522,12 +3519,9 @@ object LlmQueries {
           col("token").as("_2"))
         .as[(Long, String)]
       val sink = s"q173_sink_${q145Runs.incrementAndGet()}"
-      val q = graft.streaming.CorpusStream.mgCandidates(toks, capacity)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamPlans.runAvailableNowMemory(
+        graft.streaming.CorpusStream.mgCandidates(toks, capacity).toDF(),
+        sink, org.apache.spark.sql.streaming.OutputMode.Update())
       // the memory sink owns the rows now; the staged source dir is dead
       dropStaging(dir)
       import org.apache.spark.sql.expressions.Window
@@ -3583,14 +3577,11 @@ object LlmQueries {
           coalesce(col("props"), lit("")).as("props"))
         .write.mode("overwrite").parquet(dir)
       val sink = s"q145_sink_${q145Runs.incrementAndGet()}"
-      val q = graft.streaming.EventStream.ewmaDaily(
+      graft.streaming.StreamPlans.runAvailableNowMemory(
+        graft.streaming.EventStream.ewmaDaily(
           graft.streaming.EventStream.readStream(s, dir)
-            .drop("props").as[graft.streaming.EventStream.Event])
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+            .drop("props").as[graft.streaming.EventStream.Event]).toDF(),
+        sink, org.apache.spark.sql.streaming.OutputMode.Append())
       // the memory sink owns the rows now; the staged source dir is dead
       dropStaging(dir)
       s.table(sink).orderBy("event_type", "day")

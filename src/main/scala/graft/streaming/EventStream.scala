@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators over the events stream (SURVEY §2.9:
@@ -263,14 +263,7 @@ object EventStream {
     * watermark has not closed). */
   def runAvailableNow(spark: SparkSession, dir: String, sink: String,
       transform: DataFrame => DataFrame,
-      mode: OutputMode = OutputMode.Complete()): Unit = {
-    val q = transform(readStream(spark, dir))
-      .writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      mode: OutputMode = OutputMode.Complete()): Unit =
+    StreamPlans.runAvailableNowMemory(transform(readStream(spark, dir)),
+      sink, mode)
 }

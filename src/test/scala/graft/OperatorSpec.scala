@@ -1208,8 +1208,13 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("reliable checkpoint engages when a checkpoint dir is configured") {
+    // session-scoped setup on a FRESH session (see PrefixSumSpec's
+    // reliable-checkpoint test): sc.setCheckpointDir is context-global
+    // and raced with concurrently-running suites' conf restoration
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(dir)
+    val s = spark.newSession()
+    s.conf.set("spark.graft.checkpoint.dir", dir)
+    import s.implicits._
     def files(f: java.io.File): Seq[java.io.File] =
       Option(f.listFiles).toSeq.flatten.flatMap(c => c +: files(c))
     try {
@@ -1220,8 +1225,7 @@ class OperatorSpec extends SparkSpec {
       assert(path.isDefined && files(new java.io.File(dir)).exists(_.isFile))
       assert(chk.count() === 1L)
       graft.operators.Checkpoints.drop(chk, path)
-      // count only OUR dirs: sc.setCheckpointDir pre-creates its own
-      // empty UUID subdirectory for RDD checkpoints
+      // only OUR graft-* dirs land under the session-scoped root
       def dirs = Option(new java.io.File(dir).listFiles).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("graft-"))
       assert(dirs.isEmpty)
@@ -1233,10 +1237,6 @@ class OperatorSpec extends SparkSpec {
       assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
       assert(dirs.isEmpty, s"leaked checkpoint dirs: ${dirs.map(_.getName)}")
     } finally {
-      // setCheckpointDir has no unset; pin the rest of the shared
-      // session back to the localCheckpoint path via the mode conf,
-      // and remove the temp checkpoint tree
-      spark.conf.set("spark.graft.checkpoint", "local")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }

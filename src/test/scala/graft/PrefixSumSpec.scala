@@ -126,22 +126,31 @@ class PrefixSumSpec extends SparkSpec {
     // the only exercise of the reliable branch (per-call parquet
     // write+read of the window pass), so exactness, the parquet
     // round-trip's schema constraints, and the deferred-deletion
-    // registry are all pinned here
+    // registry are all pinned here.
+    //
+    // Session-scoped setup (spark.graft.checkpoint.dir on a FRESH
+    // session): sc.setCheckpointDir is context-GLOBAL and suites run
+    // concurrently in one JVM — the global idiom raced with
+    // OperatorSpec's reliable-checkpoint test (one suite's finally
+    // pinned mode=local while the other was mid-test; r10 baseline
+    // caught it as a 1/297 flake).
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-ps").toString
-    val before = spark.conf.getOption("spark.graft.checkpoint")
-    spark.sparkContext.setCheckpointDir(dir)
-    spark.conf.set("spark.graft.checkpoint", "auto")
+    val s = spark.newSession()
+    s.conf.set("spark.graft.checkpoint.dir", dir)
+    import s.implicits._
+    val grainS = (1 to 200).map { i =>
+      (((i * 37) % 23) - 11.0, (i % 5 + 1).toLong, (i % 3).toLong)
+    }.toDF("v", "c", "ca")
+      .groupBy("v").agg(sum("c").as("c"), sum("ca").as("ca"))
     try {
-      // sc.setCheckpointDir appends its own UUID subdirectory, so the
-      // graft-* dirs land one level down — scan recursively
       def walk(f: java.io.File): Seq[java.io.File] =
         Option(f.listFiles).toSeq.flatten.flatMap(c => c +: walk(c))
       def graftDirs = walk(new java.io.File(dir))
         .filter(f => f.isDirectory && f.getName.startsWith("graft-"))
       val deferredBefore = graft.operators.Checkpoints.deferredCount
-      val got = PrefixSum.withCumulative(grain, "v", Nil, Seq("c", "ca"),
+      val got = PrefixSum.withCumulative(grainS, "v", Nil, Seq("c", "ca"),
         inclusive = false)
-      val both = got.join(bareWindow(grain, inclusive = false), Seq("v"))
+      val both = got.join(bareWindow(grainS, inclusive = false), Seq("v"))
       assert(both.where(col("__cum_c") =!= col("exp_c") ||
         col("__cum_ca") =!= col("exp_ca")).count() === 0)
       // the window pass landed as a reliable checkpoint the returned
@@ -152,11 +161,6 @@ class PrefixSumSpec extends SparkSpec {
       assert(graft.operators.Checkpoints.deferredCount > deferredBefore,
         "checkpoint dir was not registered for shutdown-time deletion")
     } finally {
-      // setCheckpointDir has no unset; pin the shared session back to
-      // the localCheckpoint path (the same idiom as OperatorSpec's
-      // reliable-checkpoint test) and remove the temp tree
-      spark.conf.set("spark.graft.checkpoint",
-        before.filter(_ == "local").getOrElse("local"))
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }

@@ -53,16 +53,16 @@ class WidthDeterminismSpec extends SparkSpec {
     "q155_ks_test", "q167_classifier_auc", "q169_gains_table",
     "q170_bootstrap_ci", "q174_mad_outliers")
 
-  /** Other width-shaped reducers worth pinning. Streaming queries are
-    * ALL floored here (or caught by the detector over their post-
-    * stream aggregates, like q43/q47): the plan detector cannot see
-    * inside a stream — the returned frame scans a memory sink. */
+  /** Other width-shaped reducers worth pinning. The streaming trio
+    * (q91/q145/q173) is NO LONGER hand-floored here: every
+    * memory-sink stream records its plan in
+    * [[graft.streaming.StreamPlans]], so the self-enrollment gate
+    * below sees inside streams mechanically via
+    * [[Scratch.queryRiskReasons]] and width-tests them there (the
+    * detector-backing test pins that they stay flagged). */
   private val others = Seq(
     "q113_embedding_drift",        // per-dimension double means
     "q189_interval_overlap_join",  // bucket-blocked join, no dedup shuffle
-    "q91_stream_quality_windows",  // streaming windowed avg_quality
-    "q145_stream_ewma",            // streaming per-key EWMA state
-    "q173_stream_heavy_hitters",   // streaming MG sketch + rescore
     "q148_containment_pairs")      // prefix-length ceil over doubles
 
   /** Every query [[Scratch.widthRiskReasons]] flags beyond the groups
@@ -78,7 +78,13 @@ class WidthDeterminismSpec extends SparkSpec {
     "q47_session_windows", "q51_hash_sample", "q57_cube_grouping",
     "q62_pq_topk", "q63_ivfpq_topk", "q64_zscore_outliers",
     "q69_ann_recall", "q90_zipf_fit", "q94_dsir_weights",
-    "q115_rbo_eval", "q131_winsorized_stats", "q187_sql_surface")
+    "q115_rbo_eval", "q131_winsorized_stats", "q187_sql_surface",
+    // flagged only since the r10 checkpoint plan registry let the
+    // detector see through Checkpoints.materialize truncations
+    // (fp reducers in their pre-materialization plans):
+    "q85_kl_drift", "q99_dup_ngram_mass", "q120_rfm_segments",
+    "q129_attribution", "q135_rank_eval", "q140_benford_audit",
+    "q141_categorical_assoc", "q153_psi_drift", "q165_js_drift")
 
   private val riskSet =
     doubleReducers ++ lmScores ++ rankFamily ++ others ++ detectedFloats
@@ -98,15 +104,19 @@ class WidthDeterminismSpec extends SparkSpec {
     * plan shape is scale-independent); anything detected is
     * width-tested RIGHT HERE, so a new `round(avg(double))`-shaped
     * query is gated the build it lands, whether or not anyone
-    * remembers to enroll it. The pinned lists stay as the FLOOR for
-    * the detector's documented blind spots (localCheckpoint-truncated
-    * rank-family plans, streaming state). */
+    * remembers to enroll it. Since r10 the gate scans with
+    * [[Scratch.queryRiskReasons]], which has NO structural blind
+    * spot: checkpoint-truncated plans recurse through the
+    * [[graft.operators.Checkpoints]] plan registry, and streaming
+    * queries surface via [[graft.streaming.StreamPlans]] — the pinned
+    * lists above are per-test localization conveniences, no longer a
+    * load-bearing floor (the detector-backing test pins that). */
   test("self-enrollment: plan-detected width risks outside the risk set are width-tested") {
     val detectDir = "/root/testdata/sf0.001"
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(riskSet.contains).flatMap { name =>
         val reasons =
-          try Scratch.widthRiskReasons(SparkEntry.queries(name)(spark, detectDir))
+          try Scratch.queryRiskReasons(spark, name, detectDir)
           catch { case e: Throwable =>
             Seq(s"PLAN BUILD FAILED: ${String.valueOf(e.getMessage).take(120)}") }
         if (reasons.isEmpty) Nil else Seq(name -> reasons)
@@ -120,6 +130,62 @@ class WidthDeterminismSpec extends SparkSpec {
     if (flagged.nonEmpty)
       info(s"width-stable but detector-flagged — enroll in detectedFloats " +
         s"for per-test localization: ${flagged.map(_._1).mkString(", ")}")
+  }
+
+  /** Detector-backing: the r9 blind-spot queries (the streaming trio
+    * and the PrefixSum rank family) must be FLAGGED by the mechanized
+    * detector — this is what converts their presence in the pinned
+    * lists / the gate from hand-curated floor to detector-derived
+    * fact. If the plan-registry or stream-registry plumbing regresses,
+    * this fails before the blind spot can silently reopen. */
+  test("detector flags the former blind spots: streaming trio + PrefixSum family") {
+    val detectDir = "/root/testdata/sf0.001"
+    val mustFlag = Seq(
+      "q91_stream_quality_windows",  // windowed avg over double in-stream
+      "q145_stream_ewma",            // flatMapGroupsWithState state
+      "q173_stream_heavy_hitters",   // mapGroupsWithState MG sketch
+      "q152_mann_whitney",           // PrefixSum splitter sketch via registry
+      "q167_classifier_auc")         // same machinery through Ranking.auc
+    val missed = mustFlag.filter { name =>
+      Scratch.queryRiskReasons(spark, name, detectDir).isEmpty
+    }
+    assert(missed.isEmpty,
+      s"detector no longer flags former blind-spot queries: " +
+        s"${missed.mkString(", ")} — the StreamPlans/Checkpoints plan " +
+        "registry plumbing has regressed")
+    // and the REASONS must come from the mechanized paths, not a
+    // coincidental batch-plan reducer: a stream-recorded reason for
+    // the trio, a checkpoint-recursed reason for the rank family
+    val q91r = Scratch.queryRiskReasons(spark, "q91_stream_quality_windows", detectDir)
+    assert(q91r.exists(_.startsWith("stream[")), s"q91 reasons not stream-derived: $q91r")
+    val q152r = Scratch.queryRiskReasons(spark, "q152_mann_whitney", detectDir)
+    assert(q152r.exists(r => r.startsWith("via checkpoint:") &&
+        r.contains("percentile_approx")),
+      s"q152 reasons not checkpoint-recursed to the splitter sketch: $q152r")
+  }
+
+  /** Planted-risky-stream: a NEW stream with a width-risky reducer
+    * (avg over double) must be flagged the moment it runs through the
+    * library's stream runner — proves enrollment for future streaming
+    * queries, not just the current trio. */
+  test("a planted risky stream enrolls via StreamPlans mechanically") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted_").toString
+    Tables.events(spark, "/root/testdata/sf0.001").limit(200)
+      .write.mode("overwrite").parquet(dir)
+    val mark = graft.streaming.StreamPlans.mark()
+    val stream = graft.streaming.EventStream.readStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("avg_value"))
+    graft.streaming.StreamPlans.runAvailableNowMemory(stream,
+      "planted_risky_stream_sink",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val reasons = graft.streaming.StreamPlans.since(mark).flatMap {
+      case (sink, p) => Scratch.planRiskReasons(p).map(r => s"stream[$sink]: $r")
+    }
+    assert(reasons.exists(r => r.contains("planted_risky_stream_sink") &&
+        r.contains("avg over Double/Float")),
+      s"planted risky stream was not flagged: $reasons")
   }
 
   if (sys.env.get("SPARK_GRAFT_WIDTH_ALL").contains("1")) {
