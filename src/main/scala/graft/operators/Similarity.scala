@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   * cell) and a *probe* step (each query scans only its nProbe nearest
   * cells). Near-dup pair mining reuses the same cells as LSH-style
   * buckets, so no operator here ever forms the corpus×corpus product.
+  *
+  * SCALE CONTRACT — the cell count C is the caller's knob (measured
+  * in SCALE_CURVE.md, round 10): assignment ([[assignCells]], the one
+  * corpus×centroid pass) is Θ(N·C); within-cell pair mining
+  * ([[semDedup]]) is Θ(N²·topN²/C). C ∝ √N balances them (Θ(N^1.5)
+  * total — measured 1.4–1.9× cost for 10× rows at sf1-equivalent).
+  * C ∝ N (e.g. a fixed [[sampleCentroids]] stride) keeps per-cell
+  * pair work linear but makes assignment Θ(N²/stride) — the measured
+  * superlinear slope of the q93/q97 fixtures, which pin stride=50
+  * only because their DuckDB oracles mirror it. Beyond C ∝ √N,
+  * brute-force assignment itself needs a coarse quantizer
+  * (hierarchical assignment) — out of the current frozen surface.
   */
 object Similarity {
 

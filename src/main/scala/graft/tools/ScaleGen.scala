@@ -107,15 +107,18 @@ object ScaleGen {
     // ---- orders / lineitem (keys shifted in lockstep) -----------------
     val orders = graft.Tables.orders(spark, srcDir)
     val keyStride = 100000000L
-    val sord = fan(orders).select(
-      (col("o_orderkey") + col("__r") * keyStride).as("o_orderkey"),
-      (col("o_custkey") + col("__r") * keyStride).as("o_custkey"),
-      col("o_orderstatus"),
-      (col("o_totalprice") + col("__r").cast("double") * 1e-6)
-        .as("o_totalprice"),
-      col("o_orderdate"), col("o_orderpriority"), col("o_clerk"),
-      col("o_shippriority"), col("o_comment"))
-    write(sord, "orders", math.max(8, k))
+    val ordCols = orders.columns.map {
+      case "o_orderkey" =>
+        (col("o_orderkey") + col("__r") * keyStride).as("o_orderkey")
+      case "o_custkey" =>
+        (col("o_custkey") + col("__r") * keyStride).as("o_custkey")
+      case "o_totalprice" =>
+        (col("o_totalprice") + col("__r").cast("double") * 1e-6)
+          .as("o_totalprice")
+      case c => col(c)
+    }
+    write(fan(orders).select(ordCols.toIndexedSeq: _*), "orders",
+      math.max(8, k))
 
     val li = graft.Tables.lineitem(spark, srcDir)
     val liCols = li.columns.map {
