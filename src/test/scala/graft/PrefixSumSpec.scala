@@ -160,6 +160,15 @@ class PrefixSumSpec extends SparkSpec {
         "reliable branch did not engage — no graft-* checkpoint dir written")
       assert(graft.operators.Checkpoints.deferredCount > deferredBefore,
         "checkpoint dir was not registered for shutdown-time deletion")
+      // the plan registry's PathKey branch: the width-risk walker must
+      // see the percentile_approx splitter sketch THROUGH the parquet
+      // round-trip (the localCheckpoint/RddKey branch is covered by the
+      // WidthDeterminismSpec detector-backing test; this is the only
+      // exercise of the reliable-mode key)
+      val reasons = Scratch.planRiskReasons(got.queryExecution.optimizedPlan)
+      assert(reasons.exists(r => r.startsWith("via checkpoint:") &&
+          r.contains("percentile_approx")),
+        s"reliable-mode checkpoint not recursed by the detector: $reasons")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
